@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators._
+import graft.clustering.ConnectedComponents
+
+/**
+ * Top-level linkage API, mirroring the reference `Linker`
+ * (reference: `splink/internals/linker.py:77-174` and the
+ * `linker_components` facade modules). Holds the (mutable, training-updated)
+ * model settings plus cached intermediate frames.
+ *
+ * Materialisation policy: the concat-with-tf frame and blocked id pairs are
+ * the reference's named intermediates (`__splink__df_concat_with_tf`,
+ * `__splink__blocked_id_pairs`); we persist them once per linker, which is
+ * what the reference's cache-by-name achieves (`database_api.py:136-178`).
+ */
+class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings) {
+  def this(df: DataFrame, settings: LinkSettings) =
+    this(Seq("__input" -> df), settings)
+
+  @volatile var settings: LinkSettings = initialSettings
+  val spark: SparkSession = inputs.head._2.sparkSession
+  graft.functions.funcs.registerAll(spark)
+
+  /** `__splink__df_concat` (`vertically_concatenate.py:23-71`). */
+  lazy val concat: DataFrame = VerticalConcat(inputs, settings)
+
+  /** `__splink__df_concat_with_tf` (`vertically_concatenate.py:74-81`). */
+  lazy val concatWithTf: DataFrame = {
+    val df = TermFrequency.joinAll(concat, settings.tfColumns)
+    if (settings.tfColumns.nonEmpty) df.persist() else df
+  }
+
+  /** Blocked candidate id pairs (`blocking.py:603-695`). */
+  def blockedIdPairs(): DataFrame =
+    Blocking.blockedIdPairs(concat, settings)
+
+  /** Comparison-vector frame for the model's blocking rules. */
+  def comparisonVectors(): DataFrame =
+    ComparisonVectors.compute(blockedIdPairs(), concatWithTf, settings)
+
+  /** The flagship scoring query (`linker_components/inference.py:294-444`). */
+  def predict(thresholdMatchProbability: Option[Double] = None,
+      thresholdMatchWeight: Option[Double] = None): DataFrame =
+    Predict.score(comparisonVectors(), settings,
+      thresholdMatchWeight, thresholdMatchProbability)
+
+  /** Deterministic (rules-only) linking: blocked pairs without scoring
+    * (`linker_components/inference.py` deterministic_link). */
+  def deterministicLink(): DataFrame =
+    ComparisonVectors.pairsFromIds(blockedIdPairs(), concatWithTf, settings)
+
+  /** Cluster a scored pairs frame (`linker_components/clustering.py:43-179`). */
+  def clusterPairwisePredictionsAtThreshold(predictions: DataFrame,
+      threshold: Double): DataFrame = {
+    val uid = settings.uniqueIdColumn
+    val edges = predictions.select(
+      col(Cols.l(uid)).as("node_l"), col(Cols.r(uid)).as("node_r"),
+      col(Cols.MatchProbability))
+    ConnectedComponents.clusterAtThreshold(
+      concat, edges.withColumnRenamed("node_l", s"${uid}_l")
+        .withColumnRenamed("node_r", s"${uid}_r"), uid, threshold)
+  }
+
+  /** Compare two small record frames against the trained model without any
+    * blocking — realtime scoring (`realtime.py:44-159`). */
+  def compareRecords(left: DataFrame, right: DataFrame): DataFrame = {
+    val uid = settings.uniqueIdColumn
+    val projection = ComparisonVectors.pairProjection(settings,
+      left.columns.toSeq)
+    val pairs = left.alias("l").crossJoin(right.alias("r")).select(projection: _*)
+    Predict.score(ComparisonVectors.addGammas(pairs, settings), settings)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.clustering
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components over an edge list, via iterative
+ * min-label propagation — the same algorithm family the reference uses
+ * (reference: `splink/internals/connected_components.py:121-335`, based on
+ * arXiv:1802.09478 "Computation of Connected Components at Scale").
+ *
+ * Loop invariant: `reps(node_id, representative)` maps each node to the
+ * smallest node id it currently knows is in its component. Each iteration
+ * lowers representatives via neighbours; a cluster (= group of nodes
+ * sharing a representative) is FINAL exactly when no edge leaves it
+ * (`connected_components.py:216-313` splits these off as "stable" each
+ * round and stops when no inter-cluster edge remains). When every node of
+ * a closed cluster shares one representative r, node r itself is a member
+ * and r is the component minimum, so labels are canonical.
+ *
+ * Every iteration `localCheckpoint`s — without lineage breaks the plan
+ * doubles per round (the reference persists each iteration for the same
+ * reason, `spark/database_api.py:292-311`). The exit condition costs one
+ * `isEmpty` action per round, mirroring the reference's count query.
+ */
+object ConnectedComponents {
+
+  /**
+   * @param edges frame with two node-id columns (self-loops and duplicates ok)
+   * @return DataFrame(node_id, cluster_id), one row per node that appears
+   *         in any edge; cluster_id = min node id in the component.
+   */
+  def run(edges: DataFrame, srcCol: String = "unique_id_l",
+      dstCol: String = "unique_id_r", maxIterations: Int = 60,
+      eager: Boolean = true): DataFrame = {
+
+    // Symmetric neighbour list (`connected_components.py:169-190`)
+    val fwd = edges.select(col(srcCol).as("node_id"), col(dstCol).as("neighbour"))
+    val bwd = edges.select(col(dstCol).as("node_id"), col(srcCol).as("neighbour"))
+    var neighbours = fwd.unionByName(bwd)
+      .filter(col("node_id") =!= col("neighbour"))
+      .distinct()
+      .localCheckpoint(eager)
+
+    var reps = neighbours
+      .groupBy("node_id")
+      .agg(least(min(col("neighbour")), first(col("node_id"))).as("representative"))
+      .localCheckpoint(eager)
+
+    val finalised = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var iteration = 0
+    var done = false
+    while (!done && iteration < maxIterations) {
+      iteration += 1
+      // new rep = min(own rep, min of neighbours' reps)
+      val neighbourReps = neighbours.alias("n")
+        .join(reps.alias("r"), col("n.neighbour") === col("r.node_id"))
+        .select(col("n.node_id").as("node_id"), col("r.representative").as("rep"))
+      reps = reps.select(col("node_id"), col("representative").as("rep"))
+        .unionByName(neighbourReps)
+        .groupBy("node_id")
+        .agg(min("rep").as("representative"))
+        .localCheckpoint(eager)
+
+      // Edges whose endpoints currently disagree = clusters still merging.
+      val cross = neighbours.alias("e")
+        .join(reps.alias("rl"), col("e.node_id") === col("rl.node_id"))
+        .join(reps.alias("rr"), col("e.neighbour") === col("rr.node_id"))
+        .filter(col("rl.representative") =!= col("rr.representative"))
+        .select(col("rl.representative").as("rep_l"),
+          col("rr.representative").as("rep_r"))
+      val openGroups = cross.select(col("rep_l").as("g"))
+        .unionByName(cross.select(col("rep_r").as("g")))
+        .distinct()
+        .localCheckpoint(eager)
+
+      if (openGroups.isEmpty) {
+        finalised += reps
+        done = true
+      } else {
+        // Clusters with no outgoing edge are final; drop them + their edges.
+        val stableNodes = reps.alias("r")
+          .join(openGroups.alias("o"), col("r.representative") === col("o.g"), "left_anti")
+          .localCheckpoint(eager)
+        finalised += stableNodes
+        reps = reps.alias("r")
+          .join(openGroups.alias("o"), col("r.representative") === col("o.g"), "left_semi")
+          .localCheckpoint(eager)
+        val live = reps.select("node_id")
+        neighbours = neighbours
+          .join(live.withColumnRenamed("node_id", "__l"),
+            col("node_id") === col("__l"), "left_semi")
+          .join(live.withColumnRenamed("node_id", "__r"),
+            col("neighbour") === col("__r"), "left_semi")
+          .localCheckpoint(eager)
+      }
+    }
+    if (!done) finalised += reps // maxIterations safety valve
+    finalised.reduce(_.unionByName(_))
+      .select(col("node_id"), col("representative").as("cluster_id"))
+  }
+
+  /** Cluster nodes at a match-probability threshold and join assignments
+    * back onto the node frame (reference
+    * `linker_components/clustering.py:43-179`). Singleton nodes (no edge at
+    * or above threshold) keep their own id as cluster id. */
+  def clusterAtThreshold(nodes: DataFrame, edges: DataFrame, uidCol: String,
+      threshold: Double): DataFrame = {
+    val strong = edges.filter(col("match_probability") >= threshold)
+    val assignments = run(strong, s"${uidCol}_l", s"${uidCol}_r")
+    nodes.alias("n")
+      .join(assignments.alias("c"), col(s"n.$uidCol") === col("c.node_id"), "left")
+      .withColumn("cluster_id", coalesce(col("c.cluster_id"), col(s"n.$uidCol")))
+      .drop("node_id")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.functions
+
+/**
+ * Pure-JVM string similarity kernels used by the Catalyst expressions in
+ * [[graft.functions.expressions]]. These mirror the function surface the
+ * reference exposes through its Spark UDF jar (reference:
+ * `splink/internals/spark/jar_location.py:40-63` — jaro_sim, jaro_winkler,
+ * jaccard, damerau_levenshtein, Dmetaphone, QgramTokeniser), implemented
+ * from the published algorithm definitions, not from the reference jar.
+ *
+ * All methods are static (object) so generated codegen can call them via a
+ * stable class name: `graft.functions.StringSim.jaroWinkler(a, b)`.
+ */
+object StringSim {
+
+  /** Jaro similarity in [0,1]. Standard definition (Jaro 1989). */
+  def jaro(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 && len2 == 0) return 1.0
+    if (len1 == 0 || len2 == 0) return 0.0
+    val matchDist = math.max(0, math.max(len1, len2) / 2 - 1)
+    val matched1 = new Array[Boolean](len1)
+    val matched2 = new Array[Boolean](len2)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - matchDist)
+      val hi = math.min(len2 - 1, i + matchDist)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+          matched1(i) = true
+          matched2(j) = true
+          matches += 1
+          done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: compare matched chars in order
+    var k = 0
+    var transpositions = 0
+    i = 0
+    while (i < len1) {
+      if (matched1(i)) {
+        while (!matched2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / len1 + m / len2 + (m - transpositions / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler similarity, prefix scale 0.1, max prefix 4 (standard). */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    var prefix = 0
+    val maxP = math.min(4, math.min(s1.length, s2.length))
+    while (prefix < maxP && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    j + prefix * 0.1 * (1.0 - j)
+  }
+
+  /** Unrestricted Damerau-Levenshtein edit distance (adjacent transposition
+    * counts as one edit). Full DP with alphabet map. */
+  def damerauLevenshtein(s1: String, s2: String): Int = {
+    val n = s1.length
+    val m = s2.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // da: last row where each char was seen in s1
+    val da = new java.util.HashMap[Character, Integer]()
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val i1 = Option(da.get(s2.charAt(j - 1))).map(_.intValue).getOrElse(0)
+        val j1 = db
+        var cost = 1
+        if (s1.charAt(i - 1) == s2.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      da.put(s1.charAt(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+
+  /** Character q-gram Jaccard similarity (default q=2 per the reference's
+    * jaccard UDF semantics: token sets are q-grams of the strings). For
+    * strings shorter than q, the whole string is a single token. */
+  def jaccardQgram(s1: String, s2: String, q: Int): Double = {
+    val a = qgrams(s1, q)
+    val b = qgrams(s2, q)
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    var inter = 0
+    val it = a.iterator
+    while (it.hasNext) if (b.contains(it.next())) inter += 1
+    inter.toDouble / (a.size + b.size - inter)
+  }
+
+  private def qgrams(s: String, q: Int): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    if (s.length == 0) return set
+    if (s.length <= q) { set.add(s); return set }
+    var i = 0
+    while (i + q <= s.length) { set.add(s.substring(i, i + q)); i += 1 }
+    set
+  }
+
+  /** Q-gram tokeniser: space-joined q-grams (reference QgramTokeniser UDF). */
+  def qgramTokenise(s: String, q: Int): String = {
+    if (s.length <= q) return s
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + q <= s.length) {
+      if (i > 0) sb.append(' ')
+      sb.append(s, i, i + q)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Token (whitespace-split) Jaccard similarity. */
+  def jaccardTokens(s1: String, s2: String): Double = {
+    val a = new java.util.HashSet[String]()
+    val b = new java.util.HashSet[String]()
+    s1.split("\\s+").foreach(t => if (t.nonEmpty) a.add(t))
+    s2.split("\\s+").foreach(t => if (t.nonEmpty) b.add(t))
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    var inter = 0
+    val it = a.iterator
+    while (it.hasNext) if (b.contains(it.next())) inter += 1
+    inter.toDouble / (a.size + b.size - inter)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the string-similarity functions the
+ * reference ships as a Spark UDF jar (reference:
+ * `splink/internals/spark/jar_location.py:40-63`). Implemented as
+ * `BinaryExpression`s with `doGenCode` calling the static kernels in
+ * [[StringSim]] / [[Phonetics]], so they participate in whole-stage codegen
+ * (a plain Scala UDF would break the codegen span and add serde cost —
+ * matters in the comparison-vector hot path at 100TB).
+ */
+abstract class StringPairExpression extends BinaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
+  }
+  /** Fully-qualified static method, e.g. "graft.functions.StringSim.jaro". */
+  protected def staticMethod: String
+  protected def compute(a: String, b: String): Any
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$staticMethod($a.toString(), $b.toString())")
+}
+
+case class JaroSim(left: Expression, right: Expression) extends StringPairExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_sim"
+  protected def staticMethod = "graft.functions.StringSim.jaro"
+  protected def compute(a: String, b: String): Any = StringSim.jaro(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroSim =
+    copy(left = l, right = r)
+}
+
+case class JaroWinklerSim(left: Expression, right: Expression) extends StringPairExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+  protected def staticMethod = "graft.functions.StringSim.jaroWinkler"
+  protected def compute(a: String, b: String): Any = StringSim.jaroWinkler(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
+    copy(left = l, right = r)
+}
+
+case class DamerauLevenshtein(left: Expression, right: Expression) extends StringPairExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "damerau_levenshtein"
+  protected def staticMethod = "graft.functions.StringSim.damerauLevenshtein"
+  protected def compute(a: String, b: String): Any = StringSim.damerauLevenshtein(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshtein =
+    copy(left = l, right = r)
+}
+
+/** Char-bigram Jaccard, matching the reference jar's `jaccard` UDF surface. */
+case class JaccardSim(left: Expression, right: Expression) extends StringPairExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  protected def staticMethod = "graft.functions.StringSim.jaccardQgram2"
+  protected def compute(a: String, b: String): Any = StringSim.jaccardQgram(a, b, 2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.StringSim.jaccardQgram($a.toString(), $b.toString(), 2)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
+abstract class StringUnaryExpression extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  }
+  protected def staticCall(arg: String): String
+  protected def compute(s: String): String
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(compute(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"org.apache.spark.unsafe.types.UTF8String.fromString(${staticCall(s"$v.toString()")})")
+}
+
+case class DMetaphone(child: Expression) extends StringUnaryExpression {
+  override def prettyName: String = "dmetaphone"
+  protected def staticCall(arg: String) = s"graft.functions.Phonetics.doubleMetaphone($arg)"
+  protected def compute(s: String): String = Phonetics.doubleMetaphone(s)
+  override protected def withNewChildInternal(c: Expression): DMetaphone = copy(child = c)
+}
+
+case class DMetaphoneAlt(child: Expression) extends StringUnaryExpression {
+  override def prettyName: String = "dmetaphone_alt"
+  protected def staticCall(arg: String) = s"graft.functions.Phonetics.doubleMetaphoneAlt($arg)"
+  protected def compute(s: String): String = Phonetics.doubleMetaphoneAlt(s)
+  override protected def withNewChildInternal(c: Expression): DMetaphoneAlt = copy(child = c)
+}
+
+case class SoundexCode(child: Expression) extends StringUnaryExpression {
+  override def prettyName: String = "soundex_graft"
+  protected def staticCall(arg: String) = s"graft.functions.Phonetics.soundex($arg)"
+  protected def compute(s: String): String = Phonetics.soundex(s)
+  override protected def withNewChildInternal(c: Expression): SoundexCode = copy(child = c)
+}
+
+case class QgramTokenise(child: Expression, q: Int) extends StringUnaryExpression {
+  override def prettyName: String = "qgram_tokenise"
+  protected def staticCall(arg: String) = s"graft.functions.StringSim.qgramTokenise($arg, $q)"
+  protected def compute(s: String): String = StringSim.qgramTokenise(s, q)
+  override protected def withNewChildInternal(c: Expression): QgramTokenise = copy(child = c)
+}
+
+/** Column-level API, mirroring `org.apache.spark.sql.functions`. */
+object funcs {
+  import org.apache.spark.sql.functions._
+
+  private def expr(e: Expression): Column = GraftSqlBridge.column(e)
+  private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  def jaro_sim(l: Column, r: Column): Column = expr(JaroSim(ex(l), ex(r)))
+  def jaro_winkler(l: Column, r: Column): Column = expr(JaroWinklerSim(ex(l), ex(r)))
+  def damerau_levenshtein(l: Column, r: Column): Column = expr(DamerauLevenshtein(ex(l), ex(r)))
+  def jaccard_sim(l: Column, r: Column): Column = expr(JaccardSim(ex(l), ex(r)))
+  def dmetaphone(c: Column): Column = expr(DMetaphone(ex(c)))
+  def dmetaphone_alt(c: Column): Column = expr(DMetaphoneAlt(ex(c)))
+  def soundex_code(c: Column): Column = expr(SoundexCode(ex(c)))
+  def qgram_tokenise(c: Column, q: Int): Column = expr(QgramTokenise(ex(c), q))
+
+  /** Cosine similarity of two float/double array columns via higher-order
+    * built-ins — exactly the formula the reference emits for Spark
+    * (reference: `splink/internals/dialects.py:409-427`). Stays fully
+    * codegen'd; no UDF. */
+  def cosine_similarity(l: Column, r: Column): Column = {
+    val dot = aggregate(zip_with(l, r, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val n1 = sqrt(aggregate(l, lit(0.0), (acc, x) => acc + x * x))
+    val n2 = sqrt(aggregate(r, lit(0.0), (acc, x) => acc + x * x))
+    dot / (n1 * n2)
+  }
+
+  /** Register SQL-callable names (used by CustomLevel/CustomRule raw-SQL
+    * passthrough, mirroring the reference's
+    * `spark.udf.registerJavaFunction` setup, `spark/database_api.py:175-199`). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      r.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder)
+    reg("jaro_sim", es => JaroSim(es(0), es(1)))
+    reg("jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
+    reg("damerau_levenshtein", es => DamerauLevenshtein(es(0), es(1)))
+    reg("jaccard_sim", es => JaccardSim(es(0), es(1)))
+    reg("dmetaphone", es => DMetaphone(es(0)))
+    reg("dmetaphone_alt", es => DMetaphoneAlt(es(0)))
+    reg("qgram_tokenise", es => QgramTokenise(es(0),
+      es(1).eval(null).asInstanceOf[Int]))
+  }
+}

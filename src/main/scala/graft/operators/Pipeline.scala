@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.GraftSqlBridge
+import graft.model._
+
+/**
+ * Vertical concatenation of input frames (reference:
+ * `splink/internals/vertically_concatenate.py:23-71`): union all inputs,
+ * adding a literal `source_dataset` column when linking multiple frames.
+ * For cross-dataset linking the unique id is made globally unique with the
+ * composite `source_dataset || '-__-' || unique_id`
+ * (`unique_id_concat.py:5-43`).
+ */
+object VerticalConcat {
+  def apply(inputs: Seq[(String, DataFrame)], settings: LinkSettings): DataFrame = {
+    require(inputs.nonEmpty)
+    if (inputs.size == 1 && settings.linkType == LinkType.DedupeOnly) inputs.head._2
+    else {
+      val withSd = inputs.map { case (name, df) =>
+        if (df.columns.contains(settings.sourceDatasetColumn)) df
+        else df.withColumn(settings.sourceDatasetColumn, lit(name))
+      }
+      withSd.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** Composite uid for multi-frame linking (`unique_id_concat.py:8-43`). */
+  def compositeUid(settings: LinkSettings): Column =
+    concat_ws("-__-", col(settings.sourceDatasetColumn),
+      col(settings.uniqueIdColumn).cast("string"))
+}
+
+/**
+ * Term-frequency tables (reference `term_frequencies.py:32-55`): for each
+ * configured column, value -> relative frequency, left-joined back onto the
+ * concat table (`term_frequencies.py:79-109`). TF tables are tiny relative
+ * to the input (distinct values), so the join-back is a broadcast hash join
+ * — an improvement over the reference, which leaves join strategy to the
+ * backend.
+ */
+object TermFrequency {
+  /** `SELECT col, count(*)/total AS tf_col FROM df WHERE col IS NOT NULL GROUP BY col`.
+    * The grand total is a 1-row broadcast cross-join, not an empty-frame
+    * window (which would collapse the TF table to one partition). */
+  def table(df: DataFrame, column: String): DataFrame = {
+    val counts = df.filter(col(column).isNotNull)
+      .groupBy(col(column))
+      .agg(count(lit(1)).as("value_count"))
+    val total = counts.agg(sum("value_count").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(column),
+        (col("value_count").cast("double") / col("__total")).as(Cols.tf(column)))
+  }
+
+  /** Left-join each TF table onto the concat frame (broadcast). */
+  def joinAll(df: DataFrame, columns: Seq[String]): DataFrame =
+    columns.foldLeft(df) { (acc, c) =>
+      acc.join(broadcast(table(df, c)), Seq(c), "left")
+    }
+}
+
+/**
+ * Candidate-pair generation under blocking rules (reference
+ * `blocking.py:193-226, 747-830`). Output is the narrow id-pairs frame
+ * `(match_key, join_key_l, join_key_r)` — deliberately NOT the full wide
+ * pair rows: the blocking self-join then shuffles only (uid, blocking keys),
+ * and full attributes are fetched by two equi-joins afterwards
+ * (`comparison_vector_values.py:98-115`). At 100TB this keeps the heaviest
+ * shuffle narrow.
+ *
+ * Multi-rule semantics (`blocking.py:158-191`): rule k only emits pairs not
+ * already captured by rules 1..k-1, via `AND NOT (coalesce(rule_1, false)
+ * OR ...)`; results are unioned with `match_key = k` — avoiding a global
+ * distinct over all pairs.
+ */
+object Blocking {
+  import BlockingRule._
+
+  /** Columns a rule's condition references (base, unqualified names). */
+  def ruleColumns(rule: BlockingRule): Seq[String] = {
+    val e = rule.conditionExpression
+    e.collect {
+      case a: UnresolvedAttribute if a.nameParts.size >= 2 &&
+        (a.nameParts.head == "l" || a.nameParts.head == "r") => a.nameParts(1)
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => a.name
+    }.distinct
+  }
+
+  /** Whether a rule has at least one equi-join predicate Spark can hash on.
+    * Mirrors the reference's cartesian-warning analysis
+    * (`blocking.py:238-296`). */
+  def hasEquiKey(rule: BlockingRule): Boolean = rule match {
+    case BlockOnRule(exprs, _, _) => exprs.nonEmpty
+    case AndRule(parts) => parts.exists(hasEquiKey)
+    case OrRule(_) => false
+    case NotRule(_) => false
+    case CustomBlockingRule(sql, _) => sql.contains("=") && !sql.contains("<>")
+  }
+
+  /** The uid column used for pair ordering / join keys: composite for
+    * multi-frame link types (`blocking.py:698-744`). */
+  def joinKeyCol(settings: LinkSettings): Column = settings.linkType match {
+    case LinkType.DedupeOnly => col(settings.uniqueIdColumn).cast("string")
+    case _ => VerticalConcat.compositeUid(settings)
+  }
+
+  /** Link-type WHERE clause over aliases l/r (`blocking.py:662-695`). */
+  def linkTypeFilter(settings: LinkSettings): Column = {
+    val uidL = col("l.__join_key"); val uidR = col("r.__join_key")
+    settings.linkType match {
+      case LinkType.DedupeOnly | LinkType.LinkAndDedupe => uidL < uidR
+      case LinkType.LinkOnly =>
+        col(s"l.${settings.sourceDatasetColumn}") < col(s"r.${settings.sourceDatasetColumn}")
+    }
+  }
+
+  /**
+   * Generate blocked id pairs from the concat frame.
+   * @return DataFrame(match_key: string, join_key_l, join_key_r)
+   */
+  def blockedIdPairs(concat: DataFrame, settings: LinkSettings): DataFrame = {
+    val rules = if (settings.blockingRules.nonEmpty) settings.blockingRules
+      else Seq(CustomBlockingRule("1=1"))
+    val neededCols = (rules.flatMap(ruleColumns) ++
+      (settings.linkType match {
+        case LinkType.DedupeOnly => Seq.empty
+        case _ => Seq(settings.sourceDatasetColumn)
+      })).distinct.filter(concat.columns.contains)
+
+    // Narrow projection: join key + columns any rule touches.
+    val narrow = concat.select(
+      (joinKeyCol(settings).as("__join_key") +: neededCols.map(col)): _*)
+
+    val perRule = rules.zipWithIndex.map { case (rule, i) =>
+      val notPrev = rules.take(i).map(pr =>
+        !coalesce(pr.condition, lit(false))) // AND NOT any earlier rule
+      val (lhs, rhs) =
+        if (rule.arraysToExplode.nonEmpty) {
+          val exploded = rule.arraysToExplode.foldLeft(narrow) { (df, c) =>
+            df.withColumn(c, explode(col(c)))
+          }
+          (exploded.alias("l"), exploded.alias("r"))
+        } else (narrow.alias("l"), narrow.alias("r"))
+      val cond = (rule.condition +: linkTypeFilter(settings) +: notPrev).reduce(_ && _)
+      val joined = lhs.join(rhs, cond, "inner")
+        .select(lit(i.toString).as(Cols.MatchKey),
+          col("l.__join_key").as("join_key_l"),
+          col("r.__join_key").as("join_key_r"))
+      // exploded rules can emit the same pair many times (`blocking.py:398-407`)
+      if (rule.arraysToExplode.nonEmpty) joined.distinct() else joined
+    }
+    perRule.reduce(_.unionByName(_))
+  }
+}
+
+/**
+ * Comparison-vector computation (reference
+ * `comparison_vector_values.py:41-132`): join blocked id pairs back to the
+ * records on both sides, project every model column as `col_l`/`col_r`,
+ * then evaluate each comparison's CASE to a `gamma_<name>` small-int.
+ */
+object ComparisonVectors {
+
+  /** The l/r projection list for the pairwise frame
+    * (`settings.py:366-378`, `comparison_level.py:560-570`). */
+  def pairProjection(settings: LinkSettings, concatCols: Seq[String]): Seq[Column] = {
+    val uid = settings.uniqueIdColumn
+    val base = Seq(
+      col(s"l.$uid").as(Cols.l(uid)),
+      col(s"r.$uid").as(Cols.r(uid)))
+    val sd = if (concatCols.contains(settings.sourceDatasetColumn))
+      Seq(col(s"l.${settings.sourceDatasetColumn}").as(Cols.l(settings.sourceDatasetColumn)),
+        col(s"r.${settings.sourceDatasetColumn}").as(Cols.r(settings.sourceDatasetColumn)))
+    else Seq.empty
+    val dataCols = settings.allInputColumns.filter(concatCols.contains).flatMap { c =>
+      Seq(col(s"l.$c").as(Cols.l(c)), col(s"r.$c").as(Cols.r(c)))
+    }
+    val tfCols = settings.tfColumns.filter(c => concatCols.contains(Cols.tf(c))).flatMap { c =>
+      Seq(col(s"l.${Cols.tf(c)}").as(Cols.l(Cols.tf(c))),
+        col(s"r.${Cols.tf(c)}").as(Cols.r(Cols.tf(c))))
+    }
+    val extra = settings.additionalColumnsToRetain.filter(concatCols.contains).flatMap { c =>
+      Seq(col(s"l.$c").as(Cols.l(c)), col(s"r.$c").as(Cols.r(c)))
+    }
+    base ++ sd ++ dataCols ++ tfCols ++ extra
+  }
+
+  /** Pairs with all l/r columns, from id pairs + records. */
+  def pairsFromIds(idPairs: DataFrame, concatWithTf: DataFrame,
+      settings: LinkSettings): DataFrame = {
+    val joinKey = Blocking.joinKeyCol(settings)
+    val records = concatWithTf.withColumn("__join_key", joinKey)
+    val projection = col(Cols.MatchKey) +:
+      pairProjection(settings, records.columns.toSeq)
+    idPairs.alias("b")
+      .join(records.alias("l"), col("b.join_key_l") === col("l.__join_key"))
+      .join(records.alias("r"), col("b.join_key_r") === col("r.__join_key"))
+      .select(projection: _*)
+  }
+
+  /** Add gamma columns to a pairwise l/r frame. */
+  def addGammas(pairs: DataFrame, settings: LinkSettings): DataFrame = {
+    val gammas = settings.comparisons.map(c => c.gammaColumnName -> c.gammaColumn)
+    pairs.withColumns(gammas.toMap)
+  }
+
+  def compute(idPairs: DataFrame, concatWithTf: DataFrame,
+      settings: LinkSettings): DataFrame =
+    addGammas(pairsFromIds(idPairs, concatWithTf, settings), settings)
+}
+
+/**
+ * Fellegi-Sunter scoring (reference `predict.py:42-132, 203-229`): per
+ * comparison map gamma -> log2 Bayes factor (model params folded to
+ * literals on the driver), sum with the prior, convert to probability with
+ * an overflow-safe sigmoid.
+ */
+object Predict {
+
+  /** match_weight column from gamma columns (prior + sum of per-comparison
+    * weights + TF adjustments). */
+  def matchWeightColumn(settings: LinkSettings): Column = {
+    val parts = settings.comparisons.map(_.matchWeightColumn) ++
+      settings.comparisons.filter(_.hasTfLevels).map(_.tfAdjustmentColumn)
+    parts.foldLeft(lit(settings.priorMatchWeight))(_ + _)
+  }
+
+  /** Overflow-safe p = 2^mw / (1 + 2^mw) (`predict.py:214-229`). */
+  def sigmoid(mw: Column): Column =
+    when(mw >= 0, lit(1.0) / (lit(1.0) + pow(lit(2.0), -mw)))
+      .otherwise(pow(lit(2.0), mw) / (lit(1.0) + pow(lit(2.0), mw)))
+
+  /**
+   * Score a comparison-vector frame. Adds `match_weight` and
+   * `match_probability`; when `retainIntermediates`, also per-comparison
+   * `bf_<name>` Bayes factors.
+   */
+  def score(cv: DataFrame, settings: LinkSettings,
+      thresholdMatchWeight: Option[Double] = None,
+      thresholdMatchProbability: Option[Double] = None): DataFrame = {
+    val withBf =
+      if (settings.retainIntermediateCalculations)
+        settings.comparisons.foldLeft(cv) { (df, c) =>
+          df.withColumn(Cols.bf(c.outputColumnName), pow(lit(2.0), c.matchWeightColumn))
+        }
+      else cv
+    val mw = matchWeightColumn(settings)
+    val scored = withBf
+      .withColumn(Cols.MatchWeight, mw)
+      .withColumn(Cols.MatchProbability, sigmoid(col(Cols.MatchWeight)))
+    val afterW = thresholdMatchWeight
+      .map(t => scored.filter(col(Cols.MatchWeight) >= t)).getOrElse(scored)
+    thresholdMatchProbability
+      .map(t => afterW.filter(col(Cols.MatchProbability) >= t)).getOrElse(afterW)
+  }
+}

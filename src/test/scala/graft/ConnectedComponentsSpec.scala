@@ -1,0 +1,55 @@
+package graft
+
+import graft.clustering.ConnectedComponents
+import org.scalacheck.Gen
+import scala.util.Random
+
+/** CC vs a driver-side union-find oracle, incl. random graphs — mirrors
+  * reference `tests/test_cc_random_graphs.py:13-21`. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  test("simple chain and separate component") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("unique_id_l", "unique_id_r")
+    val got = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("adversarial: long path with decreasing ids meets low id late") {
+    // path 5-6, 6-4, 4-7, 7-1 : min label 1 must traverse whole path
+    val edges = Seq((5L, 6L), (6L, 4L), (4L, 7L), (7L, 1L)).toDF("unique_id_l", "unique_id_r")
+    val got = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("random graphs match union-find oracle") {
+    val rng = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 60 + trial * 20
+      val m = n * 3 / 2
+      val edges = (1 to m).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val expected = unionFind(n, edges)
+      val got = ConnectedComponents.run(edges.toDF("unique_id_l", "unique_id_r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+}

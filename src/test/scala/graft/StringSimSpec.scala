@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Phonetics, StringSim}
+
+class StringSimSpec extends AnyFunSuite {
+  def approx(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-3
+
+  test("jaro known values") {
+    assert(approx(StringSim.jaro("MARTHA", "MARHTA"), 0.9444))
+    assert(approx(StringSim.jaro("DIXON", "DICKSONX"), 0.7667))
+    assert(approx(StringSim.jaro("JELLYFISH", "SMELLYFISH"), 0.8963))
+    assert(StringSim.jaro("", "") == 1.0)
+    assert(StringSim.jaro("a", "") == 0.0)
+    assert(StringSim.jaro("abc", "abc") == 1.0)
+    assert(StringSim.jaro("abc", "xyz") == 0.0)
+  }
+
+  test("jaro-winkler known values") {
+    assert(approx(StringSim.jaroWinkler("MARTHA", "MARHTA"), 0.9611))
+    assert(approx(StringSim.jaroWinkler("DIXON", "DICKSONX"), 0.8133))
+    assert(StringSim.jaroWinkler("abc", "abc") == 1.0)
+  }
+
+  test("damerau-levenshtein (unrestricted)") {
+    assert(StringSim.damerauLevenshtein("abc", "abc") == 0)
+    assert(StringSim.damerauLevenshtein("ab", "ba") == 1)
+    assert(StringSim.damerauLevenshtein("CA", "ABC") == 2) // unrestricted < OSA's 3
+    assert(StringSim.damerauLevenshtein("kitten", "sitting") == 3)
+    assert(StringSim.damerauLevenshtein("", "abc") == 3)
+    assert(StringSim.damerauLevenshtein("martha", "marhta") == 1)
+  }
+
+  test("qgram jaccard") {
+    assert(StringSim.jaccardQgram("abc", "abc", 2) == 1.0)
+    // bigrams: {ab,bc} vs {ab,bd}: inter 1, union 3
+    assert(approx(StringSim.jaccardQgram("abc", "abd", 2), 1.0 / 3.0))
+    assert(StringSim.jaccardQgram("", "", 2) == 1.0)
+    assert(StringSim.jaccardQgram("a", "", 2) == 0.0)
+  }
+
+  test("qgram tokenise") {
+    assert(StringSim.qgramTokenise("abcd", 2) == "ab bc cd")
+    assert(StringSim.qgramTokenise("ab", 2) == "ab")
+    assert(StringSim.qgramTokenise("a", 2) == "a")
+  }
+
+  test("double metaphone basics") {
+    assert(Phonetics.doubleMetaphone("SMITH") == Phonetics.doubleMetaphone("SMYTH")
+      || Phonetics.doubleMetaphoneAlt("SMITH") == Phonetics.doubleMetaphoneAlt("SMYTH"))
+    assert(Phonetics.doubleMetaphone("catherine") == Phonetics.doubleMetaphone("katherine"))
+    assert(Phonetics.doubleMetaphone("JOHN").nonEmpty)
+    assert(Phonetics.doubleMetaphone("") == "")
+    assert(Phonetics.doubleMetaphone("PHONE") == Phonetics.doubleMetaphone("FONE"))
+  }
+
+  test("soundex") {
+    assert(Phonetics.soundex("Robert") == "R163")
+    assert(Phonetics.soundex("Rupert") == "R163")
+    assert(Phonetics.soundex("Tymczak") == "T522")
+    assert(Phonetics.soundex("Honeyman") == "H555")
+  }
+}
