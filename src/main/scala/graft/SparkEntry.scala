@@ -1,13 +1,428 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model._
+import graft.model.{LevelLibrary => ll}
+import graft.operators._
+import graft.clustering.ConnectedComponents
+import graft.pipeline.{AnnOps, DedupOps, TextOps}
+
+/**
+ * Driver contract: one query per implemented operator family (SURVEY.md §2)
+ * over the TPC-H-ish testdata, each with an equivalent DuckDB oracle SQL
+ * (`oracleSql`) the driver hash-compares at sf0.01. Column names are kept
+ * identical between the Spark result and the oracle; double outputs are
+ * rounded to 9 decimals on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def pq(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The linkage model used by the ER queries: dedupe customers, blocking
+    * on (nation, mktsegment) then (nation, acctbal-bucket). */
+  private def customerSettings: LinkSettings = LinkSettings(
+    linkType = LinkType.DedupeOnly,
+    blockingRules = Seq(
+      BlockingRule.blockOn("c_nationkey", "c_mktsegment"),
+      BlockingRule.blockOn("c_nationkey", "round(c_acctbal, -2)")),
+    comparisons = Seq(
+      Comparison("c_name", Seq(
+        ll.nullLevel("c_name"),
+        ll.exactMatch("c_name").withM(0.9).withU(0.001),
+        ll.levenshtein("c_name", 3).withM(0.05).withU(0.01),
+        ll.jaroWinkler("c_name", 0.88).withM(0.03).withU(0.05),
+        ll.elseLevel.withM(0.02).withU(0.939))),
+      Comparison("c_acctbal", Seq(
+        ll.nullLevel("c_acctbal"),
+        ll.absoluteDifference("c_acctbal", 100.0).withM(0.7).withU(0.02),
+        ll.percentageDifference("c_acctbal", 0.05).withM(0.2).withU(0.03),
+        ll.elseLevel.withM(0.1).withU(0.95)))),
+    probabilityTwoRandomRecordsMatch = 0.001)
+
+  private def customers(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "customer").withColumnRenamed("c_custkey", "unique_id")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val linker = new Linker(customers(spark, "/root/testdata/sf0.001"), customerSettings)
+    linker.predict()
+  }
+
+  // Shared SQL fragments for the oracle side (DuckDB dialect).
+  private val oracleGammaName =
+    """CASE WHEN l.c_name IS NULL OR r.c_name IS NULL THEN -1
+      |     WHEN l.c_name = r.c_name THEN 3
+      |     WHEN levenshtein(l.c_name, r.c_name) <= 3 THEN 2
+      |     WHEN jaro_winkler_similarity(l.c_name, r.c_name) >= 0.88 THEN 1
+      |     ELSE 0 END""".stripMargin
+  private val oracleGammaBal =
+    """CASE WHEN l.c_acctbal IS NULL OR r.c_acctbal IS NULL THEN -1
+      |     WHEN abs(l.c_acctbal - r.c_acctbal) <= 100.0 THEN 2
+      |     WHEN abs(l.c_acctbal - r.c_acctbal) / greatest(abs(l.c_acctbal), abs(r.c_acctbal)) < 0.05 THEN 1
+      |     ELSE 0 END""".stripMargin
+  /** Blocked pairs (both rules, NOT-previous dedupe) as an oracle CTE. */
+  private val oraclePairsCte =
+    s"""WITH pairs AS (
+       |  SELECT '0' AS match_key, l.c_custkey AS uid_l, r.c_custkey AS uid_r
+       |  FROM customer l JOIN customer r
+       |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+       |   AND l.c_custkey < r.c_custkey
+       |  UNION ALL
+       |  SELECT '1', l.c_custkey, r.c_custkey
+       |  FROM customer l JOIN customer r
+       |    ON l.c_nationkey = r.c_nationkey AND round(l.c_acctbal, -2) = round(r.c_acctbal, -2)
+       |   AND l.c_custkey < r.c_custkey
+       |   AND NOT coalesce(l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment, false)
+       |)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4 aggregation baseline (also the bench headline shape)
+    "q1_agg" -> ((s, dir) => {
+      pq(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // §2.2 vertical concat + composite uid
+    "q_concat" -> ((s, dir) => {
+      val settings = LinkSettings(linkType = LinkType.LinkAndDedupe)
+      val c = pq(s, dir, "customer").select(col("c_custkey").as("unique_id"),
+        col("c_name").as("name"))
+      val sup = pq(s, dir, "supplier").select(col("s_suppkey").as("unique_id"),
+        col("s_name").as("name"))
+      VerticalConcat(Seq("customer" -> c, "supplier" -> sup), settings)
+        .withColumn("composite_uid", VerticalConcat.compositeUid(settings))
+    }),
+
+    // §2.4 term-frequency table
+    "q_tf" -> ((s, dir) => {
+      TermFrequency.table(pq(s, dir, "customer"), "c_mktsegment")
+        .withColumn("tf_c_mktsegment", round(col("tf_c_mktsegment"), 9))
+    }),
+
+    // §2.3 blocking join, single equi rule
+    "q_blocked_pairs" -> ((s, dir) => {
+      val settings = customerSettings.copy(
+        blockingRules = customerSettings.blockingRules.take(1))
+      Blocking.blockedIdPairs(customers(s, dir), settings)
+        .select(col("join_key_l").cast("bigint").as("uid_l"),
+          col("join_key_r").cast("bigint").as("uid_r"))
+    }),
+
+    // §2.3 multi-rule dedupe with match_key
+    "q_multi_rule_pairs" -> ((s, dir) => {
+      Blocking.blockedIdPairs(customers(s, dir), customerSettings)
+        .select(col("match_key"),
+          col("join_key_l").cast("bigint").as("uid_l"),
+          col("join_key_r").cast("bigint").as("uid_r"))
+    }),
+
+    // §2.2/§2.8 comparison vectors: gamma CASE incl. native jaro-winkler
+    "q_comparison_vectors" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      linker.comparisonVectors()
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          col("gamma_c_name"), col("gamma_c_acctbal"))
+    }),
+
+    // §2.9 Fellegi-Sunter scoring end to end
+    "q_predict" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      linker.predict()
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("match_probability"), 6).as("match_probability"))
+    }),
+
+    // §2.4 agreement-pattern counts (EM E-step input)
+    "q_em_patterns" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      linker.comparisonVectors()
+        .groupBy("gamma_c_name", "gamma_c_acctbal")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // §2.11 connected components over a multi-hop path graph:
+    // consecutive orders of each customer form a path; components = customers.
+    "q_cluster" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"))
+      ConnectedComponents.run(edges)
+    }),
+
+    // §2.5 window functions: cluster sizes + rank of node within cluster
+    "q_cluster_stats" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      o.groupBy(col("o_custkey").as("cluster_key"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min("o_orderkey").as("min_node"), max("o_orderkey").as("max_node"))
+        .filter(col("cluster_size") >= 2)
+    }),
+
+    // §2.4 blocking analysis: comparisons-per-rule counts without materialising
+    "q_blocking_analysis" -> ((s, dir) => {
+      val c = pq(s, dir, "customer")
+      val byKey = c.groupBy("c_nationkey", "c_mktsegment").count()
+      byKey.agg(sum(col("count") * (col("count") - 1) / 2).cast("bigint").as("n_comparisons"))
+    }),
+
+    // §2.10 deterministic hash sampling (portable md5-derived hash)
+    "q_sample" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      o.filter(TextOps.hashSample(col("o_orderkey"), 0.1))
+        .select("o_orderkey", "o_custkey")
+    }),
+
+    // training-data ops: exact dedup on documents
+    "q_exact_dedup" -> ((s, dir) => {
+      DedupOps.exactDedup(pq(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // text analysis: token counts, ratios, quality, language, fingerprint
+    "q_text_stats" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val metrics = TextOps.allMetrics(col("text"))
+      d.select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // dedup: token-set jaccard pairs, blocked by (lang, source, length bucket)
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      DedupOps.tokenJaccardPairs(d, "doc_id", "text",
+        Seq(col("lang"), col("source"), floor(col("n_chars") / 50)), 0.35)
+    }),
+
+    // similarity search: brute-force cosine top-5 for query vecs (id < 10)
+    "q_ann_topk" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      AnnOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+
+    // dedup: embedding cosine pairs >= 0.2 among vec_id % 20 == 0 subset
+    "q_embed_pairs" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
+      DedupOps.embeddingDupPairs(e, "vec_id", "embedding", col("label"), 0.2)
+    }),
+
+    // dedup: MinHash-LSH near-dup candidates (no SQL oracle - rows-only)
+    "q_minhash_pairs" -> ((s, dir) => {
+      DedupOps.minhashDedupPairs(pq(s, dir, "documents"), "doc_id", "text",
+        k = 32, rowsPerBand = 4, threshold = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(round(avg("jaccard"), 6), lit(0.0)).as("avg_jaccard"))
+    }),
+
+    // dedup: SimHash near-dup candidates (no SQL oracle - rows-only)
+    "q_simhash_pairs" -> ((s, dir) => {
+      DedupOps.simhashDedupPairs(pq(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 6,
+        blockKeys = Seq(col("lang"), floor(col("n_chars") / 50)))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(round(avg("hamming"), 6), lit(0.0)).as("avg_hamming"))
+    })
+  )
+
+  /** DuckDB-dialect oracle SQL per query (tables registered by name). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_concat" ->
+      """SELECT unique_id, name, source_dataset,
+        |  source_dataset || '-__-' || CAST(unique_id AS VARCHAR) AS composite_uid
+        |FROM (
+        |  SELECT c_custkey AS unique_id, c_name AS name, 'customer' AS source_dataset FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, 'supplier' FROM supplier)""".stripMargin,
+
+    "q_tf" ->
+      """SELECT c_mktsegment,
+        |  round(CAST(count(*) AS DOUBLE) / (SELECT count(c_mktsegment) FROM customer), 9)
+        |    AS tf_c_mktsegment
+        |FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment""".stripMargin,
+
+    "q_blocked_pairs" ->
+      """SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
+        |FROM customer l JOIN customer r
+        |  ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+        | AND l.c_custkey < r.c_custkey""".stripMargin,
+
+    "q_multi_rule_pairs" ->
+      s"""$oraclePairsCte SELECT match_key, uid_l, uid_r FROM pairs""",
+
+    "q_comparison_vectors" ->
+      s"""$oraclePairsCte
+         |SELECT p.uid_l, p.uid_r,
+         |  $oracleGammaName AS gamma_c_name,
+         |  $oracleGammaBal AS gamma_c_acctbal
+         |FROM pairs p
+         |JOIN customer l ON p.uid_l = l.c_custkey
+         |JOIN customer r ON p.uid_r = r.c_custkey""".stripMargin,
+
+    "q_predict" -> {
+      // match weights folded from the model params (log2(m/u) per level).
+      // ::DOUBLE casts are load-bearing: DuckDB parses bare decimal
+      // literals as DECIMAL and would do exact decimal arithmetic (the
+      // reference forces double literals for the same reason,
+      // `custom_spark_dialect.py:5-19`).
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+      s"""$oraclePairsCte,
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r,
+         |    $oracleGammaName AS g_name,
+         |    $oracleGammaBal AS g_bal
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey),
+         |mw AS (
+         |  SELECT uid_l, uid_r,
+         |    $prior
+         |    + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
+         |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
+         |        ELSE ${w(0.02, 0.939)} END
+         |    + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
+         |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END AS mw
+         |  FROM cv)
+         |SELECT uid_l, uid_r, round(mw, 6) AS match_weight,
+         |  round(CASE WHEN mw >= 0 THEN 1.0 / (1.0 + power(2.0, -mw))
+         |        ELSE power(2.0, mw) / (1.0 + power(2.0, mw)) END, 6) AS match_probability
+         |FROM mw""".stripMargin
+    },
+
+    "q_em_patterns" ->
+      s"""$oraclePairsCte
+         |SELECT $oracleGammaName AS gamma_c_name,
+         |       $oracleGammaBal AS gamma_c_acctbal,
+         |       count(*) AS n_pairs
+         |FROM pairs p
+         |JOIN customer l ON p.uid_l = l.c_custkey
+         |JOIN customer r ON p.uid_r = r.c_custkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    // components of the consecutive-order path graph = customers with >= 2
+    // orders; cluster id = min orderkey. No recursion needed in the oracle.
+    "q_cluster" ->
+      """SELECT o_orderkey AS node_id,
+        |       min(o_orderkey) OVER (PARTITION BY o_custkey) AS cluster_id
+        |FROM orders
+        |QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 2""".stripMargin,
+
+    "q_cluster_stats" ->
+      """SELECT o_custkey AS cluster_key, count(*) AS cluster_size,
+        |  min(o_orderkey) AS min_node, max(o_orderkey) AS max_node
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 2""".stripMargin,
+
+    "q_blocking_analysis" ->
+      """SELECT CAST(sum(cnt * (cnt - 1) / 2) AS BIGINT) AS n_comparisons FROM (
+        |  SELECT count(*) AS cnt FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment)""".stripMargin,
+
+    "q_sample" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |      < CAST(0.1 * 4294967296 AS BIGINT)""".stripMargin,
+
+    "q_exact_dedup" ->
+      """SELECT substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16)
+        |         AS fingerprint,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  len(text) AS n_chars,
+        |  round(CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |         / len(text) END, 9) AS punct_ratio,
+        |  round(CASE WHEN trim(text) = '' THEN 0.0
+        |    ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |           t -> list_contains(['the','a','an','of','to','and','in','is','it','that','or'], t))) AS DOUBLE)
+        |         / len(regexp_split_to_array(trim(lower(text)), '\s+')) END, 9) AS stopword_ratio,
+        |  round((CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 10 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN (CASE WHEN trim(text) = '' THEN 0.0
+        |         ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |              t -> list_contains(['the','a','an','of','to','and','in','is','it','that','or'], t))) AS DOUBLE)
+        |              / len(regexp_split_to_array(trim(lower(text)), '\s+')) END) > 0.05 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |              / len(text) END) < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 9) AS quality,
+        |  CASE
+        |    WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to'], t))) >=
+        |      greatest(
+        |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['der','die','das','und','ist'], t))),
+        |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['le','la','et','les','des'], t))),
+        |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['el','los','de','y','que'], t))), 1)
+        |      THEN 'en'
+        |    WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['der','die','das','und','ist'], t))) >=
+        |      greatest(
+        |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['le','la','et','les','des'], t))),
+        |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['el','los','de','y','que'], t))), 1)
+        |      THEN 'de'
+        |    WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['le','la','et','les','des'], t))) >=
+        |      greatest(
+        |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['el','los','de','y','que'], t))), 1)
+        |      THEN 'fr'
+        |    WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> list_contains(['el','los','de','y','que'], t))) >= 1
+        |      THEN 'es'
+        |    ELSE 'und' END AS lang_guess,
+        |  substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+        |  round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+        |    / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 9) AS jaccard
+        |FROM
+        |  (SELECT doc_id, lang, source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+        |     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |   FROM documents) l
+        |JOIN
+        |  (SELECT doc_id, lang, source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+        |     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |   FROM documents) r
+        |  ON l.lang = r.lang AND l.source = r.source AND l.bucket = r.bucket
+        | AND l.doc_id < r.doc_id
+        |WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+        |    / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.35""".stripMargin,
+
+    // CAST to DOUBLE[] is load-bearing: list_cosine_similarity on FLOAT[]
+    // accumulates in float32 and diverges from Spark's double math.
+    "q_ann_topk" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 9) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 9) DESC,
+        |             c.vec_id ASC) AS INT) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |WHERE q.vec_id < 10
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "q_embed_pairs" ->
+      """SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+        |  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 9) AS cosine
+        |FROM embeddings l JOIN embeddings r
+        |  ON l.label = r.label AND l.vec_id < r.vec_id
+        |WHERE l.vec_id % 20 = 0 AND r.vec_id % 20 = 0
+        |  AND round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 9) >= 0.2""".stripMargin
+  )
 }

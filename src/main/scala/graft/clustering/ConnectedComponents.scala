@@ -56,10 +56,20 @@ object ConnectedComponents {
       val neighbourReps = neighbours.alias("n")
         .join(reps.alias("r"), col("n.neighbour") === col("r.node_id"))
         .select(col("n.node_id").as("node_id"), col("r.representative").as("rep"))
-      reps = reps.select(col("node_id"), col("representative").as("rep"))
+      val propagated = reps.select(col("node_id"), col("representative").as("rep"))
         .unionByName(neighbourReps)
         .groupBy("node_id")
         .agg(min("rep").as("representative"))
+      // pointer jumping (rep := rep(rep)) — contracts paths geometrically,
+      // so a diameter-D component converges in O(log D) rounds instead of
+      // O(D) (small-star/large-star idea from arXiv:1802.09478).
+      reps = propagated.alias("a")
+        .join(propagated.select(col("node_id").as("rep_node"),
+            col("representative").as("rep_rep")).alias("b"),
+          col("a.representative") === col("rep_node"), "left")
+        .select(col("a.node_id"),
+          least(col("a.representative"), coalesce(col("rep_rep"), col("a.representative")))
+            .as("representative"))
         .localCheckpoint(eager)
 
       // Edges whose endpoints currently disagree = clusters still merging.

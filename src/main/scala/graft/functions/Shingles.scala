@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+object ShingleKernel {
+  /** Normalise (trim, lower, collapse whitespace) then distinct q-gram
+    * shingles. One JVM pass — the Column-level substr-in-transform
+    * equivalent is O(n^2) per document because UTF8String.substring scans
+    * for codepoint boundaries on every call. */
+  def shingles(s: UTF8String, q: Int): ArrayData = {
+    val norm = s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
+    if (norm.length <= q) {
+      out.add(UTF8String.fromString(norm))
+    } else {
+      var i = 0
+      while (i + q <= norm.length) {
+        out.add(UTF8String.fromString(norm.substring(i, i + q)))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
+  }
+
+  /** Pre-generated universal-hash params (fixed seed; odd multipliers). */
+  def hashParams(k: Int): Array[Long] = {
+    val rng = new scala.util.Random(0x5EEDL)
+    Array.fill(2 * k)(rng.nextLong()).zipWithIndex
+      .map { case (v, i) => if (i % 2 == 0) v | 1L else v }
+  }
+
+  /** One-pass MinHash signature over the shingle set of `s`: base FNV-1a
+    * per shingle, k slots via wrap-around universal hashing (JVM semantics
+    * — deliberately NOT Column arithmetic, which throws under ANSI). */
+  def minhash(s: UTF8String, q: Int, params: Array[Long]): ArrayData = {
+    val norm = s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    val k = params.length / 2
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (norm.nonEmpty) {
+      val n = norm.length
+      val seen = new java.util.HashSet[Long]()
+      val last = if (n <= q) 0 else n - q
+      var i = 0
+      while (i <= last) {
+        val end = math.min(i + q, n)
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < end) { h ^= norm.charAt(j); h *= 0x100000001b3L; j += 1 }
+        if (seen.add(h)) {
+          var x = 0
+          while (x < k) {
+            val v = params(2 * x) * h + params(2 * x + 1)
+            if (v < mins(x)) mins(x) = v
+            x += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins.map(v => v: java.lang.Long).toArray[AnyRef])
+  }
+}
+
+/** char_shingles(str, q) -> array<string> (distinct, normalised). */
+case class CharShingles(child: Expression, q: Int) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_shingles"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.shingles(v.asInstanceOf[UTF8String], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.shingles($v, $q)")
+  override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+}
+
+/** minhash_sig(str, q, k) -> array<long> of k MinHash slots. */
+case class MinHashSig(child: Expression, q: Int, k: Int) extends UnaryExpression
+    with Serializable {
+  @transient private lazy val params = ShingleKernel.hashParams(k)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.minhash(v.asInstanceOf[UTF8String], q, params)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("mhParams", params, "long[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.minhash($v, $q, $p)")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}

@@ -133,6 +133,9 @@ object funcs {
   def dmetaphone_alt(c: Column): Column = expr(DMetaphoneAlt(ex(c)))
   def soundex_code(c: Column): Column = expr(SoundexCode(ex(c)))
   def qgram_tokenise(c: Column, q: Int): Column = expr(QgramTokenise(ex(c), q))
+  def simhash64(c: Column): Column = expr(SimHash64(ex(c)))
+  def char_shingles(c: Column, q: Int): Column = expr(CharShingles(ex(c), q))
+  def minhash_sig(c: Column, q: Int, k: Int): Column = expr(MinHashSig(ex(c), q, k))
 
   /** Cosine similarity of two float/double array columns via higher-order
     * built-ins — exactly the formula the reference emits for Spark

@@ -103,7 +103,9 @@ object Blocking {
   /** The uid column used for pair ordering / join keys: composite for
     * multi-frame link types (`blocking.py:698-744`). */
   def joinKeyCol(settings: LinkSettings): Column = settings.linkType match {
-    case LinkType.DedupeOnly => col(settings.uniqueIdColumn).cast("string")
+    // native type: `uid_l < uid_r` must use the column's own ordering, not
+    // a lexicographic string ordering
+    case LinkType.DedupeOnly => col(settings.uniqueIdColumn)
     case _ => VerticalConcat.compositeUid(settings)
   }
 

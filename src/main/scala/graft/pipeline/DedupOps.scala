@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, each shaped for a
+ * 1000-executor cluster: candidate generation is always a key-partitioned
+ * join (never all-pairs), verification runs only inside candidate buckets.
+ *
+ *  - exact: hash-groupBy on normalised content
+ *  - MinHash + LSH: shingle -> minhash signature -> banded bucket join
+ *  - SimHash: 64-bit signature -> band join -> hamming verify
+ *  - token-Jaccard: blocked self-join + set overlap
+ *  - embedding cosine: bucketed pairs above a similarity threshold
+ */
+object DedupOps {
+
+  /** Normalised token set of a text column. */
+  def tokenSet(text: Column): Column =
+    array_distinct(TextOps.tokens(lower(text)))
+
+  // ---------------------------------------------------------------- exact
+
+  /** One representative (min id) per exact normalised text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------- token jaccard
+
+  /** Candidate pairs from equality blocking, verified by token-set Jaccard
+    * >= threshold. blockKeys must be cheap, low-ish-cardinality columns. */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockKeys: Seq[Column], threshold: Double): DataFrame = {
+    val withTok = df.select(
+      (col(idCol).as("id") +: tokenSet(col(textCol)).as("toks") +:
+        blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") }): _*)
+    val keys = blockKeys.indices.map(i => s"bk$i")
+    val l = withTok.alias("l")
+    val r = withTok.alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduce(_ && _) && col("l.id") < col("r.id")
+    val inter = size(array_intersect(col("l.toks"), col("r.toks")))
+    val uni = size(col("l.toks")) + size(col("r.toks")) - inter
+    l.join(r, joinCond)
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        round(inter.cast("double") / uni, 9).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------- minhash + LSH
+
+  /** Character shingles (qgrams) of normalised text — native expression
+    * ([[graft.functions.CharShingles]]); the pure-Column equivalent
+    * (transform over sequence + substr) is O(n^2) per document. */
+  def shingles(text: Column, q: Int = 5): Column =
+    graft.functions.funcs.char_shingles(text, q)
+
+  /** MinHash signature of a text column (native one-pass expression; see
+    * [[graft.functions.MinHashSig]] — Column-level `a*h+b` arithmetic would
+    * throw under Spark 4's default ANSI mode on the intended wrap-around). */
+  def minhashSignature(text: Column, q: Int, k: Int): Column =
+    graft.functions.funcs.minhash_sig(text, q, k)
+
+  /** LSH band signatures: k minhashes split into bands of `rowsPerBand`,
+    * each band hashed to one value. Returns array of (bandIdx, bandHash)
+    * structs for exploding. */
+  def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column = {
+    val bands = k / rowsPerBand
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("-",
+          (0 until rowsPerBand).map(j => element_at(sig, b * rowsPerBand + j + 1).cast("string")): _*))
+          .as("band_hash"))
+    }: _*)
+  }
+
+  /**
+   * MinHash-LSH near-duplicate candidate pairs, verified with true token
+   * Jaccard. Scale shape: explode to (band, band_hash) — the shuffle key —
+   * then self-join per bucket; buckets are tiny for non-pathological data.
+   */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.7,
+      shingleQ: Int = 8): DataFrame = {
+    // char shingles, not word tokens: small-vocabulary corpora make word
+    // sets near-identical across documents, which melts LSH buckets into
+    // one giant quadratic bucket; shingles keep signatures diverse.
+    // Signature is a single-pass native expression (shingle + hash + k
+    // min-slots in one scan of the text).
+    val base = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleQ).as("toks"),
+        graft.functions.funcs.minhash_sig(col(textCol), shingleQ, k).as("sig"))
+      .filter(size(col("toks")) > 0)
+    val banded = base
+      .select(col("id"), col("toks"),
+        explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
+      .select(col("id"), col("toks"), col("b.band"), col("b.band_hash"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    // jaccard verified inline, THEN distinct over scalar rows only — never
+    // shuffle the token arrays through a distinct.
+    val inter = size(array_intersect(col("l.toks"), col("r.toks")))
+    val uni = size(col("l.toks")) + size(col("r.toks")) - inter
+    l.join(r,
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        round(inter.cast("double") / uni, 9).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash from a token array (native expression, see
+    * [[graft.functions.SimHash64]]). */
+  def simhash(tokens: Column): Column = graft.functions.funcs.simhash64(tokens)
+
+  /** SimHash near-dup pairs: 4x16-bit band blocking (any equal band ->
+    * candidate; hamming distance <= maxHamming verifies). A pair within
+    * hamming distance d < 4 is guaranteed to share an exact band.
+    *
+    * `blockKeys` adds cheap equality pre-blocking to the bucket join —
+    * corpora with a shared small vocabulary produce tightly-clustered
+    * simhash values whose bands collide near-quadratically; a coarse
+    * length/lang key bounds bucket size (near-dups share it by
+    * construction). */
+  def simhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleQ: Int = 8,
+      blockKeys: Seq[Column] = Nil): DataFrame = {
+    val base = df.select(
+      (col(idCol).as("id") +: simhash(shingles(col(textCol), shingleQ)).as("sh") +:
+        blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") }): _*)
+    val keyCols = blockKeys.indices.map(i => s"bk$i")
+    val banded = base.select(
+      (col("id") +: col("sh") +: keyCols.map(col) :+
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+        }: _*)).as("b")): _*)
+      .select((col("id") +: col("sh") +: keyCols.map(col) :+
+        col("b.band") :+ col("b.band_val")): _*)
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val joinCond = (Seq(col("l.band") === col("r.band"),
+      col("l.band_val") === col("r.band_val"), col("l.id") < col("r.id")) ++
+      keyCols.map(k => col(s"l.$k") === col(s"r.$k"))).reduce(_ && _)
+    l.join(r, joinCond)
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // --------------------------------------------------- embedding cosine
+
+  /** Cosine similarity of two float-array columns (double accumulation). */
+  def cosine(l: Column, r: Column): Column = {
+    val dot = aggregate(zip_with(l, r, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nl = sqrt(aggregate(l, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nr = sqrt(aggregate(r, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (nl * nr)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold, within blocking
+    * buckets given by `bucket` (pass a constant to brute-force a subset). */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      bucket: Column, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bk"))
+    val l = base.alias("l")
+    val r = base.alias("r")
+    l.join(r, col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        round(cosine(col("l.vec"), col("r.vec")), 9).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenisation, quality scoring, language-ID heuristics, fingerprinting.
+ * All pure `Column` compositions (codegen-friendly, no UDFs) so they
+ * survive 100TB scans inside whole-stage codegen.
+ */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text ([] for blank). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Punctuation character ratio (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val punct = length(c) - length(regexp_replace(c, "[.,;:!?]", ""))
+    when(length(c) === 0, lit(0.0))
+      .otherwise(punct.cast("double") / length(c))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "or")
+
+  /** Fraction of tokens that are (lowercase) stopwords. */
+  def stopwordRatio(c: Column, stops: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(lower(c))
+    val hits = size(filter(toks, t => t.isInCollection(stops)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Mean token length (0 for blank) — crude fluency signal. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * punctuation sanity. Deterministic, documented formula (the usual
+    * C4/Gopher-style heuristic family). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val lenOk = when(nTok.between(10, 10000), lit(0.4)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(c) > 0.05, lit(0.3)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(c) < 0.2, lit(0.3)).otherwise(lit(0.0))
+    lenOk + stopOk + punctOk
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "de", "y", "que"))
+
+  /** N-gram/stopword language-ID heuristic: argmax of per-language marker
+    * hits, ties broken by fixed language order ('en' first), 'und'
+    * (undetermined) when nothing matches. */
+  def langGuess(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Stable 64-bit-hex document fingerprint over whitespace-normalised
+    * lowercase text (md5-derived — portable across engines). */
+  def fingerprint(c: Column): Column =
+    substring(md5(lower(regexp_replace(trim(c), "\\s+", " "))), 1, 16)
+
+  /** Portable deterministic hash to [0, 2^32): md5 prefix as bigint.
+    * Unlike `hash()`, the value is reproducible in any engine with md5 —
+    * used for sampling parity with external oracles (the reference pins a
+    * deterministic hash sample for the same reason, `dialects.py:177-206`). */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+  /** Deterministic proportion sample: keep rows with hash < p * 2^32. */
+  def hashSample(c: Column, proportion: Double): Column =
+    portableHash(c) < (proportion * 4294967296.0).toLong
+
+  /** All text metrics as named columns, one pass. */
+  def allMetrics(c: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> tokenCount(c),
+    "n_chars" -> length(c),
+    "punct_ratio" -> round(punctRatio(c), 9),
+    "stopword_ratio" -> round(stopwordRatio(c), 9),
+    "quality" -> round(qualityScore(c), 9),
+    "lang_guess" -> langGuess(c),
+    "fingerprint" -> fingerprint(c))
+}

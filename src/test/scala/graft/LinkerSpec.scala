@@ -44,9 +44,9 @@ class LinkerSpec extends SparkSpec {
   test("blocking produces within-surname pairs with id_l < id_r") {
     val linker = new Linker(people, settings)
     val pairs = linker.blockedIdPairs().collect()
-    val keys = pairs.map(r => (r.getString(1), r.getString(2))).toSet
+    val keys = pairs.map(r => (r.getLong(1), r.getLong(2))).toSet
     // Smith block: (0,1),(0,6),(1,6); Jones: (2,3); Brown: (4,5)
-    assert(keys == Set(("0", "1"), ("0", "6"), ("1", "6"), ("2", "3"), ("4", "5")))
+    assert(keys == Set((0L, 1L), (0L, 6L), (1L, 6L), (2L, 3L), (4L, 5L)))
     assert(pairs.forall(_.getString(0) == "0")) // single rule -> match_key 0
   }
 
@@ -105,9 +105,9 @@ class LinkerSpec extends SparkSpec {
       BlockingRule.blockOn("dob")))
     val linker = new Linker(people, s2)
     val pairs = linker.blockedIdPairs().collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     // (0,1) captured by rule 0 (same surname); must NOT reappear under rule 1
-    assert(pairs.count { case (_, l, r) => l == "0" && r == "1" } == 1)
+    assert(pairs.count { case (_, l, r) => l == 0L && r == 1L } == 1)
     // rule-1-only pairs keep match_key 1 (none here share dob w/o surname)
     val byKey = pairs.groupBy(_._1).view.mapValues(_.length).toMap
     assert(byKey.getOrElse("0", 0) == 5)
