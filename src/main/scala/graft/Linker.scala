@@ -65,6 +65,43 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
         .withColumnRenamed("node_r", s"${uid}_r"), uid, threshold)
   }
 
+  /** Training facade (`linker_components/training.py`): each call updates
+    * this linker's settings in place and returns them. */
+  object training {
+    import graft.training.Training
+
+    /** u from random sampling (`estimate_u.py:330-560`). */
+    def estimateU(maxPairs: Long = 1000000L): LinkSettings = {
+      settings = Training.estimateU(inputs, settings, maxPairs)
+      settings
+    }
+
+    /** λ from deterministic rules (`linker_components/training.py:35-161`). */
+    def estimateProbabilityTwoRandomRecordsMatch(
+        deterministicRules: Seq[BlockingRule], recall: Double): LinkSettings = {
+      settings = Training.estimateLambdaFromDeterministicRules(
+        inputs, settings, deterministicRules, recall)
+      settings
+    }
+
+    /** m (and optionally u) via EM over a training blocking rule
+      * (`expectation_maximisation.py:225-311`). */
+    def estimateParametersUsingExpectationMaximisation(
+        trainingRule: BlockingRule, fixU: Boolean = true)
+        : Training.EMResult = {
+      val result = Training.expectationMaximisation(inputs, settings,
+        trainingRule, fixU, settings.maxIterations, settings.emConvergence)
+      settings = result.settings
+      result
+    }
+
+    /** m from a ground-truth label column (`m_training.py:26-102`). */
+    def estimateMFromLabelColumn(labelColumn: String): LinkSettings = {
+      settings = Training.estimateMFromLabelColumn(inputs, settings, labelColumn)
+      settings
+    }
+  }
+
   /** Compare two small record frames against the trained model without any
     * blocking — realtime scoring (`realtime.py:44-159`). */
   def compareRecords(left: DataFrame, right: DataFrame): DataFrame = {

@@ -1,0 +1,288 @@
+package graft.training
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators._
+import graft.pipeline.TextOps
+
+/**
+ * Model-parameter estimation, mirroring the reference's training surface:
+ *
+ *  - [[estimateU]]: u probabilities from random-pair sampling
+ *    (reference `splink/internals/estimate_u.py:330-560`)
+ *  - [[EMSession]]: m (and optionally u) via expectation-maximisation over
+ *    pairs blocked on a training rule
+ *    (`expectation_maximisation.py:225-311`, `em_training_session.py:76-177`)
+ *  - [[estimateMFromLabelColumn]]: m from a ground-truth label column
+ *    (`m_training.py:26-102`)
+ *  - [[estimateLambdaFromDeterministicRules]]: prior λ from
+ *    high-precision rules + assumed recall
+ *    (`linker_components/training.py:35-161`)
+ *
+ * Scale design: the cluster only ever computes comparison-vector COUNTS
+ * (`groupBy(gammas).count` — the agreement-pattern rewrite from
+ * `expectation_maximisation.py:28-42`); the EM loop itself runs on the
+ * driver over those few hundred patterns, so iterations cost zero Spark
+ * jobs. The reference re-runs a SQL E-step per iteration; on Spark that
+ * would be 25 scans — collecting patterns once is strictly better and
+ * numerically identical.
+ */
+object Training {
+
+  /** Rows to sample so that n*(n-1)/2 ~= targetPairs
+    * (`estimate_u.py:301-327`). */
+  def rowsForPairCount(targetPairs: Long): Long =
+    math.ceil(0.5 * (math.sqrt(8.0 * targetPairs + 1) + 1)).toLong
+
+  /**
+   * Estimate u probabilities: sample records deterministically, take the
+   * cartesian self-join (random pairs are assumed non-matches), and set
+   * each level's u to its share of non-null gammas.
+   */
+  def estimateU(inputs: Seq[(String, DataFrame)], settings: LinkSettings,
+      maxPairs: Long = 1000000L): LinkSettings = {
+    val concat = VerticalConcat(inputs, settings)
+    val total = concat.count()
+    val needed = rowsForPairCount(maxPairs)
+    val sampled =
+      if (needed >= total) concat
+      else concat.filter(TextOps.hashSample(
+        col(settings.uniqueIdColumn).cast("string"), needed.toDouble / total))
+    val uSettings = settings.copy(
+      blockingRules = Seq(BlockingRule.CustomBlockingRule("1=1")))
+    val pairs = Blocking.blockedIdPairs(sampled, uSettings)
+    val cv = ComparisonVectors.compute(pairs,
+      TermFrequency.joinAll(sampled, settings.tfColumns), uSettings)
+    val counts = gammaCounts(cv, settings)
+    applyLevelProbabilities(settings, counts, setM = false)
+  }
+
+  /** groupBy each comparison's gamma column -> Map(comparison ->
+    * Map(gamma -> count)). One aggregation per comparison over one cached
+    * cv frame. */
+  private def gammaCounts(cv: DataFrame, settings: LinkSettings)
+      : Map[String, Map[Int, Long]] = {
+    val cached = cv.persist()
+    try {
+      settings.comparisons.map { c =>
+        val rows = cached.groupBy(col(c.gammaColumnName)).count().collect()
+        c.outputColumnName -> rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }.toMap
+    } finally { cached.unpersist() }
+  }
+
+  /** Write per-level probabilities (share of non-null gammas) into m or u. */
+  private def applyLevelProbabilities(settings: LinkSettings,
+      counts: Map[String, Map[Int, Long]], setM: Boolean): LinkSettings = {
+    val updated = settings.comparisons.map { c =>
+      val byGamma = counts.getOrElse(c.outputColumnName, Map.empty)
+      val totalObs = byGamma.collect { case (g, n) if g >= 0 => n }.sum.toDouble
+      val newLevels = c.levels.map { lv =>
+        if (lv.isNull) lv
+        else {
+          val gv = c.activeLevelsWithGamma.collectFirst {
+            case (l2, g) if l2 == lv => g }.get
+          val share =
+            if (totalObs == 0) Model.UnobservedSentinel
+            else byGamma.getOrElse(gv, 0L) match {
+              case 0 => Model.UnobservedSentinel
+              case n => n / totalObs
+            }
+          if (setM) { if (lv.fixMProbability) lv else lv.withM(share) }
+          else { if (lv.fixUProbability) lv else lv.withU(share) }
+        }
+      }
+      c.copy(levels = newLevels)
+    }
+    settings.copy(comparisons = updated)
+  }
+
+  /**
+   * Estimate m probabilities from a ground-truth label column: pairs
+   * blocked on label equality are true matches; each level's m is its share
+   * of non-null gammas among them.
+   */
+  def estimateMFromLabelColumn(inputs: Seq[(String, DataFrame)],
+      settings: LinkSettings, labelColumn: String): LinkSettings = {
+    val concat = VerticalConcat(inputs, settings)
+    val mSettings = settings.copy(
+      blockingRules = Seq(BlockingRule.blockOn(labelColumn)))
+    val pairs = Blocking.blockedIdPairs(concat, mSettings)
+    val cv = ComparisonVectors.compute(pairs,
+      TermFrequency.joinAll(concat, settings.tfColumns), mSettings)
+    applyLevelProbabilities(settings, gammaCounts(cv, settings), setM = true)
+  }
+
+  /**
+   * λ from deterministic high-precision rules + assumed recall
+   * (`linker_components/training.py:35-161`):
+   * λ = (observed_pairs / recall) / possible_pairs.
+   */
+  def estimateLambdaFromDeterministicRules(inputs: Seq[(String, DataFrame)],
+      settings: LinkSettings, rules: Seq[BlockingRule],
+      recall: Double): LinkSettings = {
+    require(recall > 0 && recall <= 1, "recall must be in (0,1]")
+    val concat = VerticalConcat(inputs, settings)
+    val detSettings = settings.copy(blockingRules = rules)
+    val observed = Blocking.blockedIdPairs(concat, detSettings).count()
+    val n = concat.count().toDouble
+    val possible = settings.linkType match {
+      case LinkType.DedupeOnly | LinkType.LinkAndDedupe => n * (n - 1) / 2.0
+      case LinkType.LinkOnly =>
+        val sizes = inputs.map(_._2.count().toDouble)
+        sizes.combinations(2).map(p => p.head * p.last).sum
+    }
+    val lam = math.min(1.0, (observed / recall) / possible)
+    settings.copy(probabilityTwoRandomRecordsMatch = math.max(lam, Model.ProbFloor))
+  }
+
+  // ------------------------------------------------------------------ EM
+
+  /** One gamma pattern and its pair count. */
+  case class Pattern(gammas: Array[Int], count: Long)
+
+  /** Converged driver-side EM state. */
+  case class EMCore(m: Array[Map[Int, Double]], u: Array[Map[Int, Double]],
+      lambda: Double, iterations: Int, converged: Boolean, history: Seq[Double])
+
+  /**
+   * The EM fixed-point iteration over agreement patterns (pure driver math;
+   * semantics of `expectation_maximisation.py:225-311`):
+   * E-step p(pattern) = λ·Πm / (λ·Πm + (1-λ)·Πu) with null gammas (-1)
+   * contributing factor 1; M-step re-estimates each level's share weighted
+   * by p (m) / 1-p (u), and λ as the weighted match fraction. Convergence =
+   * max |param change| < tolerance (`settings.py:116-122`).
+   */
+  def emCore(patterns: Seq[Pattern], mInit: Array[Map[Int, Double]],
+      uInit: Array[Map[Int, Double]], lambdaInit: Double, fixU: Boolean,
+      maxIterations: Int, tolerance: Double): EMCore = {
+    val nComp = mInit.length
+    var m = mInit
+    var u = uInit
+    var lambda = lambdaInit
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      iter += 1
+      val scored = patterns.map { p =>
+        var pm = lambda
+        var pu = 1 - lambda
+        var i = 0
+        while (i < p.gammas.length) {
+          val g = p.gammas(i)
+          if (g >= 0) {
+            pm *= math.max(m(i).getOrElse(g, Model.UnobservedSentinel), Model.ProbFloor)
+            pu *= math.max(u(i).getOrElse(g, Model.UnobservedSentinel), Model.ProbFloor)
+          }
+          i += 1
+        }
+        (p, pm / (pm + pu))
+      }
+      def reestimate(weight: (Double, Long) => Double, init: Array[Map[Int, Double]]) =
+        Array.tabulate(nComp) { i =>
+          val byGamma = scala.collection.mutable.Map.empty[Int, Double]
+          var denom = 0.0
+          scored.foreach { case (p, prob) =>
+            val g = p.gammas(i)
+            if (g >= 0) {
+              val w = weight(prob, p.count)
+              byGamma(g) = byGamma.getOrElse(g, 0.0) + w
+              denom += w
+            }
+          }
+          init(i).keys.map(g => g -> (if (denom == 0) Model.UnobservedSentinel
+            else math.max(byGamma.getOrElse(g, 0.0) / denom, 0.0))).toMap
+        }
+      val newM = reestimate((p, n) => p * n, m)
+      val newU = if (fixU) u else reestimate((p, n) => (1 - p) * n, u)
+      val totalN = patterns.map(_.count).sum.toDouble
+      val newLambda = scored.map { case (p, prob) => prob * p.count }.sum / totalN
+      val deltas =
+        (for (i <- 0 until nComp; g <- m(i).keys)
+          yield math.abs(newM(i)(g) - m(i)(g))) ++
+        (for (i <- 0 until nComp; g <- u(i).keys)
+          yield math.abs(newU(i)(g) - u(i)(g))) :+
+        math.abs(newLambda - lambda)
+      val maxDelta = deltas.max
+      history += maxDelta
+      m = newM; u = newU; lambda = newLambda
+      if (maxDelta < tolerance) converged = true
+    }
+    EMCore(m, u, lambda, iter, converged, history.toSeq)
+  }
+
+  /** Result of one EM training session. */
+  case class EMResult(settings: LinkSettings, iterations: Int,
+      converged: Boolean, history: Seq[Double],
+      trainedLambda: Double, deactivated: Seq[String])
+
+  /**
+   * EM over pairs blocked on `trainingRule`. Comparisons whose input
+   * columns appear in the rule are deactivated for the session (their
+   * gammas are fixed by construction, `em_training_session.py:136-163`);
+   * their m/u stay untouched. Trained m (and u unless `fixU`) of active
+   * comparisons are merged back into the returned settings.
+   */
+  def expectationMaximisation(inputs: Seq[(String, DataFrame)],
+      settings: LinkSettings, trainingRule: BlockingRule,
+      fixU: Boolean = true, maxIterations: Int = 25,
+      tolerance: Double = 1e-4): EMResult = {
+    val concat = VerticalConcat(inputs, settings)
+    val ruleCols = Blocking.ruleColumns(trainingRule).toSet
+    val (deactivated, active) = settings.comparisons.partition(
+      c => c.inputColumns.exists(ruleCols.contains))
+
+    val emSettings = settings.copy(blockingRules = Seq(trainingRule),
+      comparisons = settings.comparisons)
+    val pairs = Blocking.blockedIdPairs(concat, emSettings)
+    val cv = ComparisonVectors.compute(pairs,
+      TermFrequency.joinAll(concat, settings.tfColumns), emSettings)
+
+    // agreement-pattern shrink: |pairs| rows -> |patterns| rows
+    val gammaCols = active.map(_.gammaColumnName)
+    val patternRows = cv.groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).collect()
+    val patterns = patternRows.map { r =>
+      Pattern(gammaCols.indices.map(i => r.getInt(i)).toArray,
+        r.getLong(gammaCols.size))
+    }
+
+    // driver-side parameter tables
+    val mInit = active.map { c =>
+      c.activeLevelsWithGamma.map { case (lv, g) =>
+        g -> lv.m.getOrElse(1.0 / c.activeLevels.size) }.toMap
+    }.toArray
+    val uInit = active.map { c =>
+      c.activeLevelsWithGamma.map { case (lv, g) =>
+        g -> lv.u.getOrElse(1.0 / c.activeLevels.size) }.toMap
+    }.toArray
+    val lambdaInit = math.min(math.max(settings.probabilityTwoRandomRecordsMatch,
+      1e-8), 1 - 1e-8)
+    val core = emCore(patterns.toSeq, mInit, uInit, lambdaInit, fixU,
+      maxIterations, tolerance)
+    val (m, u, lambda) = (core.m, core.u, core.lambda)
+    val (iter, converged, history) = (core.iterations, core.converged, core.history)
+
+    // merge trained params back into the full settings
+    val trainedComparisons = settings.comparisons.map { c =>
+      active.indexWhere(_.outputColumnName == c.outputColumnName) match {
+        case -1 => c
+        case i =>
+          val newLevels = c.levels.map { lv =>
+            if (lv.isNull) lv
+            else {
+              val g = c.activeLevelsWithGamma.collectFirst {
+                case (l2, gg) if l2 == lv => gg }.get
+              val withM = if (lv.fixMProbability) lv else lv.withM(m(i)(g))
+              if (fixU || lv.fixUProbability) withM else withM.withU(u(i)(g))
+            }
+          }
+          c.copy(levels = newLevels)
+      }
+    }
+    EMResult(settings.copy(comparisons = trainedComparisons), iter, converged,
+      history.toSeq, lambda, deactivated.map(_.outputColumnName))
+  }
+}

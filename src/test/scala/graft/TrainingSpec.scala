@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.model.{LevelLibrary => ll}
+import graft.training.Training
+import graft.training.Training.Pattern
+
+/** Statistical correctness of training — mirrors reference
+  * `tests/test_correctness_of_convergence.py`: EM over patterns generated
+  * from KNOWN parameters must recover them. */
+class TrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EM core recovers known m/u/lambda from exact expected counts") {
+    // 2 comparisons x 2 levels; true params:
+    val mTrue = Array(Map(1 -> 0.9, 0 -> 0.1), Map(1 -> 0.8, 0 -> 0.2))
+    val uTrue = Array(Map(1 -> 0.2, 0 -> 0.8), Map(1 -> 0.3, 0 -> 0.7))
+    val lamTrue = 0.3
+    val n = 1000000L
+    val patterns = for (g1 <- Seq(0, 1); g2 <- Seq(0, 1)) yield {
+      val pMatch = lamTrue * mTrue(0)(g1) * mTrue(1)(g2)
+      val pNon = (1 - lamTrue) * uTrue(0)(g1) * uTrue(1)(g2)
+      Pattern(Array(g1, g2), math.round((pMatch + pNon) * n))
+    }
+    // perturbed init
+    val mInit = Array(Map(1 -> 0.7, 0 -> 0.3), Map(1 -> 0.6, 0 -> 0.4))
+    val core = Training.emCore(patterns, mInit, uTrue, 0.1,
+      fixU = true, maxIterations = 3000, tolerance = 1e-8)
+    assert(core.converged)
+    assert(math.abs(core.lambda - lamTrue) < 1e-3, s"lambda=${core.lambda}")
+    assert(math.abs(core.m(0)(1) - 0.9) < 1e-2, s"m0=${core.m(0)(1)}")
+    assert(math.abs(core.m(1)(1) - 0.8) < 1e-2, s"m1=${core.m(1)(1)}")
+  }
+
+  def people = Seq(
+    // pairs (2k, 2k+1) are duplicates sharing surname + dob + email
+    (0L, "John", "Smith", "1990-01-01", "js@x.com"),
+    (1L, "Jon", "Smith", "1990-01-01", "js@x.com"),
+    (2L, "Mary", "Smith", "1985-05-05", "mj@y.com"),
+    (3L, "Mary", "Smith", "1985-05-05", "mj@y.com"),
+    (4L, "Pete", "Jones", "1970-12-31", "pb@z.com"),
+    (5L, "Peter", "Jones", "1970-12-31", "pb@z.com"),
+    (6L, "Alice", "Jones", "2000-07-07", "as@w.com"),
+    (7L, "Bob", "Brown", "1999-09-09", "bb@v.com"),
+    (8L, "Carol", "Brown", "1998-08-08", "cc@u.com"),
+    (9L, "Dave", "Brown", "1997-07-07", "dd@t.com")
+  ).toDF("unique_id", "first_name", "surname", "dob", "email")
+
+  def settings = LinkSettings(
+    linkType = LinkType.DedupeOnly,
+    blockingRules = Seq(BlockingRule.blockOn("surname")),
+    comparisons = Seq(
+      Comparison("first_name", Seq(ll.nullLevel("first_name"),
+        ll.exactMatch("first_name"), ll.elseLevel)),
+      Comparison("dob", Seq(ll.nullLevel("dob"),
+        ll.exactMatch("dob"), ll.elseLevel)),
+      Comparison("email", Seq(ll.nullLevel("email"),
+        ll.exactMatch("email"), ll.elseLevel))),
+    probabilityTwoRandomRecordsMatch = 0.1)
+
+  test("estimateU sets u from random-pair gamma shares") {
+    val trained = Training.estimateU(Seq("t" -> people), settings, maxPairs = 1000)
+    val dob = trained.comparisonByName("dob")
+    val exact = dob.activeLevels.head
+    val els = dob.activeLevels.last
+    // random pairs rarely share dob: u(exact) small, u(else) large
+    assert(exact.u.isDefined && els.u.isDefined)
+    assert(exact.u.get < 0.2, s"u_exact=${exact.u}")
+    assert(els.u.get > 0.8)
+    // m untouched
+    assert(dob.activeLevels.head.m.isEmpty)
+  }
+
+  test("estimateMFromLabelColumn sets m from labelled matches") {
+    // label: duplicates share email
+    val trained = Training.estimateMFromLabelColumn(
+      Seq("t" -> people), settings.copy(comparisons = settings.comparisons.take(2)),
+      "email")
+    val dob = trained.comparisonByName("dob")
+    // all email-pairs share dob -> m(exact) high
+    assert(dob.activeLevels.head.m.get > 0.9)
+  }
+
+  test("lambda from deterministic rules") {
+    val trained = Training.estimateLambdaFromDeterministicRules(
+      Seq("t" -> people), settings,
+      Seq(BlockingRule.blockOn("dob")), recall = 0.9)
+    // 3 dob-sharing pairs / 0.9 / 45 possible
+    val expected = (3 / 0.9) / 45.0
+    assert(math.abs(trained.probabilityTwoRandomRecordsMatch - expected) < 1e-9)
+  }
+
+  test("EM session deactivates blocked comparison and trains the rest") {
+    val result = Training.expectationMaximisation(
+      Seq("t" -> people),
+      Training.estimateU(Seq("t" -> people), settings, maxPairs = 1000),
+      BlockingRule.blockOn("surname"))
+    assert(result.deactivated.isEmpty) // surname is not a comparison column
+    assert(result.iterations >= 1)
+    val emailM = result.settings.comparisonByName("email")
+      .activeLevels.head.m
+    assert(emailM.isDefined)
+    // EM with a dob-based rule must deactivate the dob comparison
+    val r2 = Training.expectationMaximisation(Seq("t" -> people),
+      settings, BlockingRule.blockOn("dob"))
+    assert(r2.deactivated == Seq("dob"))
+  }
+}
