@@ -102,6 +102,59 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     }
   }
 
+  /** Score every record against itself (`linker.py:493-552`) — input for
+    * the unlinkables diagnostic. */
+  def selfLink(): DataFrame = {
+    val records = concatWithTf.withColumn("__join_key",
+      Blocking.joinKeyCol(settings))
+    val projection = lit("self").as(Cols.MatchKey) +:
+      ComparisonVectors.pairProjection(settings, records.columns.toSeq)
+    val pairs = records.alias("l")
+      .join(records.alias("r"), col("l.__join_key") === col("r.__join_key"))
+      .select(projection: _*)
+    Predict.score(ComparisonVectors.addGammas(pairs, settings), settings)
+  }
+
+  /** Evaluation facade (`linker_components/evaluation.py`). */
+  object evaluation {
+    import graft.evaluation.Evaluation
+
+    def truthSpaceFromLabelColumn(labelColumn: String): DataFrame = {
+      val scored = predict()
+      Evaluation.truthSpaceTable(
+        Evaluation.withClericalFromLabelColumn(scored, labelColumn))
+    }
+
+    def unlinkables(): DataFrame = Evaluation.unlinkables(selfLink())
+
+    def comparisonVectorDistribution(): DataFrame =
+      Evaluation.comparisonVectorDistribution(comparisonVectors(), settings)
+
+    def completeness(columns: Seq[String] = Nil): DataFrame =
+      Evaluation.completeness(concat, settings, columns)
+
+    def predictionErrorsFromLabelColumn(labelColumn: String,
+        threshold: Double): DataFrame =
+      Evaluation.predictionErrors(predict(), labelColumn, threshold)
+  }
+
+  /** Clustering facade beyond plain CC. */
+  object clustering {
+    import graft.clustering.ClusteringOps
+    def clusterOneToOne(predictions: DataFrame, threshold: Double): DataFrame = {
+      val uid = settings.uniqueIdColumn
+      ClusteringOps.oneToOne(
+        predictions.filter(col(Cols.MatchProbability) >= threshold),
+        Cols.l(uid), Cols.r(uid))
+    }
+    def clusterAtMultipleThresholds(predictions: DataFrame,
+        thresholds: Seq[Double]): DataFrame = {
+      val uid = settings.uniqueIdColumn
+      ClusteringOps.atMultipleThresholds(predictions, thresholds,
+        Cols.l(uid), Cols.r(uid))
+    }
+  }
+
   /** Compare two small record frames against the trained model without any
     * blocking — realtime scoring (`realtime.py:44-159`). */
   def compareRecords(left: DataFrame, right: DataFrame): DataFrame = {

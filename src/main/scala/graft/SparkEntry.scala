@@ -6,7 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import graft.model._
 import graft.model.{LevelLibrary => ll}
 import graft.operators._
-import graft.clustering.ConnectedComponents
+import graft.clustering.{ClusteringOps, ConnectedComponents}
+import graft.evaluation.Evaluation
 import graft.pipeline.{AnnOps, DedupOps, TextOps}
 
 /**
@@ -216,6 +217,71 @@ object SparkEntry {
       DedupOps.embeddingDupPairs(e, "vec_id", "embedding", col("label"), 0.2)
     }),
 
+    // §2.12 truth-space table: cumulative TP/FP/TN/FN over thresholds;
+    // clerical truth := same mktsegment (rule 2 pairs may differ)
+    "q_truth_space" -> ((s, dir) => {
+      val settings = customerSettings.copy(
+        additionalColumnsToRetain = Seq("c_mktsegment"))
+      val linker = new Linker(customers(s, dir), settings)
+      val scored = Evaluation.withClericalFromLabelColumn(
+        linker.predict(), "c_mktsegment")
+      Evaluation.truthSpaceTable(scored)
+        .select(col("truth_threshold"), col("tp"), col("fp"), col("tn"), col("fn"),
+          round(col("precision"), 9).as("precision"),
+          round(col("recall"), 9).as("recall"),
+          round(col("f1"), 9).as("f1"))
+    }),
+
+    // §2.12 unlinkables: self-link match-weight distribution
+    "q_unlinkables" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      Evaluation.unlinkables(linker.selfLink())
+        .select(col("match_weight"), col("match_probability"),
+          round(col("prop"), 9).as("prop"), round(col("cum_prop"), 9).as("cum_prop"))
+    }),
+
+    // §2.12 completeness per column
+    "q_completeness" -> ((s, dir) => {
+      Evaluation.completeness(customers(s, dir),
+        customerSettings, Seq("c_name", "c_acctbal", "c_mktsegment"))
+    }),
+
+    // §2.6 profiling: top-10 values per column
+    "q_profile" -> ((s, dir) => {
+      Evaluation.profileColumns(pq(s, dir, "part"), Seq("p_brand", "p_type"), 10)
+    }),
+
+    // §2.4 n-largest blocks for a blocking rule
+    "q_largest_blocks" -> ((s, dir) => {
+      Evaluation.nLargestBlocks(pq(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), 10)
+    }),
+
+    // §2.11 multi-threshold clustering over the order-path graph with
+    // deterministic pseudo-probabilities
+    "q_multi_threshold" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"),
+          (((col("prev") + col("o_orderkey")) % 97) / 96.0).as("match_probability"))
+      ClusteringOps.atMultipleThresholds(edges, Seq(0.3, 0.7))
+    }),
+
+    // §2.11 one-to-one (mutual best link) clustering, single round
+    "q_one_to_one" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"),
+          (((col("prev") + col("o_orderkey")) % 97) / 96.0).as("match_probability"))
+      ClusteringOps.oneToOne(edges, maxRounds = 1)
+    }),
+
     // dedup: MinHash-LSH near-dup candidates (no SQL oracle - rows-only)
     "q_minhash_pairs" -> ((s, dir) => {
       DedupOps.minhashDedupPairs(pq(s, dir, "documents"), "doc_id", "text",
@@ -338,6 +404,131 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
         |      < CAST(0.1 * 4294967296 AS BIGINT)""".stripMargin,
+
+    "q_truth_space" -> {
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+      s"""$oraclePairsCte,
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r,
+         |    $oracleGammaName AS g_name, $oracleGammaBal AS g_bal,
+         |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS pos
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey),
+         |mw AS (
+         |  SELECT round($prior
+         |    + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
+         |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
+         |        ELSE ${w(0.02, 0.939)} END
+         |    + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
+         |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END, 6)
+         |      AS truth_threshold, pos
+         |  FROM cv),
+         |tot AS (SELECT sum(pos) AS total_p, sum(1 - pos) AS total_n FROM mw),
+         |by_t AS (SELECT truth_threshold, sum(pos) AS p_at, sum(1 - pos) AS n_at
+         |         FROM mw GROUP BY 1),
+         |cum AS (SELECT truth_threshold,
+         |          sum(p_at) OVER (ORDER BY truth_threshold DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |          sum(n_at) OVER (ORDER BY truth_threshold DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+         |        FROM cum_src)
+         |SELECT truth_threshold, tp, fp,
+         |  (SELECT total_n FROM tot) - fp AS tn,
+         |  (SELECT total_p FROM tot) - tp AS fn,
+         |  round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0::DOUBLE END, 9) AS precision,
+         |  round(CASE WHEN (SELECT total_p FROM tot) > 0
+         |    THEN tp::DOUBLE / (SELECT total_p FROM tot) ELSE 0.0::DOUBLE END, 9) AS recall,
+         |  round(CASE WHEN 2 * tp + fp + ((SELECT total_p FROM tot) - tp) > 0
+         |    THEN 2.0::DOUBLE * tp / (2 * tp + fp + ((SELECT total_p FROM tot) - tp))
+         |    ELSE 0.0::DOUBLE END, 9) AS f1
+         |FROM cum""".stripMargin.replace("FROM cum_src", "FROM by_t")
+    },
+
+    "q_unlinkables" -> {
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val mw = log2(0.001 / 0.999) + log2(0.9 / 0.001) + log2(0.7 / 0.02)
+      val p = math.pow(2, mw) / (1 + math.pow(2, mw))
+      val mwR = BigDecimal(mw).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pR = BigDecimal(p).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // every customer has non-null name + acctbal, so the self-link weight
+      // is a single constant; the distribution collapses to one row
+      s"""SELECT ($mwR)::DOUBLE AS match_weight, ($pR)::DOUBLE AS match_probability,
+         |  1.0::DOUBLE AS prop, 1.0::DOUBLE AS cum_prop
+         |FROM (SELECT count(*) AS c FROM customer) WHERE c > 0""".stripMargin
+    },
+
+    "q_completeness" ->
+      """SELECT 'all' AS source_dataset, 'c_name' AS column_name,
+        |  count(*) AS total_rows, count(c_name) AS non_null_rows,
+        |  count(c_name)::DOUBLE / count(*) AS completeness FROM customer
+        |UNION ALL
+        |SELECT 'all', 'c_acctbal', count(*), count(c_acctbal),
+        |  count(c_acctbal)::DOUBLE / count(*) FROM customer
+        |UNION ALL
+        |SELECT 'all', 'c_mktsegment', count(*), count(c_mktsegment),
+        |  count(c_mktsegment)::DOUBLE / count(*) FROM customer""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'p_brand' AS column_name, CAST(p_brand AS VARCHAR) AS value,
+        |    count(*) AS value_count,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, CAST(p_brand AS VARCHAR) ASC) AS INT) AS rank
+        |  FROM part WHERE p_brand IS NOT NULL GROUP BY p_brand) WHERE rank <= 10
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'p_type', CAST(p_type AS VARCHAR), count(*),
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, CAST(p_type AS VARCHAR) ASC) AS INT) AS rank
+        |  FROM part WHERE p_type IS NOT NULL GROUP BY p_type) WHERE rank <= 10""".stripMargin,
+
+    "q_largest_blocks" ->
+      """SELECT c_nationkey AS key_0, c_mktsegment AS key_1,
+        |  count(*) AS count_l, count(*) AS count_r,
+        |  count(*) * count(*) AS block_count
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY block_count DESC, key_0, key_1 LIMIT 10""".stripMargin,
+
+    // path-graph components = maximal runs of consecutive orders whose edge
+    // pseudo-probability clears the threshold -> window SQL, no recursion
+    "q_multi_threshold" -> {
+      def oneThreshold(t: Double) =
+        s"""SELECT o_orderkey AS node_id,
+           |  min(o_orderkey) OVER (PARTITION BY o_custkey, segment) AS cluster_id,
+           |  ($t)::DOUBLE AS threshold
+           |FROM (
+           |  SELECT o_custkey, o_orderkey, prev_ok, next_ok,
+           |    sum(CASE WHEN prev_ok IS NULL OR prev_ok = 0 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS segment
+           |  FROM (
+           |    SELECT o_custkey, o_orderkey,
+           |      CASE WHEN lag(o_orderkey) OVER w IS NULL THEN NULL
+           |        WHEN ((lag(o_orderkey) OVER w + o_orderkey) % 97) / 96.0 >= $t
+           |        THEN 1 ELSE 0 END AS prev_ok,
+           |      CASE WHEN lead(o_orderkey) OVER w IS NULL THEN NULL
+           |        WHEN ((o_orderkey + lead(o_orderkey) OVER w) % 97) / 96.0 >= $t
+           |        THEN 1 ELSE 0 END AS next_ok
+           |    FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)))
+           |WHERE coalesce(prev_ok, 0) = 1 OR coalesce(next_ok, 0) = 1""".stripMargin
+      s"${oneThreshold(0.3)}\nUNION ALL\n${oneThreshold(0.7)}"
+    },
+
+    "q_one_to_one" ->
+      """WITH e AS (
+        |  SELECT prev AS l, o_orderkey AS r, ((prev + o_orderkey) % 97) / 96.0 AS p
+        |  FROM (SELECT o_custkey, o_orderkey,
+        |          lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+        |        FROM orders)
+        |  WHERE prev IS NOT NULL),
+        |sym AS (SELECT l AS a, r AS b, p FROM e
+        |        UNION ALL SELECT r, l, p FROM e),
+        |best AS (SELECT a, b FROM (
+        |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY p DESC, b ASC) AS rn
+        |    FROM sym) WHERE rn = 1),
+        |mutual AS (SELECT x.a, x.b FROM best x
+        |           JOIN best y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)
+        |SELECT a AS node_id, a AS cluster_id FROM mutual
+        |UNION ALL SELECT b, a FROM mutual""".stripMargin,
 
     "q_exact_dedup" ->
       """SELECT substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16)

@@ -1,0 +1,127 @@
+package graft.clustering
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Clustering beyond plain connected components: one-to-one (mutual best
+ * link) clustering and multi-threshold clustering (reference:
+ * `splink/internals/one_to_one_clustering.py:103-336`,
+ * `clustering.py:347-449`), plus graph metrics
+ * (`graph_metrics.py:28-113`).
+ */
+object ClusteringOps {
+
+  /**
+   * One-to-one clustering: iteratively merge links that are the highest-
+   * probability link for BOTH endpoints (`one_to_one_clustering.py:229-234`
+   * uses the same rank-1-both-sides window). Ties break on lowest
+   * neighbour id. Each round removes matched nodes and repeats, so a node
+   * never lands in two pairs; remaining nodes stay singletons.
+   *
+   * (The reference additionally enforces at-most-one-record-per-
+   * duplicate-free-dataset inside a cluster; with two datasets the mutual
+   * rank-1 rule implies it.)
+   */
+  def oneToOne(edges: DataFrame, srcCol: String = "unique_id_l",
+      dstCol: String = "unique_id_r",
+      probCol: String = "match_probability",
+      maxRounds: Int = 10): DataFrame = {
+    var remaining = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+      col(probCol).as("p")).filter(col("a") =!= col("b")).localCheckpoint(true)
+    val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val sym = remaining.unionByName(
+        remaining.select(col("b").as("a"), col("a").as("b"), col("p")))
+      val w = Window.partitionBy("a").orderBy(desc("p"), asc("b"))
+      val best = sym.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      // mutual: (a -> b) and (b -> a) both rank-1
+      val mutual = best.alias("x")
+        .join(best.alias("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+        .filter(col("x.a") < col("x.b"))
+        .select(col("x.a").as("a"), col("x.b").as("b"))
+        .localCheckpoint(true)
+      if (mutual.isEmpty) done = true
+      else {
+        matched += mutual
+        val used = mutual.select(col("a").as("n"))
+          .unionByName(mutual.select(col("b").as("n")))
+        remaining = remaining
+          .join(used.withColumnRenamed("n", "__a"), col("a") === col("__a"), "left_anti")
+          .join(used.withColumnRenamed("n", "__b"), col("b") === col("__b"), "left_anti")
+          .localCheckpoint(true)
+        if (remaining.isEmpty) done = true
+      }
+    }
+    if (matched.isEmpty)
+      edges.sparkSession.emptyDataFrame
+        .withColumn("node_id", lit(null).cast("long"))
+        .withColumn("cluster_id", lit(null).cast("long"))
+        .limit(0)
+    else {
+      val pairs = matched.reduce(_.unionByName(_))
+      pairs.select(col("a").as("node_id"), col("a").as("cluster_id"))
+        .unionByName(pairs.select(col("b").as("node_id"), col("a").as("cluster_id")))
+    }
+  }
+
+  /**
+   * Multi-threshold clustering (`clustering.py:347-449`): cluster at each
+   * ascending threshold; output one (threshold, node_id, cluster_id) row
+   * set per threshold. Edge sets shrink monotonically, so each successive
+   * solve is cheaper; clusters stable across thresholds are re-derived (the
+   * reference's stable-cluster reuse is an optimisation, not a semantic
+   * difference).
+   */
+  def atMultipleThresholds(edges: DataFrame, thresholds: Seq[Double],
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
+      probCol: String = "match_probability"): DataFrame = {
+    thresholds.sorted.map { t =>
+      ConnectedComponents.run(edges.filter(col(probCol) >= t), srcCol, dstCol)
+        .withColumn("threshold", lit(t))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Node-level graph metrics (`graph_metrics.py:28-113`): degree, cluster
+   * size, size-adjusted centrality degree/(size-1).
+   */
+  def nodeMetrics(clusters: DataFrame, edges: DataFrame,
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r"): DataFrame = {
+    val deg = edges.select(col(srcCol).as("node_id"))
+      .unionByName(edges.select(col(dstCol).as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+    val w = Window.partitionBy("cluster_id")
+    clusters.join(deg, Seq("node_id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("centrality",
+        when(col("cluster_size") > 1,
+          col("degree").cast("double") / (col("cluster_size") - 1))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
+   * Cluster-level metrics (`graph_metrics.py:116-170`): size, edge count,
+   * density = 2E / (n(n-1)), cluster centralisation.
+   */
+  def clusterMetrics(clusters: DataFrame, edges: DataFrame,
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r"): DataFrame = {
+    val e = edges.alias("e")
+      .join(clusters.alias("cl"), col(s"e.$srcCol") === col("cl.node_id"))
+      .select(col("cl.cluster_id").as("cluster_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    val n = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_nodes"))
+    n.join(e, Seq("cluster_id"), "left")
+      .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+      .withColumn("density",
+        when(col("n_nodes") > 1,
+          col("n_edges") * 2.0 / (col("n_nodes") * (col("n_nodes") - 1)))
+          .otherwise(lit(0.0)))
+  }
+}
