@@ -8,7 +8,7 @@ import graft.model.{LevelLibrary => ll}
 import graft.operators._
 import graft.clustering.{ClusteringOps, ConnectedComponents}
 import graft.evaluation.Evaluation
-import graft.pipeline.{AnnOps, DedupOps, TextOps}
+import graft.pipeline.{AnnOps, DedupOps, MultimodalOps, TextOps}
 
 /**
  * Driver contract: one query per implemented operator family (SURVEY.md §2)
@@ -282,6 +282,25 @@ object SparkEntry {
       ClusteringOps.oneToOne(edges, maxRounds = 1)
     }),
 
+    // multimodal: opaque binary payload + codegen'd metadata triage
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = MultimodalOps.asMediaTable(pq(s, dir, "documents"), "doc_id", "text")
+      val metas = MultimodalOps.payloadMetadata(col("payload"))
+      media.select(col("media_id") +: col("kind") +:
+        col("meta.declared_bytes").as("declared_bytes") +:
+        metas.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // multimodal: partition-wise decode stub (real plumbing, fake codec) -
+    // rows-only check on aggregate stats
+    "q_multimodal_decode" -> ((s, dir) => {
+      val media = MultimodalOps.asMediaTable(pq(s, dir, "documents"), "doc_id", "text")
+      MultimodalOps.decode(media)
+        .agg(count(lit(1)).as("n_decoded"),
+          sum("width").as("sum_width"), sum("height").as("sum_height"),
+          sum(size(col("feature"))).as("sum_feature_len"))
+    }),
+
     // dedup: MinHash-LSH near-dup candidates (no SQL oracle - rows-only)
     "q_minhash_pairs" -> ((s, dir) => {
       DedupOps.minhashDedupPairs(pq(s, dir, "documents"), "doc_id", "text",
@@ -529,6 +548,16 @@ object SparkEntry {
         |           JOIN best y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)
         |SELECT a AS node_id, a AS cluster_id FROM mutual
         |UNION ALL SELECT b, a FROM mutual""".stripMargin,
+
+    // payload is the utf8 bytes of `text`; ASCII corpus makes byte ops and
+    // char ops coincide, so the oracle runs on the text column
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  len(text)::BIGINT AS declared_bytes,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  md5(text) AS digest,
+        |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS prefix_hex
+        |FROM documents""".stripMargin,
 
     "q_exact_dedup" ->
       """SELECT substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16)

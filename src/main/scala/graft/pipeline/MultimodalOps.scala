@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column operators: image/audio/video payloads are opaque
+ * `binary` columns with typed metadata. The Spark-side plumbing — schema,
+ * partition-wise batch iteration, frame slicing, feature schema — is real
+ * and tested; the actual codec call is STUBBED with a deterministic fake
+ * (no image/audio libraries in this environment). Swap
+ * [[decodeStub]] for a real decoder (JNI/FFmpeg/javacv) without touching
+ * the surrounding plan: the operator shape (mapPartitions over an iterator
+ * of rows, one output row per media item) is exactly what a Pandas-UDF /
+ * `mapInPandas` decode does in the reference-adjacent pipelines.
+ */
+object MultimodalOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("declared_bytes", LongType, nullable = true))), nullable = true)))
+
+  /** Wrap any (id, string) frame as an opaque-binary media table — the
+    * stand-in for reading real image bytes. */
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String,
+      kind: String = "image"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      col(textCol).cast("binary").as("payload"),
+      struct(lit("synthetic").as("source"),
+        length(col(textCol)).cast("long").as("declared_bytes")).as("meta"))
+
+  /** Pure-Column metadata extraction (no decode): byte length, content
+    * digest, magic-byte prefix. Fully codegen'd; what you'd run to triage
+    * 100TB of blobs before any expensive decode. */
+  def payloadMetadata(payload: Column): Seq[(String, Column)] = Seq(
+    "n_bytes" -> length(payload).cast("long"),
+    "digest" -> md5(payload),
+    "prefix_hex" -> hex(substring(payload, 1, 8)))
+
+  /** Evenly-spaced byte-range "frames" (video frame-sampling shape):
+    * n slices of `frameBytes` bytes each. */
+  def frameSample(payload: Column, n: Int, frameBytes: Int): Column = {
+    val total = length(payload)
+    array((0 until n).map { i =>
+      // start_i = 1 + i * max(total - frameBytes, 0) / max(n-1, 1)
+      val start = lit(1) + (lit(i) * greatest(total - frameBytes, lit(0))
+        / lit(math.max(n - 1, 1))).cast("int")
+      payload.substr(start, lit(frameBytes))
+    }: _*)
+  }
+
+  /** Decoded-feature schema produced by [[decodeStub]]. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_channels", IntegerType, nullable = true),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /** Deterministic fake "decode": derives plausible dimensions + a feature
+    * vector from the bytes. REPLACE with a real codec; the partition-wise
+    * iterator shape (and the schema contract) is the real operator. */
+  def decodeStub(mediaId: Long, payload: Array[Byte]): Row = {
+    if (payload == null) return Row(mediaId, null, null, null, null)
+    var h = 0xcbf29ce484222325L
+    payload.foreach { b => h ^= (b & 0xFF); h *= 0x100000001b3L }
+    val width = 64 + (math.abs(h) % 1024).toInt
+    val height = 64 + (math.abs(h >>> 17) % 1024).toInt
+    val feature = Array.tabulate(8) { i =>
+      (((h >>> (8 * (i % 8))) & 0xFF).toInt / 255.0f) }
+    Row(mediaId, width, height, 3, feature.toSeq)
+  }
+
+  /** Partition-wise decode: one pass over each partition's rows, one
+    * output row per media item (the mapInPandas batch shape). */
+  def decode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        decodeStub(r.getLong(0),
+          if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.model.{LevelLibrary => ll}
+import graft.clustering.ClusteringOps
+import graft.evaluation.Evaluation
+import graft.pipeline.{DedupOps, MultimodalOps, TextOps}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("settings JSON round-trips") {
+    val s = LinkSettings(
+      linkType = LinkType.LinkAndDedupe,
+      blockingRules = Seq(BlockingRule.blockOn("surname", "substring(first_name, 1, 1)"),
+        BlockingRule.CustomBlockingRule("l.dob = r.dob")),
+      comparisons = Seq(
+        Comparison("name", Seq(ll.nullLevel("name"),
+          ll.exactMatch("name", tfAdjustment = true).withM(0.8).withU(0.01),
+          ll.jaroWinkler("name", 0.9).withM(0.1).withU(0.02),
+          ll.elseLevel.withM(0.1).withU(0.97)))),
+      probabilityTwoRandomRecordsMatch = 0.013,
+      additionalColumnsToRetain = Seq("city"))
+    val json = SettingsJson.toJson(s)
+    val back = SettingsJson.fromJson(json)
+    assert(back.linkType == s.linkType)
+    assert(back.probabilityTwoRandomRecordsMatch == s.probabilityTwoRandomRecordsMatch)
+    assert(back.blockingRules.size == 2)
+    assert(back.blockingRules.head.asInstanceOf[BlockingRule.BlockOnRule].exprs ==
+      Seq("surname", "substring(first_name, 1, 1)"))
+    val c = back.comparisonByName("name")
+    assert(c.levels.size == 4)
+    assert(c.levels(1).m.contains(0.8))
+    assert(c.levels(1).tfColumn.contains("name"))
+    assert(back.additionalColumnsToRetain == Seq("city"))
+    // round-trip again is identical
+    assert(SettingsJson.toJson(back) == json)
+  }
+
+  test("one-to-one clustering picks mutual best links only") {
+    // 1-2 (0.9), 2-3 (0.8): 2's best is 1, mutual; 3 unmatched
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.8))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val got = ClusteringOps.oneToOne(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+    // second round: after 1-2 merge, 3-4 mutual
+    val edges2 = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.7))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val got2 = ClusteringOps.oneToOne(edges2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("multi-threshold clustering splits as threshold rises") {
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.4), (3L, 4L, 0.9))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val got = ClusteringOps.atMultipleThresholds(edges, Seq(0.3, 0.5))
+      .collect().map(r => (r.getDouble(2), r.getLong(0)) -> r.getLong(1)).toMap
+    assert(got((0.3, 4L)) == 1L) // all connected at 0.3
+    assert(got((0.5, 4L)) == 3L) // split at 0.5
+    assert(got((0.5, 2L)) == 1L)
+  }
+
+  test("graph metrics: degree, size, centrality, density") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L))
+      .toDF("unique_id_l", "unique_id_r")
+    val clusters = graft.clustering.ConnectedComponents.run(edges)
+    val nm = ClusteringOps.nodeMetrics(clusters, edges).collect()
+      .map(r => r.getAs[Long]("node_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("centrality"))).toMap
+    assert(nm(1L) == (2L, 3L, 1.0))
+    assert(nm(5L) == (1L, 2L, 1.0))
+    val cm = ClusteringOps.clusterMetrics(clusters, edges).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+          r.getAs[Double]("density"))).toMap
+    assert(cm(1L) == (3L, 3L, 1.0))
+  }
+
+  test("truth space table computes confusion matrix at each threshold") {
+    val scored = Seq(
+      (10.0, 1), (8.0, 1), (5.0, 0), (2.0, 1), (-1.0, 0), (-3.0, 0))
+      .toDF("match_weight", "clerical_match")
+    val ts = Evaluation.truthSpaceTable(scored).collect()
+      .map(r => r.getAs[Double]("truth_threshold") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("tn"), r.getAs[Long]("fn"))).toMap
+    assert(ts(10.0) == (1L, 0L, 3L, 2L))
+    assert(ts(5.0) == (2L, 1L, 2L, 1L))
+    assert(ts(-3.0) == (3L, 3L, 0L, 0L))
+  }
+
+  test("exploding blocking rule generates pairs from array elements") {
+    val df = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("b", "c")), (3L, Seq("x")), (4L, Seq("c", "b")))
+      .toDF("unique_id", "tags")
+    val settings = LinkSettings(
+      linkType = LinkType.DedupeOnly,
+      blockingRules = Seq(BlockingRule.BlockOnRule(Seq("tags"),
+        arraysToExplode = Seq("tags"))),
+      comparisons = Seq(Comparison("unique_id", Seq(
+        ll.exactMatch("unique_id"), ll.elseLevel))))
+    val pairs = graft.operators.Blocking.blockedIdPairs(df, settings)
+      .select("join_key_l", "join_key_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shared tags: (1,2) via b, (2,4) via b AND c (deduped), (1,4) via b
+    assert(pairs == Set((1L, 2L), (2L, 4L), (1L, 4L)))
+  }
+
+  test("multimodal: metadata, frame sampling, decode plumbing") {
+    val docs = Seq((1L, "hello world of spark"), (2L, "tiny")).toDF("doc_id", "text")
+    val media = MultimodalOps.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val meta = media.select(col("media_id"),
+      MultimodalOps.payloadMetadata(col("payload")).head._2.as("n_bytes")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(meta(1L) == 20L && meta(2L) == 4L)
+    val frames = media.filter(col("media_id") === 1)
+      .select(MultimodalOps.frameSample(col("payload"), 3, 4).as("f"))
+      .first().getSeq[Array[Byte]](0)
+    assert(frames.size == 3 && frames.forall(_.length == 4))
+    val decoded = MultimodalOps.decode(media).collect()
+    assert(decoded.length == 2)
+    assert(decoded.forall(r => r.getInt(1) >= 64 && r.getSeq[Float](4).size == 8))
+    // determinism
+    val again = MultimodalOps.decode(media).collect()
+    assert(decoded.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("simhash of similar docs is close, dissimilar far") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and again!"
+    val c = "completely different content about database query optimization"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val sh = df.select(col("id"),
+      DedupOps.simhash(DedupOps.shingles(col("text"), 8)).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    assert(hamming(sh(1L), sh(2L)) <= 8)
+  }
+}
