@@ -102,6 +102,48 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     }
   }
 
+  /** Chunked predict (`chunking.py:12-42`,
+    * `linker_components/inference.py:294-444`): blocked pairs are split by
+    * a deterministic hash of the left join key and scored chunk by chunk —
+    * bounds peak shuffle/memory for huge pair counts; results are unioned.
+    * Chunked output == unchunked output (reference `tests/test_chunking.py`). */
+  def predictChunked(numChunks: Int,
+      thresholdMatchProbability: Option[Double] = None): DataFrame = {
+    require(numChunks >= 1)
+    val pairs = blockedIdPairs()
+    val chunkCol = pmod(hash(col("join_key_l")), lit(numChunks))
+    (0 until numChunks).map { k =>
+      val cv = ComparisonVectors.compute(pairs.filter(chunkCol === k),
+        concatWithTf, settings)
+      Predict.score(cv, settings, None, thresholdMatchProbability)
+        .localCheckpoint(true)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Block + score new records against the existing corpus without
+    * re-linking the corpus to itself
+    * (`find_matches_to_new_records.py:14-51`). */
+  def findMatchesToNewRecords(newRecords: DataFrame,
+      thresholdMatchProbability: Option[Double] = None): DataFrame = {
+    val rules = if (settings.blockingRules.nonEmpty) settings.blockingRules
+      else Seq(BlockingRule.CustomBlockingRule("1=1"))
+    val needed = (rules.flatMap(Blocking.ruleColumns) :+ settings.uniqueIdColumn)
+      .distinct.filter(concat.columns.contains)
+    val key = Blocking.joinKeyCol(settings)
+    def narrow(df: DataFrame) = df.select(
+      (key.as("__join_key") +: needed.filterNot(_ == "__join_key").map(col)): _*)
+    // l = existing corpus, r = new records; no uid-ordering filter
+    val idPairs = Blocking.pairsUnderRules(narrow(concat), narrow(newRecords),
+      rules, None)
+    val newWithTf = settings.tfColumns.foldLeft(newRecords) { (df, c) =>
+      df.join(broadcast(TermFrequency.table(concat, c)), Seq(c), "left")
+    }
+    val pairsDf = ComparisonVectors.pairsFromIdsTwoFrames(
+      idPairs, concatWithTf, newWithTf, settings)
+    Predict.score(ComparisonVectors.addGammas(pairsDf, settings), settings,
+      None, thresholdMatchProbability)
+  }
+
   /** Score every record against itself (`linker.py:493-552`) — input for
     * the unlinkables diagnostic. */
   def selfLink(): DataFrame = {

@@ -136,23 +136,50 @@ object Blocking {
     val narrow = concat.select(
       (joinKeyCol(settings).as("__join_key") +: neededCols.map(col)): _*)
 
+    pairsUnderRules(narrow, narrow, rules, Some(linkTypeFilter(settings)))
+  }
+
+  /**
+   * Per-rule join with NOT-previous dedupe and match_key union, over
+   * already-projected l/r frames carrying `__join_key`. `extraFilter` is
+   * the link-type WHERE clause (None when joining two distinct frames,
+   * e.g. find-matches-to-new-records, `blocking.py:698-744`).
+   *
+   * Salting (`BlockOnRule.salts` > 1, reference
+   * `spark/database_api.py` salting + `optimising_spark.md:78`): the rule's
+   * join is split into `salts` unioned joins, each restricted to one hash
+   * bucket of the left side — s smaller tasks instead of one giant task on
+   * a hot key. (AQE skew-join handles most cases; salting is the explicit
+   * escape hatch.)
+   */
+  def pairsUnderRules(left: DataFrame, right: DataFrame,
+      rules: Seq[BlockingRule], extraFilter: Option[Column]): DataFrame = {
     val perRule = rules.zipWithIndex.map { case (rule, i) =>
       val notPrev = rules.take(i).map(pr =>
         !coalesce(pr.condition, lit(false))) // AND NOT any earlier rule
       val (lhs, rhs) =
         if (rule.arraysToExplode.nonEmpty) {
-          val exploded = rule.arraysToExplode.foldLeft(narrow) { (df, c) =>
-            df.withColumn(c, explode(col(c)))
+          def explodeAll(df: DataFrame) = rule.arraysToExplode.foldLeft(df) {
+            (d, c) => d.withColumn(c, explode(col(c)))
           }
-          (exploded.alias("l"), exploded.alias("r"))
-        } else (narrow.alias("l"), narrow.alias("r"))
-      val cond = (rule.condition +: linkTypeFilter(settings) +: notPrev).reduce(_ && _)
-      val joined = lhs.join(rhs, cond, "inner")
-        .select(lit(i.toString).as(Cols.MatchKey),
-          col("l.__join_key").as("join_key_l"),
-          col("r.__join_key").as("join_key_r"))
+          (explodeAll(left).alias("l"), explodeAll(right).alias("r"))
+        } else (left.alias("l"), right.alias("r"))
+      val cond = (rule.condition +: (extraFilter.toSeq ++ notPrev)).reduce(_ && _)
+      val salts = rule match {
+        case BlockOnRule(_, s, _) if s > 1 => s
+        case _ => 1
+      }
+      def project(j: DataFrame) = j.select(lit(i.toString).as(Cols.MatchKey),
+        col("l.__join_key").as("join_key_l"),
+        col("r.__join_key").as("join_key_r"))
+      val selected =
+        if (salts == 1) project(lhs.join(rhs, cond, "inner"))
+        else (0 until salts).map { k =>
+          project(lhs.join(rhs,
+            cond && pmod(hash(col("l.__join_key")), lit(salts)) === k, "inner"))
+        }.reduce(_.unionByName(_))
       // exploded rules can emit the same pair many times (`blocking.py:398-407`)
-      if (rule.arraysToExplode.nonEmpty) joined.distinct() else joined
+      if (rule.arraysToExplode.nonEmpty) selected.distinct() else selected
     }
     perRule.reduce(_.unionByName(_))
   }
@@ -192,14 +219,21 @@ object ComparisonVectors {
 
   /** Pairs with all l/r columns, from id pairs + records. */
   def pairsFromIds(idPairs: DataFrame, concatWithTf: DataFrame,
-      settings: LinkSettings): DataFrame = {
+      settings: LinkSettings): DataFrame =
+    pairsFromIdsTwoFrames(idPairs, concatWithTf, concatWithTf, settings)
+
+  /** Same, joining the l and r sides back to DIFFERENT record frames
+    * (find-matches-to-new-records shape). */
+  def pairsFromIdsTwoFrames(idPairs: DataFrame, leftRecords: DataFrame,
+      rightRecords: DataFrame, settings: LinkSettings): DataFrame = {
     val joinKey = Blocking.joinKeyCol(settings)
-    val records = concatWithTf.withColumn("__join_key", joinKey)
+    val lrec = leftRecords.withColumn("__join_key", joinKey)
+    val rrec = rightRecords.withColumn("__join_key", joinKey)
     val projection = col(Cols.MatchKey) +:
-      pairProjection(settings, records.columns.toSeq)
+      pairProjection(settings, lrec.columns.toSeq)
     idPairs.alias("b")
-      .join(records.alias("l"), col("b.join_key_l") === col("l.__join_key"))
-      .join(records.alias("r"), col("b.join_key_r") === col("r.__join_key"))
+      .join(lrec.alias("l"), col("b.join_key_l") === col("l.__join_key"))
+      .join(rrec.alias("r"), col("b.join_key_r") === col("r.__join_key"))
       .select(projection: _*)
   }
 

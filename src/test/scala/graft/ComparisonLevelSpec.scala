@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.model.{LevelLibrary => ll}
+
+/**
+ * Literal-level tests of comparison levels: feed literal `_l`/`_r` rows,
+ * assert in/out of level — the reference's `is_in_level` harness
+ * (`splink/internals/testing.py:16-103`, `tests/test_comparison_level_lib.py`).
+ */
+class ComparisonLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.functions.funcs.registerAll(spark)
+
+  def inLevel(level: ComparisonLevel, df: DataFrame): Seq[Boolean] =
+    df.select(coalesce(level.condition, lit(false))).collect().map(_.getBoolean(0)).toSeq
+
+  test("string levels: exact, levenshtein, damerau, jaro, jw, jaccard") {
+    val df = Seq(
+      ("martha", "martha"), ("martha", "marhta"), ("martha", "xyz"),
+      (null, "martha")).toDF("c_l", "c_r")
+    assert(inLevel(ll.exactMatch("c"), df) == Seq(true, false, false, false))
+    assert(inLevel(ll.levenshtein("c", 2), df) == Seq(true, true, false, false))
+    assert(inLevel(ll.damerauLevenshtein("c", 1), df) == Seq(true, true, false, false))
+    assert(inLevel(ll.jaro("c", 0.9), df) == Seq(true, true, false, false))
+    assert(inLevel(ll.jaroWinkler("c", 0.95), df) == Seq(true, true, false, false))
+    assert(inLevel(ll.jaccard("c", 0.5), df) == Seq(true, false, false, false))
+    assert(inLevel(ll.nullLevel("c"), df) == Seq(false, false, false, true))
+  }
+
+  test("numeric levels: absolute and percentage difference") {
+    val df = Seq((100.0, 105.0), (100.0, 130.0), (-50.0, -52.0))
+      .toDF("v_l", "v_r")
+    assert(inLevel(ll.absoluteDifference("v", 10.0), df) == Seq(true, false, true))
+    assert(inLevel(ll.percentageDifference("v", 0.1), df) == Seq(true, false, true))
+  }
+
+  test("date levels: absolute date difference") {
+    val df = Seq(("2020-01-01", "2020-01-15"), ("2020-01-01", "2021-06-01"))
+      .toDF("d0_l", "d0_r")
+      .select(to_date(col("d0_l")).as("d_l"), to_date(col("d0_r")).as("d_r"))
+    assert(inLevel(ll.absoluteDateDifference("d", 30), df) == Seq(true, false))
+    assert(inLevel(ll.absoluteDateDifference("d", 600), df) == Seq(true, true))
+  }
+
+  test("time level: absolute time difference in seconds") {
+    val df = Seq(("2020-01-01 10:00:00", "2020-01-01 10:30:00"))
+      .toDF("t0_l", "t0_r")
+      .select(to_timestamp(col("t0_l")).as("t_l"), to_timestamp(col("t0_r")).as("t_r"))
+    assert(inLevel(ll.absoluteTimeDifference("t", 3600), df) == Seq(true))
+    assert(inLevel(ll.absoluteTimeDifference("t", 600), df) == Seq(false))
+  }
+
+  test("geo level: distance in km (London-Paris ~344km)") {
+    val df = Seq((51.5074, -0.1278, 48.8566, 2.3522))
+      .toDF("lat_l", "lon_l", "lat_r", "lon_r")
+    assert(inLevel(ll.distanceInKM("lat", "lon", 400), df) == Seq(true))
+    assert(inLevel(ll.distanceInKM("lat", "lon", 300), df) == Seq(false))
+  }
+
+  test("array levels: intersect, subset, pairwise distance") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "b"), Seq("a", "b", "z")),
+      (Seq("a"), Seq("x"))).toDF("arr_l", "arr_r")
+    assert(inLevel(ll.arrayIntersect("arr", 2), df) == Seq(true, true, false))
+    assert(inLevel(ll.arraySubset("arr"), df) == Seq(false, true, false))
+    val pw = ll.pairwiseStringDistance("arr", "jaro_winkler", 0.99)
+    assert(inLevel(pw, df) == Seq(true, true, false))
+  }
+
+  test("cosine similarity level on float arrays") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("v_l", "v_r")
+    assert(inLevel(ll.cosineSimilarity("v", 0.9), df) == Seq(true, false))
+  }
+
+  test("columns reversed and literal match") {
+    val df = Seq(("john", "smith", "smith", "john"), ("a", "b", "c", "d"))
+      .toDF("fn_l", "sn_l", "fn_r", "sn_r")
+    assert(inLevel(ll.columnsReversed("fn", "sn"), df) == Seq(true, false))
+  }
+
+  test("phonetic level: dmetaphone equality") {
+    val df = Seq(("catherine", "katherine"), ("smith", "jones"))
+      .toDF("n_l", "n_r")
+    val level = ll.custom("dmetaphone", "dmetaphone(n_l) = dmetaphone(n_r)")
+    assert(inLevel(level, df) == Seq(true, false))
+  }
+
+  test("composed levels: and/or/not") {
+    val df = Seq(("a", "a", 1.0, 1.0), ("a", "a", 1.0, 99.0), ("a", "b", 1.0, 1.0))
+      .toDF("s_l", "s_r", "v_l", "v_r")
+    val both = ll.and("both", ll.exactMatch("s"), ll.absoluteDifference("v", 0.5))
+    assert(inLevel(both, df) == Seq(true, false, false))
+    val either = ll.or("either", ll.exactMatch("s"), ll.absoluteDifference("v", 0.5))
+    assert(inLevel(either, df) == Seq(true, true, true))
+  }
+
+  test("comparison templates expand to expected level counts") {
+    assert(ComparisonLibrary.exactMatch("x").levels.size == 3)
+    assert(ComparisonLibrary.levenshteinAtThresholds("x", Seq(1, 2)).levels.size == 5)
+    assert(ComparisonLibrary.name("x").levels.size == 7)
+    assert(ComparisonLibrary.email("x").levels.size == 6)
+    assert(ComparisonLibrary.postcode("x").levels.size == 6)
+    assert(ComparisonLibrary.dateOfBirth("x").levels.size == 7)
+    assert(ComparisonLibrary.forenameSurname("fn", "sn").levels.size == 7)
+    // gamma ordering: most similar level has highest gamma
+    val c = ComparisonLibrary.levenshteinAtThresholds("x", Seq(1, 2))
+    val gammas = c.activeLevelsWithGamma.map(_._2)
+    assert(gammas == Seq(3, 2, 1, 0))
+  }
+}
