@@ -193,9 +193,7 @@ object SparkEntry {
 
     // text analysis: token counts, ratios, quality, language, fingerprint
     "q_text_stats" -> ((s, dir) => {
-      val d = pq(s, dir, "documents")
-      val metrics = TextOps.allMetrics(col("text"))
-      d.select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      TextOps.metricsFrame(pq(s, dir, "documents"), "text", Seq("doc_id"))
     }),
 
     // dedup: token-set jaccard pairs, blocked by (lang, source, length bucket)

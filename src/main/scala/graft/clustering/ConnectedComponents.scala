@@ -70,7 +70,7 @@ object ConnectedComponents {
         .select(col("a.node_id"),
           least(col("a.representative"), coalesce(col("rep_rep"), col("a.representative")))
             .as("representative"))
-        .localCheckpoint(eager)
+        .localCheckpoint(eager) // job 1: the only materialisation per round
 
       // Edges whose endpoints currently disagree = clusters still merging.
       val cross = neighbours.alias("e")
@@ -82,27 +82,28 @@ object ConnectedComponents {
       val openGroups = cross.select(col("rep_l").as("g"))
         .unionByName(cross.select(col("rep_r").as("g")))
         .distinct()
-        .localCheckpoint(eager)
+        .persist() // small frame, reused 3x below; job 2 via isEmpty
 
       if (openGroups.isEmpty) {
         finalised += reps
         done = true
+        openGroups.unpersist()
       } else {
-        // Clusters with no outgoing edge are final; drop them + their edges.
+        // Clusters with no outgoing edge are final; drop them + their
+        // edges. These build on the just-checkpointed reps, so their
+        // lineage stays shallow without extra materialisation jobs.
         val stableNodes = reps.alias("r")
           .join(openGroups.alias("o"), col("r.representative") === col("o.g"), "left_anti")
-          .localCheckpoint(eager)
         finalised += stableNodes
         reps = reps.alias("r")
           .join(openGroups.alias("o"), col("r.representative") === col("o.g"), "left_semi")
-          .localCheckpoint(eager)
         val live = reps.select("node_id")
         neighbours = neighbours
           .join(live.withColumnRenamed("node_id", "__l"),
             col("node_id") === col("__l"), "left_semi")
           .join(live.withColumnRenamed("node_id", "__r"),
             col("neighbour") === col("__r"), "left_semi")
-          .localCheckpoint(eager)
+          .localCheckpoint(eager) // job 3: cut neighbour lineage
       }
     }
     if (!done) finalised += reps // maxIterations safety valve

@@ -26,17 +26,19 @@ object Evaluation {
     val truth = scored.select(
       round(col(Cols.MatchWeight), 6).as("truth_threshold"),
       col(clericalCol).cast("int").as("pos"))
-    val totals = truth.agg(sum("pos").as("total_p"),
-      sum(lit(1) - col("pos")).as("total_n"))
     val byThreshold = truth.groupBy("truth_threshold")
       .agg(sum("pos").as("p_at"), sum(lit(1) - col("pos")).as("n_at"))
-    // pairs scored at or ABOVE each threshold are predicted matches
+    // pairs scored at or ABOVE each threshold are predicted matches.
+    // Totals come from a whole-frame window over the (small) per-threshold
+    // aggregate — NOT a second scan of the scored pairs.
     val w = Window.orderBy(desc("truth_threshold"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     byThreshold
       .withColumn("tp", sum("p_at").over(w))
       .withColumn("fp", sum("n_at").over(w))
-      .crossJoin(broadcast(totals))
+      .withColumn("total_p", sum("p_at").over(wAll))
+      .withColumn("total_n", sum("n_at").over(wAll))
       .withColumn("fn", col("total_p") - col("tp"))
       .withColumn("tn", col("total_n") - col("fp"))
       .withColumn("precision",

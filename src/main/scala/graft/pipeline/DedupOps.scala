@@ -89,8 +89,13 @@ object DedupOps {
     // one giant quadratic bucket; shingles keep signatures diverse.
     // Signature is a single-pass native expression (shingle + hash + k
     // min-slots in one scan of the text).
+    // carry SORTED HASHED shingles (longs) into the join, not strings:
+    // smaller shuffle rows and a linear-merge set-intersection at verify
+    // time (native expression); jaccard over 64-bit hashes equals true
+    // jaccard up to ~1e-19 collision probability
     val base = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleQ).as("toks"),
+        sort_array(array_distinct(transform(shingles(col(textCol), shingleQ),
+          t => xxhash64(t)))).as("toks"),
         graft.functions.funcs.minhash_sig(col(textCol), shingleQ, k).as("sig"))
       .filter(size(col("toks")) > 0)
     val banded = base
@@ -101,14 +106,13 @@ object DedupOps {
     val r = banded.alias("r")
     // jaccard verified inline, THEN distinct over scalar rows only — never
     // shuffle the token arrays through a distinct.
-    val inter = size(array_intersect(col("l.toks"), col("r.toks")))
-    val uni = size(col("l.toks")) + size(col("r.toks")) - inter
+    val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
     l.join(r,
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
-        round(inter.cast("double") / uni, 9).as("jaccard"))
+        round(jac, 9).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .distinct()
   }

@@ -100,4 +100,25 @@ object TextOps {
     "quality" -> round(qualityScore(c), 9),
     "lang_guess" -> langGuess(c),
     "fingerprint" -> fingerprint(c))
+
+  /** All seven metrics via the one-pass native kernel
+    * ([[graft.functions.TextStats]]): the pure-Column formulation leans on
+    * higher-order functions, which Spark evaluates interpreted — at 100TB
+    * that is the difference between one cheap scan and a ~50x slower one.
+    * Output is identical to [[allMetrics]]. */
+  def metricsFrame(df: org.apache.spark.sql.DataFrame, textCol: String,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val stats = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextStats(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol))))
+    df.select((keep.map(col) :+ stats.as("__m")): _*)
+      .select((keep.map(col) :+
+        col("__m.n_tokens").as("n_tokens") :+
+        col("__m.n_chars").as("n_chars") :+
+        round(col("__m.punct_ratio"), 9).as("punct_ratio") :+
+        round(col("__m.stopword_ratio"), 9).as("stopword_ratio") :+
+        round(col("__m.quality"), 9).as("quality") :+
+        col("__m.lang_guess").as("lang_guess") :+
+        col("__m.fingerprint").as("fingerprint")): _*)
+  }
 }

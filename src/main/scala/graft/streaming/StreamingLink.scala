@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.Linker
+
+/**
+ * Streaming linkage (beyond the reference: it is batch-only —
+ * `SURVEY.md §2.13`; its "realtime" API scores a handful of records against
+ * a trained model). The natural Spark extension: a stream of new records is
+ * scored against the static trained corpus per micro-batch with
+ * `foreachBatch` + [[Linker.findMatchesToNewRecords]] — the static side's
+ * TF tables and model constants are reused across batches.
+ */
+object StreamingLink {
+
+  /**
+   * Attach micro-batch find-matches scoring to a stream of new records.
+   * Each batch is blocked + scored against the linker's corpus; `sink`
+   * receives (scoredBatch, batchId).
+   */
+  def findMatchesStream(linker: Linker, newRecords: DataFrame,
+      thresholdMatchProbability: Option[Double] = None)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    newRecords.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(linker.findMatchesToNewRecords(batch, thresholdMatchProbability),
+            batchId)
+        }
+      }
+  }
+
+  /** Convenience: run the stream into an in-memory accumulator (testing /
+    * small sinks); returns the started query. */
+  def startCollecting(linker: Linker, newRecords: DataFrame,
+      threshold: Option[Double],
+      out: scala.collection.mutable.Buffer[Row]): StreamingQuery =
+    findMatchesStream(linker, newRecords, threshold) { (scored, _) =>
+      out ++= scored.collect()
+    }.trigger(Trigger.AvailableNow()).start()
+}
