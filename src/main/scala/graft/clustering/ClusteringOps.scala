@@ -107,6 +107,81 @@ object ClusteringOps {
   }
 
   /**
+   * Bridge edges (`edge_metrics.py:28-60`): an edge is a bridge when its
+   * removal disconnects the cluster. The reference shells out to igraph on
+   * the driver (optional dependency); here clusters up to
+   * `maxClusterSize` are collected per-cluster and bridges found with the
+   * linear-time DFS algorithm; larger clusters are skipped (flagged null),
+   * matching the reference's "basic fallback" posture.
+   */
+  def edgeBridges(clusters: DataFrame, edges: DataFrame,
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
+      maxClusterSize: Int = 10000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val withCluster = edges.alias("e")
+      .join(clusters.alias("c"), col(s"e.$srcCol") === col("c.node_id"))
+      .select(col("c.cluster_id").as("cluster_id"),
+        col(s"e.$srcCol").cast("long").as("a"), col(s"e.$dstCol").cast("long").as("b"))
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val small = withCluster.join(sizes.filter(col("n") <= maxClusterSize),
+      Seq("cluster_id"), "left_semi")
+    val perCluster = small.groupBy("cluster_id")
+      .agg(collect_list(struct(col("a"), col("b"))).as("es"))
+    val bridged = perCluster.flatMap { row =>
+      val cid = row.get(0)
+      val es = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val bridges = findBridges(es)
+      es.map { case (a, b) =>
+        (cid.toString, a, b, bridges.contains((a, b)) || bridges.contains((b, a)))
+      }
+    }.toDF("cluster_id", srcCol, dstCol, "is_bridge")
+    bridged
+  }
+
+  /** Tarjan DFS bridge finding over an undirected edge list (driver-side). */
+  def findBridges(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, Int)]]
+    edges.zipWithIndex.foreach { case ((a, b), i) =>
+      adj(a) = (b, i) :: adj.getOrElse(a, Nil)
+      adj(b) = (a, i) :: adj.getOrElse(b, Nil)
+    }
+    val disc = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val out = scala.collection.mutable.Set.empty[(Long, Long)]
+    var timer = 0
+    // iterative DFS (avoid stack overflow on long paths)
+    adj.keys.foreach { root =>
+      if (!disc.contains(root)) {
+        val stack = scala.collection.mutable.Stack[(Long, Int, List[(Long, Int)])]()
+        disc(root) = timer; low(root) = timer; timer += 1
+        stack.push((root, -1, adj(root)))
+        while (stack.nonEmpty) {
+          val (v, pe, rest) = stack.pop()
+          rest match {
+            case (w, ei) :: tail =>
+              stack.push((v, pe, tail))
+              if (!disc.contains(w)) {
+                disc(w) = timer; low(w) = timer; timer += 1
+                stack.push((w, ei, adj(w)))
+              } else if (ei != pe) {
+                low(v) = math.min(low(v), disc(w))
+              }
+            case Nil =>
+              if (stack.nonEmpty) {
+                val (p, ppe, prest) = stack.top
+                low(p) = math.min(low(p), low(v))
+                if (low(v) > disc(p)) out += ((p, v))
+              }
+          }
+        }
+      }
+    }
+    out.toSet
+  }
+
+  /**
    * Cluster-level metrics (`graph_metrics.py:116-170`): size, edge count,
    * density = 2E / (n(n-1)), cluster centralisation.
    */

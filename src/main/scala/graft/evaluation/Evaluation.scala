@@ -151,6 +151,51 @@ object Evaluation {
       .limit(n)
   }
 
+  /**
+   * Cluster-studio style cluster sampling (`cluster_studio.py:157-296`):
+   * pick cluster ids at random (seeded), by size band, or lowest density.
+   */
+  def sampleClusters(clusters: DataFrame, edges: DataFrame,
+      method: String, n: Int, seed: Long = 42L,
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r"): DataFrame = {
+    import graft.clustering.ClusteringOps
+    val metrics = ClusteringOps.clusterMetrics(clusters, edges, srcCol, dstCol)
+    method match {
+      case "random" =>
+        metrics.orderBy(rand(seed)).limit(n).select("cluster_id")
+      case "by_cluster_size" =>
+        metrics.orderBy(desc("n_nodes"), asc("cluster_id")).limit(n)
+          .select("cluster_id")
+      case "lowest_density_clusters_by_size" =>
+        metrics.filter(col("n_nodes") > 2)
+          .orderBy(asc("density"), asc("cluster_id")).limit(n)
+          .select("cluster_id")
+      case other =>
+        throw new IllegalArgumentException(s"unknown sampling method $other")
+    }
+  }
+
+  /** Waterfall-chart data (`waterfall_chart.py:11-170`): per scored pair,
+    * one row per comparison with its match-weight contribution plus prior
+    * and final rows — the additive decomposition of the score. */
+  def waterfallData(scored: DataFrame, settings: LinkSettings): DataFrame = {
+    val uid = settings.uniqueIdColumn
+    val prior = scored.select(col(Cols.l(uid)), col(Cols.r(uid)),
+      lit("prior").as("term"), lit(-1).as("bar_sort_order"),
+      lit(settings.priorMatchWeight).as("log2_bayes_factor"))
+    val perComparison = settings.comparisons.zipWithIndex.map { case (c, i) =>
+      scored.select(col(Cols.l(uid)), col(Cols.r(uid)),
+        lit(c.outputColumnName).as("term"), lit(i).as("bar_sort_order"),
+        (c.matchWeightColumn +
+          (if (c.hasTfLevels) c.tfAdjustmentColumn else lit(0.0)))
+          .as("log2_bayes_factor"))
+    }
+    val finalRow = scored.select(col(Cols.l(uid)), col(Cols.r(uid)),
+      lit("final").as("term"), lit(settings.comparisons.size).as("bar_sort_order"),
+      col(Cols.MatchWeight).as("log2_bayes_factor"))
+    (prior +: perComparison :+ finalRow).reduce(_.unionByName(_))
+  }
+
   /** False positives / false negatives at a threshold against a label
     * column (`linker_components/evaluation.py:37-351`). */
   def predictionErrors(scored: DataFrame, labelCol: String,

@@ -137,6 +137,30 @@ object Training {
     settings.copy(probabilityTwoRandomRecordsMatch = math.max(lam, Model.ProbFloor))
   }
 
+  /** Default m/u for untrained levels (reference heuristic shape,
+    * `comparison_level.py:97-130`: match weights interpolated from +10 for
+    * the most-similar level down to -5 for ELSE over a uniform u). */
+  def withDefaultMU(settings: LinkSettings): LinkSettings = {
+    val updated = settings.comparisons.map { c =>
+      val n = c.activeLevels.size
+      val newLevels = c.levels.map { lv =>
+        if (lv.isNull) lv
+        else {
+          val g = c.activeLevelsWithGamma.collectFirst {
+            case (l2, gg) if l2 == lv => gg }.get
+          // g in [0, n-1]; weight 10 at g=n-1 down to -5 at g=0
+          val weight = if (n <= 1) 0.0 else -5.0 + 15.0 * g / (n - 1)
+          val u = 1.0 / n
+          val m = math.min(u * math.pow(2.0, weight), 1.0 - 1e-9)
+          val withM = if (lv.m.isDefined) lv else lv.withM(m)
+          if (withM.u.isDefined) withM else withM.withU(u)
+        }
+      }
+      c.copy(levels = newLevels)
+    }
+    settings.copy(comparisons = updated)
+  }
+
   // ------------------------------------------------------------------ EM
 
   /** One gamma pattern and its pair count. */
@@ -228,8 +252,24 @@ object Training {
   def expectationMaximisation(inputs: Seq[(String, DataFrame)],
       settings: LinkSettings, trainingRule: BlockingRule,
       fixU: Boolean = true, maxIterations: Int = 25,
-      tolerance: Double = 1e-4): EMResult = {
-    val concat = VerticalConcat(inputs, settings)
+      tolerance: Double = 1e-4, maxPairs: Option[Long] = None): EMResult = {
+    val concatFull = VerticalConcat(inputs, settings)
+    // pair-cap sampling (`em_sampling.py:64-236`): probe a record fraction
+    // q, estimate total pairs p_hat = count/q^2; when above the cap keep
+    // a sqrt(max_pairs/p_hat) fraction of records on both sides.
+    val concat = maxPairs match {
+      case None => concatFull
+      case Some(cap) =>
+        val q = 0.1
+        val uidStr = col(settings.uniqueIdColumn).cast("string")
+        val probe = concatFull.filter(TextOps.hashSample(uidStr, q))
+        val probePairs = Blocking.blockedIdPairs(probe,
+          settings.copy(blockingRules = Seq(trainingRule))).count()
+        val estimated = probePairs / (q * q)
+        if (estimated <= cap) concatFull
+        else concatFull.filter(TextOps.hashSample(uidStr,
+          math.sqrt(cap / estimated)))
+    }
     val ruleCols = Blocking.ruleColumns(trainingRule).toSet
     val (deactivated, active) = settings.comparisons.partition(
       c => c.inputColumns.exists(ruleCols.contains))

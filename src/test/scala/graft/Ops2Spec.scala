@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.model.{LevelLibrary => ll}
+import graft.clustering.{ClusteringOps, ConnectedComponents}
+import graft.evaluation.Evaluation
+import graft.training.Training
+
+class Ops2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("findBridges: triangle with tail") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(ClusteringOps.findBridges(edges) == Set((3L, 4L)))
+    // path graph: every edge is a bridge
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(ClusteringOps.findBridges(path).size == 3)
+  }
+
+  test("edgeBridges end to end") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("unique_id_l", "unique_id_r")
+    val clusters = ConnectedComponents.run(edges)
+    val got = ClusteringOps.edgeBridges(clusters, edges).collect()
+      .map(r => (r.getAs[Long]("unique_id_l"), r.getAs[Long]("unique_id_r")) ->
+        r.getAs[Boolean]("is_bridge")).toMap
+    assert(got((3L, 4L)) && got((10L, 11L)))
+    assert(!got((1L, 2L)) && !got((2L, 3L)))
+  }
+
+  test("default m/u heuristic fills untrained levels monotonically") {
+    val s = LinkSettings(comparisons = Seq(
+      Comparison("x", Seq(ll.nullLevel("x"), ll.exactMatch("x"),
+        ll.levenshtein("x", 2), ll.elseLevel))))
+    val d = Training.withDefaultMU(s)
+    val levels = d.comparisonByName("x").activeLevels
+    val ws = levels.map(_.matchWeight)
+    assert(ws == ws.sorted.reverse) // most similar level has highest weight
+    assert(levels.forall(l => l.m.isDefined && l.u.isDefined))
+    // trained values untouched
+    val s2 = s.withComparison(s.comparisonByName("x").copy(levels =
+      s.comparisonByName("x").levels.map(l =>
+        if (l.isNull) l else l.withM(0.5))))
+    val d2 = Training.withDefaultMU(s2)
+    assert(d2.comparisonByName("x").activeLevels.forall(_.m.contains(0.5)))
+  }
+
+  test("cluster sampling methods are deterministic and bounded") {
+    val edges = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("unique_id_l", "unique_id_r")
+    val clusters = ConnectedComponents.run(edges)
+    for (m <- Seq("random", "by_cluster_size", "lowest_density_clusters_by_size")) {
+      val got = Evaluation.sampleClusters(clusters, edges, m, 2)
+      assert(got.count() <= 2, m)
+    }
+  }
+
+  test("waterfall data decomposes the match weight additively") {
+    val people = Seq((0L, "A", "S"), (1L, "A", "S")).toDF("unique_id", "fn", "sn")
+    val s = LinkSettings(
+      blockingRules = Seq(BlockingRule.blockOn("sn")),
+      comparisons = Seq(Comparison("fn", Seq(ll.nullLevel("fn"),
+        ll.exactMatch("fn").withM(0.9).withU(0.1), ll.elseLevel.withM(0.1).withU(0.9)))),
+      probabilityTwoRandomRecordsMatch = 0.1)
+    val linker = new Linker(people, s)
+    val scored = linker.predict()
+    val wf = Evaluation.waterfallData(scored, s).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Double]("log2_bayes_factor")).toMap
+    assert(math.abs(wf("prior") + wf("fn") - wf("final")) < 1e-12)
+  }
+
+  test("EM with pair cap still trains") {
+    val people = (0L until 60L).map(i =>
+      (i, s"name${i % 20}", s"sur${i % 6}")).toDF("unique_id", "fn", "sn")
+    val s = LinkSettings(
+      blockingRules = Seq(BlockingRule.blockOn("sn")),
+      comparisons = Seq(Comparison("fn", Seq(ll.nullLevel("fn"),
+        ll.exactMatch("fn").withM(0.5).withU(0.5), ll.elseLevel.withM(0.5).withU(0.5)))),
+      probabilityTwoRandomRecordsMatch = 0.1)
+    val r = Training.expectationMaximisation(Seq("t" -> people), s,
+      BlockingRule.blockOn("sn"), maxPairs = Some(50L))
+    assert(r.iterations >= 1)
+    assert(r.settings.comparisonByName("fn").activeLevels.head.m.isDefined)
+  }
+}
