@@ -34,9 +34,22 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     if (settings.tfColumns.nonEmpty) df.persist() else df
   }
 
-  /** Blocked candidate id pairs (`blocking.py:603-695`). */
-  def blockedIdPairs(): DataFrame =
-    Blocking.blockedIdPairs(concat, settings)
+  /** Blocked candidate id pairs (`blocking.py:603-695`). Two-frame
+    * link_only jobs take the direct left-x-right join fast path. */
+  def blockedIdPairs(): DataFrame = {
+    val twoFrames =
+      if (settings.linkType == LinkType.LinkOnly && inputs.size == 2) {
+        val withSd = inputs.map { case (name, df) =>
+          if (df.columns.contains(settings.sourceDatasetColumn)) df
+          else df.withColumn(settings.sourceDatasetColumn,
+            org.apache.spark.sql.functions.lit(name))
+        }
+        // order by dataset name so join_key_l < join_key_r convention holds
+        val sorted = inputs.map(_._1).zip(withSd).sortBy(_._1)
+        Some((sorted.head._2, sorted.last._2))
+      } else None
+    Blocking.blockedIdPairs(concat, settings, twoFrames)
+  }
 
   /** Comparison-vector frame for the model's blocking rules. */
   def comparisonVectors(): DataFrame =

@@ -121,22 +121,36 @@ object Blocking {
 
   /**
    * Generate blocked id pairs from the concat frame.
+   *
+   * Two-dataset `link_only` fast path (`vertically_concatenate.py:121-163`,
+   * `blocking.py:636-659`): when exactly two input frames are provided and
+   * no within-frame pairs are wanted, join the two frames directly instead
+   * of self-joining the concat — half the join input, no source-dataset
+   * inequality filter.
+   *
    * @return DataFrame(match_key: string, join_key_l, join_key_r)
    */
-  def blockedIdPairs(concat: DataFrame, settings: LinkSettings): DataFrame = {
+  def blockedIdPairs(concat: DataFrame, settings: LinkSettings,
+      twoFrames: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val rules = if (settings.blockingRules.nonEmpty) settings.blockingRules
       else Seq(CustomBlockingRule("1=1"))
     val neededCols = (rules.flatMap(ruleColumns) ++
       (settings.linkType match {
         case LinkType.DedupeOnly => Seq.empty
         case _ => Seq(settings.sourceDatasetColumn)
-      })).distinct.filter(concat.columns.contains)
+      })).distinct
 
-    // Narrow projection: join key + columns any rule touches.
-    val narrow = concat.select(
-      (joinKeyCol(settings).as("__join_key") +: neededCols.map(col)): _*)
+    def narrow(df: DataFrame) = df.select(
+      (joinKeyCol(settings).as("__join_key") +:
+        neededCols.filter(df.columns.contains).map(col)): _*)
 
-    pairsUnderRules(narrow, narrow, rules, Some(linkTypeFilter(settings)))
+    (settings.linkType, twoFrames) match {
+      case (LinkType.LinkOnly, Some((left, right))) =>
+        pairsUnderRules(narrow(left), narrow(right), rules, None)
+      case _ =>
+        val n = narrow(concat)
+        pairsUnderRules(n, n, rules, Some(linkTypeFilter(settings)))
+    }
   }
 
   /**

@@ -143,17 +143,21 @@ object Training {
   def withDefaultMU(settings: LinkSettings): LinkSettings = {
     val updated = settings.comparisons.map { c =>
       val n = c.activeLevels.size
+      def targetWeight(g: Int): Double =
+        if (n <= 1) 0.0 else -5.0 + 15.0 * g / (n - 1)
+      // realise each level's target weight symmetrically: m ~ 2^(w/2),
+      // u ~ 2^(-w/2), both normalised to valid distributions — ratios keep
+      // the interpolated ordering with strongly positive exact-match weight
+      val ms = (0 until n).map(g => math.pow(2.0, targetWeight(g) / 2))
+      val us = (0 until n).map(g => math.pow(2.0, -targetWeight(g) / 2))
+      val (mSum, uSum) = (ms.sum, us.sum)
       val newLevels = c.levels.map { lv =>
         if (lv.isNull) lv
         else {
           val g = c.activeLevelsWithGamma.collectFirst {
             case (l2, gg) if l2 == lv => gg }.get
-          // g in [0, n-1]; weight 10 at g=n-1 down to -5 at g=0
-          val weight = if (n <= 1) 0.0 else -5.0 + 15.0 * g / (n - 1)
-          val u = 1.0 / n
-          val m = math.min(u * math.pow(2.0, weight), 1.0 - 1e-9)
-          val withM = if (lv.m.isDefined) lv else lv.withM(m)
-          if (withM.u.isDefined) withM else withM.withU(u)
+          val withM = if (lv.m.isDefined) lv else lv.withM(ms(g) / mSum)
+          if (withM.u.isDefined) withM else withM.withU(us(g) / uSum)
         }
       }
       c.copy(levels = newLevels)
