@@ -234,6 +234,31 @@ object SparkEntry {
       DedupOps.embeddingDupPairs(e, "vec_id", "embedding", col("label"), 0.2)
     }),
 
+    // §2.3 exploding array blocking: parts sharing a type-word (arrays
+    // synthesised by splitting p_type); distinct marginal id pairs
+    "q_exploding_pairs" -> ((s, dir) => {
+      val parts = pq(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("unique_id"),
+          split(col("p_type"), " ").as("words"))
+      val settings = LinkSettings(
+        linkType = LinkType.DedupeOnly,
+        blockingRules = Seq(BlockingRule.BlockOnRule(Seq("words"),
+          arraysToExplode = Seq("words"))),
+        comparisons = Seq(Comparison("unique_id", Seq(
+          ll.exactMatch("unique_id"), ll.elseLevel))))
+      Blocking.blockedIdPairs(parts, settings)
+        .select(col("join_key_l").cast("bigint").as("uid_l"),
+          col("join_key_r").cast("bigint").as("uid_r"))
+    }),
+
+    // §2.7 anti join: customers with no high-value order
+    "q_anti_join" -> ((s, dir) => {
+      pq(s, dir, "customer").alias("c")
+        .join(pq(s, dir, "orders").filter(col("o_totalprice") > 150000).alias("o"),
+          col("c.c_custkey") === col("o.o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
     // §2.12 truth-space table: cumulative TP/FP/TN/FN over thresholds;
     // clerical truth := same mktsegment (rule 2 pairs may differ)
     "q_truth_space" -> ((s, dir) => {
@@ -469,6 +494,19 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
         |      < CAST(0.1 * 4294967296 AS BIGINT)""".stripMargin,
+
+    "q_exploding_pairs" ->
+      """SELECT DISTINCT l.p_partkey AS uid_l, r.p_partkey AS uid_r
+        |FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS w
+        |      FROM part WHERE p_partkey % 10 = 0) l
+        |JOIN (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS w
+        |      FROM part WHERE p_partkey % 10 = 0) r
+        |  ON l.w = r.w AND l.p_partkey < r.p_partkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin,
 
     "q_truth_space" -> {
       def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
