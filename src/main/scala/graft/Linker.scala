@@ -129,7 +129,7 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
       val cv = ComparisonVectors.compute(pairs.filter(chunkCol === k),
         concatWithTf, settings)
       Predict.score(cv, settings, None, thresholdMatchProbability)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }.reduce(_.unionByName(_))
   }
 

@@ -29,7 +29,7 @@ object ClusteringOps {
       probCol: String = "match_probability",
       maxRounds: Int = 10): DataFrame = {
     var remaining = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
-      col(probCol).as("p")).filter(col("a") =!= col("b")).localCheckpoint(true)
+      col(probCol).as("p")).filter(col("a") =!= col("b")).localCheckpoint(false)
     val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
@@ -45,7 +45,7 @@ object ClusteringOps {
         .join(best.alias("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"))
         .filter(col("x.a") < col("x.b"))
         .select(col("x.a").as("a"), col("x.b").as("b"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       if (mutual.isEmpty) done = true
       else {
         matched += mutual
@@ -54,7 +54,7 @@ object ClusteringOps {
         remaining = remaining
           .join(used.withColumnRenamed("n", "__a"), col("a") === col("__a"), "left_anti")
           .join(used.withColumnRenamed("n", "__b"), col("b") === col("__b"), "left_anti")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         if (remaining.isEmpty) done = true
       }
     }

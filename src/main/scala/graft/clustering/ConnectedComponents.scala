@@ -32,7 +32,7 @@ object ConnectedComponents {
    */
   def run(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxIterations: Int = 60,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = false): DataFrame = {
 
     // Symmetric neighbour list (`connected_components.py:169-190`)
     val fwd = edges.select(col(srcCol).as("node_id"), col(dstCol).as("neighbour"))
