@@ -71,6 +71,71 @@ object ClusteringOps {
   }
 
   /**
+   * One-to-one clustering with the duplicate-free-dataset constraint
+   * (`one_to_one_clustering.py:103-336`): clusters grow by merging the
+   * mutually-best linked cluster pair each round, but only when the two
+   * clusters contain no records from a common source dataset — so a
+   * cluster never holds two records of any dataset listed as
+   * duplicate-free. Needed for >2 datasets; for two datasets
+   * [[oneToOne]] is equivalent and cheaper.
+   *
+   * @param nodeDatasets frame (node_id, source_dataset)
+   */
+  def oneToOneConstrained(edges: DataFrame, nodeDatasets: DataFrame,
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
+      probCol: String = "match_probability", maxRounds: Int = 10): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("na"), col(dstCol).as("nb"),
+      col(probCol).as("p")).filter(col("na") =!= col("nb")).localCheckpoint(false)
+    var membership = e0.select(col("na").as("node_id"))
+      .unionByName(e0.select(col("nb").as("node_id")))
+      .distinct()
+      .withColumn("rep", col("node_id"))
+      .localCheckpoint(false)
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      // cluster-level candidate edges, with the dataset-disjointness
+      // constraint applied BEFORE best-rank selection: an invalid merge
+      // does not consume a cluster's "best link" — the next-best valid
+      // cluster can still win (reference filters invalid merges out of the
+      // candidate set, `one_to_one_clustering.py:203-246`).
+      val clusterSets = membership.alias("m")
+        .join(nodeDatasets.alias("d"), col("m.node_id") === col("d.node_id"))
+        .groupBy(col("m.rep").as("r"))
+        .agg(collect_set(col("d.source_dataset")).as("ds"))
+      val clusterEdges = e0.alias("e")
+        .join(membership.alias("ma"), col("e.na") === col("ma.node_id"))
+        .join(membership.alias("mb"), col("e.nb") === col("mb.node_id"))
+        .filter(col("ma.rep") =!= col("mb.rep"))
+        .select(col("ma.rep").as("ra"), col("mb.rep").as("rb"), col("p"))
+        .join(clusterSets.alias("sa"), col("ra") === col("sa.r"))
+        .join(clusterSets.alias("sb"), col("rb") === col("sb.r"))
+        .filter(!arrays_overlap(col("sa.ds"), col("sb.ds")))
+        .select(col("ra"), col("rb"), col("p"))
+      val sym = clusterEdges.unionByName(
+        clusterEdges.select(col("rb").as("ra"), col("ra").as("rb"), col("p")))
+      val w = Window.partitionBy("ra").orderBy(desc("p"), asc("rb"))
+      val best = sym.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("ra", "rb")
+      val merges = best.alias("x")
+        .join(best.alias("y"), col("x.ra") === col("y.rb") && col("x.rb") === col("y.ra"))
+        .filter(col("x.ra") < col("x.rb"))
+        .select(col("x.ra").as("ka"), col("x.rb").as("kb"))
+        .localCheckpoint(false)
+      if (merges.isEmpty) done = true
+      else {
+        membership = membership.alias("m")
+          .join(merges.alias("g"), col("m.rep") === col("g.kb"), "left")
+          .select(col("m.node_id"),
+            coalesce(col("g.ka"), col("m.rep")).as("rep"))
+          .localCheckpoint(false)
+      }
+    }
+    membership.select(col("node_id"), col("rep").as("cluster_id"))
+  }
+
+  /**
    * Multi-threshold clustering (`clustering.py:347-449`): cluster at each
    * ascending threshold; output one (threshold, node_id, cluster_id) row
    * set per threshold. Edge sets shrink monotonically, so each successive

@@ -40,22 +40,51 @@ object Training {
    * cartesian self-join (random pairs are assumed non-matches), and set
    * each level's u to its share of non-null gammas.
    */
+  /**
+   * @param numChunks   the sampled cartesian is processed in hash chunks of
+   *                    the right side (`estimate_u.py:443-517`)
+   * @param minObsPerLevel stop consuming chunks once every active level has
+   *                    at least this many observations (reference default
+   *                    100, `linker_components/training.py:163-200`)
+   */
   def estimateU(inputs: Seq[(String, DataFrame)], settings: LinkSettings,
-      maxPairs: Long = 1000000L): LinkSettings = {
+      maxPairs: Long = 1000000L, numChunks: Int = 10,
+      minObsPerLevel: Long = 100L): LinkSettings = {
     val concat = VerticalConcat(inputs, settings)
     val total = concat.count()
     val needed = rowsForPairCount(maxPairs)
     val sampled =
-      if (needed >= total) concat
-      else concat.filter(TextOps.hashSample(
-        col(settings.uniqueIdColumn).cast("string"), needed.toDouble / total))
+      (if (needed >= total) concat
+       else concat.filter(TextOps.hashSample(
+         col(settings.uniqueIdColumn).cast("string"), needed.toDouble / total)))
+        .persist()
     val uSettings = settings.copy(
       blockingRules = Seq(BlockingRule.CustomBlockingRule("1=1")))
     val pairs = Blocking.blockedIdPairs(sampled, uSettings)
-    val cv = ComparisonVectors.compute(pairs,
-      TermFrequency.joinAll(sampled, settings.tfColumns), uSettings)
-    val counts = gammaCounts(cv, settings)
-    applyLevelProbabilities(settings, counts, setM = false)
+    val withTf = TermFrequency.joinAll(sampled, settings.tfColumns)
+
+    // chunked accumulation with early exit: chunk k = hash bucket of the
+    // right join key; stop when every active level is observed enough
+    val merged = scala.collection.mutable.Map.empty[String, Map[Int, Long]]
+    def enough: Boolean = settings.comparisons.forall { c =>
+      val byGamma = merged.getOrElse(c.outputColumnName, Map.empty)
+      c.activeLevelsWithGamma.forall { case (_, g) =>
+        byGamma.getOrElse(g, 0L) >= minObsPerLevel }
+    }
+    val chunkCol = pmod(hash(col("join_key_r")), lit(numChunks))
+    var k = 0
+    while (k < numChunks && !(k > 0 && enough)) {
+      val cv = ComparisonVectors.compute(
+        pairs.filter(chunkCol === k), withTf, uSettings)
+      gammaCounts(cv, settings).foreach { case (name, byGamma) =>
+        val acc = merged.getOrElse(name, Map.empty)
+        merged(name) = (acc.keySet ++ byGamma.keySet).map(g =>
+          g -> (acc.getOrElse(g, 0L) + byGamma.getOrElse(g, 0L))).toMap
+      }
+      k += 1
+    }
+    sampled.unpersist()
+    applyLevelProbabilities(settings, merged.toMap, setM = false)
   }
 
   /** groupBy each comparison's gamma column -> Map(comparison ->
@@ -241,10 +270,29 @@ object Training {
     EMCore(m, u, lambda, iter, converged, history.toSeq)
   }
 
-  /** Result of one EM training session. */
+  /** Result of one EM training session.
+    * @param trainedLambda λ of the BLOCKED pair population the session saw
+    * @param trainedLambdaGlobal λ mapped back to the full population by
+    *        reversing the deactivated comparisons' exact-match Bayes
+    *        factors (`linker.py:383-457`) */
   case class EMResult(settings: LinkSettings, iterations: Int,
       converged: Boolean, history: Seq[Double],
-      trainedLambda: Double, deactivated: Seq[String])
+      trainedLambda: Double, trainedLambdaGlobal: Double,
+      deactivated: Seq[String])
+
+  private def prob2odds(p: Double): Double = {
+    val c = math.min(math.max(p, 1e-12), 1 - 1e-12)
+    c / (1 - c)
+  }
+  private def odds2prob(o: Double): Double = o / (1 + o)
+
+  /** Bayes factor of a comparison's most-similar (exact) level — blocked
+    * pairs agree on the blocked columns, so the session prior is the
+    * global prior times these factors (`em_training_session.py:136-163`). */
+  private def exactBayesFactor(c: Comparison): Double = {
+    val top = c.activeLevelsWithGamma.maxBy(_._2)._1
+    math.pow(2.0, top.matchWeight)
+  }
 
   /**
    * EM over pairs blocked on `trainingRule`. Comparisons whose input
@@ -302,7 +350,11 @@ object Training {
       c.activeLevelsWithGamma.map { case (lv, g) =>
         g -> lv.u.getOrElse(1.0 / c.activeLevels.size) }.toMap
     }.toArray
-    val lambdaInit = math.min(math.max(settings.probabilityTwoRandomRecordsMatch,
+    // session prior = global prior odds x exact-level Bayes factor of each
+    // deactivated comparison (the blocked population is enriched in matches)
+    val blockingBf = deactivated.map(exactBayesFactor).product
+    val lambdaInit = math.min(math.max(
+      odds2prob(prob2odds(settings.probabilityTwoRandomRecordsMatch) * blockingBf),
       1e-8), 1 - 1e-8)
     val core = emCore(patterns.toSeq, mInit, uInit, lambdaInit, fixU,
       maxIterations, tolerance)
@@ -326,7 +378,8 @@ object Training {
           c.copy(levels = newLevels)
       }
     }
+    val lambdaGlobal = odds2prob(prob2odds(lambda) / blockingBf)
     EMResult(settings.copy(comparisons = trainedComparisons), iter, converged,
-      history.toSeq, lambda, deactivated.map(_.outputColumnName))
+      history.toSeq, lambda, lambdaGlobal, deactivated.map(_.outputColumnName))
   }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.clustering.ClusteringOps
+import graft.training.Training
+
+class OneToOneConstrainedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("constrained one-to-one chains across three duplicate-free datasets") {
+    // a1-b1 (0.9), b1-c1 (0.8): cluster should grow to {a1,b1,c1}
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.8))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("node_id", "source_dataset")
+    val got = ClusteringOps.oneToOneConstrained(edges, ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet.size == 1, s"expected one cluster, got $got")
+  }
+
+  test("constraint blocks a merge that would duplicate a dataset") {
+    // a1-b1 (0.9); b1-a2 (0.8): a2 cannot join {a1,b1} (two 'a' records)
+    val edges = Seq((1L, 2L, 0.9), (2L, 10L, 0.8))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((1L, "a"), (2L, "b"), (10L, "a")).toDF("node_id", "source_dataset")
+    val got = ClusteringOps.oneToOneConstrained(edges, ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(10L) != got(1L))
+  }
+
+  test("mutual-best tie resolution is deterministic") {
+    // b1's best is a1 (0.9 > 0.8); a2 left unmatched with c1? c1-a2 mutual
+    val edges = Seq((1L, 2L, 0.9), (2L, 10L, 0.8), (10L, 20L, 0.7))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((1L, "a"), (2L, "b"), (10L, "a"), (20L, "c"))
+      .toDF("node_id", "source_dataset")
+    val got = ClusteringOps.oneToOneConstrained(edges, ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(10L) == got(20L))
+    assert(got(1L) != got(10L))
+  }
+
+  test("blocking-adjusted lambda reverses deactivated bayes factors") {
+    val people = Seq(
+      (0L, "John", "Smith", "1990-01-01"),
+      (1L, "John", "Smith", "1990-01-01"),
+      (2L, "Mary", "Jones", "1985-05-05"),
+      (3L, "Mary", "Jones", "1985-05-06"),
+      (4L, "Pete", "Brown", "1970-12-31"),
+      (5L, "Alice", "Brown", "1970-12-31")
+    ).toDF("unique_id", "first_name", "surname", "dob")
+    import graft.model._
+    import graft.model.{LevelLibrary => ll}
+    val s = LinkSettings(
+      blockingRules = Seq(BlockingRule.blockOn("surname")),
+      comparisons = Seq(
+        Comparison("first_name", Seq(ll.nullLevel("first_name"),
+          ll.exactMatch("first_name").withM(0.9).withU(0.05),
+          ll.elseLevel.withM(0.1).withU(0.95))),
+        Comparison("dob", Seq(ll.nullLevel("dob"),
+          ll.exactMatch("dob").withM(0.9).withU(0.05),
+          ll.elseLevel.withM(0.1).withU(0.95)))),
+      probabilityTwoRandomRecordsMatch = 0.01)
+    // train with a rule on dob -> dob comparison deactivated
+    val r = Training.expectationMaximisation(Seq("t" -> people), s,
+      BlockingRule.blockOn("dob"))
+    assert(r.deactivated == Seq("dob"))
+    // global lambda = session lambda with the dob exact-match bayes factor
+    // (0.9/0.05 = 18) reversed -> strictly smaller
+    assert(r.trainedLambdaGlobal < r.trainedLambda)
+    val odds = (p: Double) => p / (1 - p)
+    assert(math.abs(odds(r.trainedLambda) / odds(r.trainedLambdaGlobal) - 18.0) < 1e-6)
+  }
+}
