@@ -198,6 +198,19 @@ object SparkEntry {
       byKey.agg(sum(col("count") * (col("count") - 1) / 2).cast("bigint").as("n_comparisons"))
     }),
 
+    // time-series: tumbling-hour windowed aggregation over the events table
+    // (the batch shape of the streaming watermark+window pipeline).
+    // events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as nano-epoch
+    // long under spark.sql.legacy.parquet.nanosAsLong=true.
+    "q_events_window" -> ((s, dir) => {
+      pq(s, dir, "events")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // §2.10 deterministic hash sampling (portable md5-derived hash)
     "q_sample" -> ((s, dir) => {
       val o = pq(s, dir, "orders")
@@ -489,6 +502,13 @@ object SparkEntry {
       """SELECT CAST(sum(cnt * (cnt - 1) / 2) AS BIGINT) AS n_comparisons FROM (
         |  SELECT count(*) AS cnt FROM customer
         |  GROUP BY c_nationkey, c_mktsegment)""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_sample" ->
       """SELECT o_orderkey, o_custkey FROM orders

@@ -33,6 +33,19 @@ object StreamingLink {
       }
   }
 
+  /**
+   * Stateful streaming exact-dedup: drop documents whose normalised
+   * fingerprint was already seen, with event-time state bounded by a
+   * watermark (Spark's native streaming `dropDuplicates` state store —
+   * the streaming form of `DedupOps.exactDedup`).
+   */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fingerprint",
+        graft.pipeline.TextOps.fingerprint(org.apache.spark.sql.functions.col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("fingerprint")
+
   /** Convenience: run the stream into an in-memory accumulator (testing /
     * small sinks); returns the started query. */
   def startCollecting(linker: Linker, newRecords: DataFrame,

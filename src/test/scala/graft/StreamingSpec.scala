@@ -34,4 +34,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(r => (r.getAs[Long]("unique_id_l"),
       r.getAs[Long]("unique_id_r"))).toSet == Set((0L, 100L)))
   }
+
+  test("stateful streaming dedup drops repeated fingerprints across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val deduped = StreamingLink.dedupStream(
+      stream.toDF.toDF("doc_id", "text", "ts"), "text", "ts")
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    stream.addData((1L, "hello world", ts(0)), (2L, "HELLO   world", ts(1)),
+      (3L, "different", ts(2)))
+    query.processAllAvailable()
+    stream.addData((4L, "hello world", ts(3)), (5L, "brand new", ts(4)))
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    // 2 dups of 1 (case/whitespace-normalised), 4 dup of 1 across batches
+    assert(ids == Set(1L, 3L, 5L))
+  }
 }
