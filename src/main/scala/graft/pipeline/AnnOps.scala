@@ -53,24 +53,121 @@ object AnnOps {
     bits.reduce(_ + _)
   }
 
+  /** Driver-side Lloyd's k-means over a sampled, collected subset — the
+    * IVF coarse quantizer. Centroid counts are tiny (<=256) so this is
+    * driver math; only assignment runs on the cluster. Deterministic:
+    * seeded init from the sample. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
+      sampleSize: Int = 4096, iterations: Int = 10, seed: Long = 42L)
+      : Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol))
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val rng = new scala.util.Random(seed)
+    var centroids = rng.shuffle(sample.toVector).take(nCells).toArray
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 1 to iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        for (c <- centroids.indices) {
+          val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }
+        }
+        counts(best) += 1
+        for (i <- v.indices) sums(best)(i) += v(i)
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Column: index of the nearest centroid (squared-L2). */
+  def cellAssignment(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map { ctr =>
+      aggregate(zip_with(vec, typedLit(ctr.toSeq),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    // argmin via struct sort: array of (dist, idx) -> min's idx
+    val pairs = array(dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("i")) }: _*)
+    array_min(pairs).getField("i")
+  }
+
+  /** Column: the `nProbe` nearest centroid indices (for the query side). */
+  def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val dists = centroids.map { ctr =>
+      aggregate(zip_with(vec, typedLit(ctr.toSeq),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val pairs = array(dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("i")) }: _*)
+    transform(slice(array_sort(pairs), 1, nProbe), p => p.getField("i"))
+  }
+
   /**
-   * LSH top-k: bucket corpus and queries by hyperplane signature, exact
-   * re-rank within buckets. Recall < 1 by construction; raise `bits` down /
-   * add multi-probe for higher recall.
+   * IVF top-k: corpus partitioned into `nCells` Voronoi cells of a sampled
+   * k-means quantizer; each query scans only its `nProbe` nearest cells.
+   * The 100TB shape: corpus shuffles once by cell id; queries broadcast.
    */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 12,
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
       queryIdCol: String = "vec_id", corpusIdCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(dim, bits, seed)
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
-      signature(col(vecCol), planes).as("sig"))
+    val centroids = trainCentroids(corpus, vecCol, nCells, seed = seed)
     val c = corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv"),
-      signature(col(vecCol), planes).as("sig"))
-    val scored = c.join(broadcast(q), Seq("sig"))
+      cellAssignment(col(vecCol), centroids).as("cell"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
         round(cosine(col("qv"), col("cv")), 9).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbour_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Multi-table hyperplane-LSH top-k: `tables` independent signatures of
+   * `bits` bits each; a corpus vector is a candidate for a query if ANY
+   * table buckets them together (single-table exact-signature match has
+   * recall ~p^bits with p = 1 - angle/pi — far too strict on its own).
+   * Exact cosine re-rank inside the candidate set. Recall/cost dial:
+   * more tables or fewer bits -> higher recall, bigger buckets.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
+      tables: Int = 8, queryIdCol: String = "vec_id",
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val tablePlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
+    def sigs(vec: Column): Column = array(tablePlanes.zipWithIndex.map {
+      case (planes, t) =>
+        struct(lit(t).as("t"), signature(vec, planes).as("sig"))
+    }: _*)
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+      explode(sigs(col(vecCol))).as("b"))
+      .select(col("query_id"), col("qv"), col("b.t"), col("b.sig"))
+    val c = corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv"),
+      explode(sigs(col(vecCol))).as("b"))
+      .select(col("neighbour_id"), col("cv"), col("b.t"), col("b.sig"))
+    val scored = c.join(broadcast(q), Seq("t", "sig"))
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        round(cosine(col("qv"), col("cv")), 9).as("cosine"))
+      .distinct() // a pair can collide in several tables
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("neighbour_id"))
     scored.withColumn("rank", row_number().over(w))
