@@ -241,6 +241,13 @@ object SparkEntry {
       AnnOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
     }),
 
+    // similarity search: IVF with full probing must equal brute force —
+    // oracles the quantizer + cell assignment + probe + re-rank machinery
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      AnnOps.ivfTopK(e.filter(col("vec_id") < 10), e, 5, nCells = 8, nProbe = 8)
+    }),
+
     // dedup: embedding cosine pairs >= 0.2 among vec_id % 20 == 0 subset
     "q_embed_pairs" -> ((s, dir) => {
       val e = pq(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
@@ -732,6 +739,16 @@ object SparkEntry {
     // CAST to DOUBLE[] is load-bearing: list_cosine_similarity on FLOAT[]
     // accumulates in float32 and diverges from Spark's double math.
     "q_ann_topk" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 9) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 9) DESC,
+        |             c.vec_id ASC) AS INT) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |WHERE q.vec_id < 10
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "q_ann_ivf" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
         |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 9) AS cosine,
         |  CAST(row_number() OVER (PARTITION BY q.vec_id

@@ -53,4 +53,27 @@ class StreamingSpec extends SparkSpec {
     // 2 dups of 1 (case/whitespace-normalised), 4 dup of 1 across batches
     assert(ids == Set(1L, 3L, 5L))
   }
+
+  test("streaming windowed aggregation with watermark") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val agg = stream.toDF.toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val query = agg.writeStream.format("memory")
+      .queryName("win_out").outputMode("complete").start()
+    stream.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0),
+      (ts(6), "click", 5.0), (ts(2), "view", 1.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).toString.substring(11, 16),
+        r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(("10:00", "click")) == (2L, 3.0))
+    assert(rows(("10:05", "click")) == (1L, 5.0))
+    assert(rows(("10:00", "view")) == (1L, 1.0))
+  }
 }
