@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  /** Edge-count threshold below which the component solve runs on the
+    * driver (collect + union-find) instead of the iterative distributed
+    * loop. ~2M edges ≈ tens of MB on the driver, while the distributed
+    * loop would pay ~10 scheduled jobs of latency for the same answer.
+    * Above the threshold (the 100TB regime) the distributed loop runs.
+    * Same adaptive-execution idea as AQE: pick the physical strategy from
+    * the observed size. */
+  val SmallGraphEdgeThreshold: Long = 2000000L
+
   /**
    * @param edges frame with two node-id columns (self-loops and duplicates ok)
    * @return DataFrame(node_id, cluster_id), one row per node that appears
@@ -32,7 +41,8 @@ object ConnectedComponents {
    */
   def run(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxIterations: Int = 60,
-      eager: Boolean = false): DataFrame = {
+      eager: Boolean = false,
+      smallGraphThreshold: Long = SmallGraphEdgeThreshold): DataFrame = {
 
     // Symmetric neighbour list (`connected_components.py:169-190`)
     val fwd = edges.select(col(srcCol).as("node_id"), col(dstCol).as("neighbour"))
@@ -41,6 +51,10 @@ object ConnectedComponents {
       .filter(col("node_id") =!= col("neighbour"))
       .distinct()
       .localCheckpoint(eager)
+
+    val edgeCount = neighbours.count()
+    if (edgeCount <= smallGraphThreshold)
+      return driverUnionFind(neighbours)
 
     var reps = neighbours
       .groupBy("node_id")
@@ -109,6 +123,58 @@ object ConnectedComponents {
     if (!done) finalised += reps // maxIterations safety valve
     finalised.reduce(_.unionByName(_))
       .select(col("node_id"), col("representative").as("cluster_id"))
+  }
+
+  /** Small-graph fast path: collect the (symmetric, deduped) edge list and
+    * solve with path-compressed union-find on the driver. The node-id type
+    * is preserved by keeping the original column through a join back. */
+  private def driverUnionFind(neighbours: DataFrame): DataFrame = {
+    val spark = neighbours.sparkSession
+    val rows = neighbours.collect()
+    // union-find over an index space to support any node-id type
+    val index = scala.collection.mutable.HashMap.empty[Any, Int]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idx(v: Any): Int = index.getOrElseUpdate(v, {
+      values += v; values.size - 1 })
+    val pairs = rows.map(r => (idx(r.get(0)), idx(r.get(1))))
+    val parent = Array.tabulate(values.size)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min node id in the component (ids may be any
+    // ordered type; compare via the ordering induced by Spark's sort)
+    val byRoot = scala.collection.mutable.HashMap.empty[Int, Any]
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x: String, y: String) => x < y
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        x.doubleValue < y.doubleValue
+      case _ => a.toString < b.toString
+    }
+    values.indices.foreach { i =>
+      val root = find(i)
+      val v = values(i)
+      if (!byRoot.contains(root) || lt(v, byRoot(root))) byRoot(root) = v
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node_id",
+        neighbours.schema.head.dataType),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        neighbours.schema.head.dataType)))
+    val out = values.indices.map(i =>
+      org.apache.spark.sql.Row(values(i), byRoot(find(i))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq,
+        math.max(1, spark.sparkContext.defaultParallelism / 4)), schema)
   }
 
   /** Cluster nodes at a match-probability threshold and join assignments

@@ -34,22 +34,28 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("adversarial: long path with decreasing ids meets low id late") {
     // path 5-6, 6-4, 4-7, 7-1 : min label 1 must traverse whole path
     val edges = Seq((5L, 6L), (6L, 4L), (4L, 7L), (7L, 1L)).toDF("unique_id_l", "unique_id_r")
-    val got = ConnectedComponents.run(edges).collect()
+    val got = ConnectedComponents.run(edges, smallGraphThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(1L))
   }
 
-  test("random graphs match union-find oracle") {
+  test("random graphs match union-find oracle (driver and distributed paths)") {
     val rng = new Random(42)
-    for (trial <- 1 to 5) {
+    for (trial <- 1 to 4) {
       val n = 60 + trial * 20
       val m = n * 3 / 2
       val edges = (1 to m).map(_ =>
         (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
       val expected = unionFind(n, edges)
-      val got = ConnectedComponents.run(edges.toDF("unique_id_l", "unique_id_r"))
+      // driver fast path (default threshold)
+      val gotDriver = ConnectedComponents.run(edges.toDF("unique_id_l", "unique_id_r"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial")
+      assert(gotDriver == expected, s"driver path trial $trial")
+      // distributed iterative path (threshold 0 forces it)
+      val gotDist = ConnectedComponents.run(edges.toDF("unique_id_l", "unique_id_r"),
+        smallGraphThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expected, s"distributed path trial $trial")
     }
   }
 }
