@@ -271,6 +271,26 @@ object SparkEntry {
           col("join_key_r").cast("bigint").as("uid_r"))
     }),
 
+    // §2.8 array comparison levels over word arrays: intersect-size and
+    // best-pairwise-jaro-winkler gammas (higher-order functions end to end)
+    "q_array_levels" -> ((s, dir) => {
+      val parts = pq(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("unique_id"), col("p_size"),
+          split(col("p_type"), " ").as("words"))
+      val settings = LinkSettings(
+        linkType = LinkType.DedupeOnly,
+        blockingRules = Seq(BlockingRule.blockOn("pmod(p_size, 10)")),
+        comparisons = Seq(Comparison("words", Seq(
+          ll.nullLevel("words"),
+          ll.arrayIntersect("words", 2),
+          ll.pairwiseStringDistance("words", "jaro_winkler", 0.95),
+          ll.elseLevel))))
+      val linker = new Linker(parts, settings)
+      linker.comparisonVectors()
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          col("gamma_words"))
+    }),
+
     // §2.7 anti join: customers with no high-value order
     "q_anti_join" -> ((s, dir) => {
       pq(s, dir, "customer").alias("c")
@@ -529,6 +549,20 @@ object SparkEntry {
         |JOIN (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS w
         |      FROM part WHERE p_partkey % 10 = 0) r
         |  ON l.w = r.w AND l.p_partkey < r.p_partkey""".stripMargin,
+
+    "q_array_levels" ->
+      """SELECT l.p_partkey AS uid_l, r.p_partkey AS uid_r,
+        |  CASE WHEN l.words IS NULL OR r.words IS NULL THEN -1
+        |       WHEN len(list_intersect(l.words, r.words)) >= 2 THEN 2
+        |       WHEN list_max(flatten(list_transform(l.words,
+        |            x -> list_transform(r.words,
+        |                 y -> jaro_winkler_similarity(x, y))))) >= 0.95 THEN 1
+        |       ELSE 0 END AS gamma_words
+        |FROM (SELECT p_partkey, p_size, string_split(p_type, ' ') AS words
+        |      FROM part WHERE p_partkey % 10 = 0) l
+        |JOIN (SELECT p_partkey, p_size, string_split(p_type, ' ') AS words
+        |      FROM part WHERE p_partkey % 10 = 0) r
+        |  ON l.p_size % 10 = r.p_size % 10 AND l.p_partkey < r.p_partkey""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer

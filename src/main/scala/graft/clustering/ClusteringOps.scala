@@ -27,9 +27,16 @@ object ClusteringOps {
   def oneToOne(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r",
       probCol: String = "match_probability",
-      maxRounds: Int = 10): DataFrame = {
+      maxRounds: Int = 10,
+      smallGraphThreshold: Long = ConnectedComponents.SmallGraphEdgeThreshold)
+      : DataFrame = {
     var remaining = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
       col(probCol).as("p")).filter(col("a") =!= col("b")).localCheckpoint(false)
+    // adaptive small-input fast path (same strategy pick as CC);
+    // long ids only — other id types take the distributed loop
+    if (remaining.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+        remaining.count() <= smallGraphThreshold)
+      return driverOneToOne(remaining, maxRounds)
     val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
@@ -68,6 +75,37 @@ object ClusteringOps {
       pairs.select(col("a").as("node_id"), col("a").as("cluster_id"))
         .unionByName(pairs.select(col("b").as("node_id"), col("a").as("cluster_id")))
     }
+  }
+
+  /** Driver-side mutual-best matching, identical round semantics to the
+    * distributed loop (rank by p desc then lowest id; drop matched nodes;
+    * repeat). */
+  private def driverOneToOne(remaining: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = remaining.sparkSession
+    var edges = remaining.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done && edges.nonEmpty) {
+      round += 1
+      val sym = edges ++ edges.map { case (a, b, p) => (b, a, p) }
+      val best = sym.groupBy(_._1).map { case (a, es) =>
+        a -> es.minBy(e => (-e._3, e._2))._2
+      }
+      val mutual = best.collect {
+        case (a, b) if a < b && best.get(b).contains(a) => (a, b)
+      }.toSeq
+      if (mutual.isEmpty) done = true
+      else {
+        out ++= mutual
+        val used = mutual.flatMap(m => Seq(m._1, m._2)).toSet
+        edges = edges.filterNot(e => used(e._1) || used(e._2))
+      }
+    }
+    val rows = out.flatMap { case (a, b) => Seq((a, a), (b, a)) }
+    import spark.implicits._
+    rows.toSeq.toDF("node_id", "cluster_id")
   }
 
   /**

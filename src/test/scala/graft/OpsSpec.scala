@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.model._
 import graft.model.{LevelLibrary => ll}
-import graft.clustering.ClusteringOps
+import graft.clustering.{ClusteringOps, ConnectedComponents}
 import graft.evaluation.Evaluation
 import graft.pipeline.{DedupOps, MultimodalOps, TextOps}
 
@@ -38,19 +38,21 @@ class OpsSpec extends SparkSpec {
     assert(SettingsJson.toJson(back) == json)
   }
 
-  test("one-to-one clustering picks mutual best links only") {
+  test("one-to-one clustering picks mutual best links only (both paths)") {
     // 1-2 (0.9), 2-3 (0.8): 2's best is 1, mutual; 3 unmatched
     val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.8))
       .toDF("unique_id_l", "unique_id_r", "match_probability")
-    val got = ClusteringOps.oneToOne(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L))
-    // second round: after 1-2 merge, 3-4 mutual
     val edges2 = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.7))
       .toDF("unique_id_l", "unique_id_r", "match_probability")
-    val got2 = ClusteringOps.oneToOne(edges2).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    for (threshold <- Seq(ConnectedComponents.SmallGraphEdgeThreshold, 0L)) {
+      val got = ClusteringOps.oneToOne(edges, smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L), s"threshold $threshold")
+      // second round: after 1-2 merge, 3-4 mutual
+      val got2 = ClusteringOps.oneToOne(edges2, smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), s"threshold $threshold")
+    }
   }
 
   test("multi-threshold clustering splits as threshold rises") {
