@@ -49,6 +49,29 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Character n-gram Jaccard pairs: same blocked-join shape as
+    * [[tokenJaccardPairs]] but over shingle sets (hashed + sorted, linear-
+    * merge verify) — catches near-dups that word-level sets miss
+    * (reorderings, joined/split words). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockKeys: Seq[Column], threshold: Double, q: Int = 5): DataFrame = {
+    val withTok = df.select(
+      (col(idCol).as("id") +:
+        sort_array(array_distinct(transform(shingles(col(textCol), q),
+          t => xxhash64(t)))).as("toks") +:
+        blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") }): _*)
+    val keys = blockKeys.indices.map(i => s"bk$i")
+    val l = withTok.alias("l")
+    val r = withTok.alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduce(_ && _) && col("l.id") < col("r.id")
+    val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
+    l.join(r, joinCond)
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        round(jac, 9).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------- minhash + LSH
 
   /** Character shingles (qgrams) of normalised text — native expression

@@ -132,6 +132,29 @@ class OpsSpec extends SparkSpec {
     assert(decoded.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("ngram jaccard pairs find reordered near-dups that token sets also find") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // near-dup
+      (3L, "completely unrelated text about query planning"),
+      (4L, "quick the brown fox jumps over the dog lazy")   // reordered
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq(lit(1)), threshold = 0.4, q = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // hand-check: jaccard of (1,2) matches brute-force shingle sets
+    def sh(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      .sliding(5).toSet
+    val expected = {
+      val (a, b) = (sh("the quick brown fox jumps over the lazy dog"),
+        sh("the quick brown fox jumped over the lazy dog"))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    assert(math.abs(pairs((1L, 2L)) - expected) < 1e-6)
+  }
+
   test("simhash of similar docs is close, dissimilar far") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and again!"
