@@ -468,8 +468,7 @@ object SparkEntry {
          |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END AS mw
          |  FROM cv)
          |SELECT uid_l, uid_r, round(mw, 6) AS match_weight,
-         |  round(CASE WHEN mw >= 0 THEN 1.0 / (1.0 + power(2.0, -mw))
-         |        ELSE power(2.0, mw) / (1.0 + power(2.0, mw)) END, 6) AS match_probability
+         |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
          |FROM mw""".stripMargin
     },
 
@@ -613,7 +612,7 @@ object SparkEntry {
     "q_unlinkables" -> {
       def log2(x: Double) = math.log(x) / math.log(2.0)
       val mw = log2(0.001 / 0.999) + log2(0.9 / 0.001) + log2(0.7 / 0.02)
-      val p = math.pow(2, mw) / (1 + math.pow(2, mw))
+      val p = 1.0 / (1 + math.pow(2, -mw))
       val mwR = BigDecimal(mw).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       val pR = BigDecimal(p).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
       // every customer has non-null name + acctbal, so the self-link weight

@@ -129,14 +129,26 @@ case class Comparison(outputColumnName: String, levels: Seq[ComparisonLevel]) {
     if (withActive == null) lit(0) else withActive.otherwise(lit(0))
   }
 
-  /** Bayes-factor (as match weight contribution) CASE over the gamma column.
-    * Model params are driver-side scalars folded into literals — same
-    * constant-folding the reference does (`comparison_level.py:664-669`). */
+  /** Match-weight contribution looked up from a literal array indexed by
+    * gamma (+2 for the 1-based index and the -1 null gamma). Model params
+    * are driver-side scalars folded into literals — same constant-folding
+    * the reference does (`comparison_level.py:664-669`).
+    *
+    * Deliberately NOT a `when` chain: a CASE references the gamma column
+    * once per branch, and when the optimizer inlines the gamma projection
+    * the full gamma expression (levenshtein/jaro/...) is duplicated into
+    * every branch — Spark's subexpression elimination skips conditionally-
+    * executed code, so the string kernels would run tens of times per row.
+    * `element_at` references gamma exactly once. */
   def matchWeightColumn: Column = {
     val g = col(gammaColumnName)
-    activeLevelsWithGamma.foldLeft(when(g === -1, lit(0.0))) {
-      case (acc, (lv, gv)) => acc.when(g === gv, lit(lv.matchWeight))
-    }.otherwise(lit(0.0))
+    val n = activeLevels.size
+    // index i holds the weight for gamma = i - 2 (i=1 -> null level -> 0)
+    val weights = 0.0 +: (0 until n).map { gv =>
+      activeLevelsWithGamma.collectFirst {
+        case (lv, v) if v == gv => lv.matchWeight }.getOrElse(0.0)
+    }
+    element_at(typedLit(weights), (g + 2).cast("int"))
   }
 
   /** TF-adjustment match-weight column (0 when not applicable). Reference

@@ -278,10 +278,13 @@ object Predict {
     parts.foldLeft(lit(settings.priorMatchWeight))(_ + _)
   }
 
-  /** Overflow-safe p = 2^mw / (1 + 2^mw) (`predict.py:214-229`). */
+  /** p = 1 / (1 + 2^-mw) — total and overflow-safe in IEEE double math:
+    * mw very negative -> 2^-mw = Inf -> p = 0; very positive -> 2^-mw = 0
+    * -> p = 1 (the reference splits into two CASE branches for backends
+    * where Inf is an error, `predict.py:214-229`; a single branch keeps the
+    * expression referenced once and the plan small). */
   def sigmoid(mw: Column): Column =
-    when(mw >= 0, lit(1.0) / (lit(1.0) + pow(lit(2.0), -mw)))
-      .otherwise(pow(lit(2.0), mw) / (lit(1.0) + pow(lit(2.0), mw)))
+    lit(1.0) / (lit(1.0) + pow(lit(2.0), -mw))
 
   /**
    * Score a comparison-vector frame. Adds `match_weight` and
