@@ -13,8 +13,31 @@ package graft.functions
  */
 object StringSim {
 
+  /** CharSequence view over an ASCII UTF8String — no String allocation.
+    * Only valid when every byte is ASCII (checked by [[cs]]). */
+  private final class AsciiSeq(u: org.apache.spark.unsafe.types.UTF8String)
+      extends CharSequence {
+    override val length: Int = u.numBytes()
+    override def charAt(i: Int): Char = (u.getByte(i) & 0x7F).toChar
+    override def subSequence(s: Int, e: Int): CharSequence =
+      u.substring(s, e).toString
+    override def toString: String = u.toString
+  }
+
+  /** Cheap zero-copy view for ASCII inputs; falls back to toString for
+    * multi-byte UTF-8 (where byte != char). */
+  def cs(u: org.apache.spark.unsafe.types.UTF8String): CharSequence = {
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) {
+      if (u.getByte(i) < 0) return u.toString
+      i += 1
+    }
+    new AsciiSeq(u)
+  }
+
   /** Jaro similarity in [0,1]. Standard definition (Jaro 1989). */
-  def jaro(s1: String, s2: String): Double = {
+  def jaro(s1: CharSequence, s2: CharSequence): Double = {
     val len1 = s1.length
     val len2 = s2.length
     if (len1 == 0 && len2 == 0) return 1.0
@@ -58,7 +81,7 @@ object StringSim {
   }
 
   /** Jaro-Winkler similarity, prefix scale 0.1, max prefix 4 (standard). */
-  def jaroWinkler(s1: String, s2: String): Double = {
+  def jaroWinkler(s1: CharSequence, s2: CharSequence): Double = {
     val j = jaro(s1, s2)
     var prefix = 0
     val maxP = math.min(4, math.min(s1.length, s2.length))
@@ -68,7 +91,7 @@ object StringSim {
 
   /** Unrestricted Damerau-Levenshtein edit distance (adjacent transposition
     * counts as one edit). Full DP with alphabet map. */
-  def damerauLevenshtein(s1: String, s2: String): Int = {
+  def damerauLevenshtein(s1: CharSequence, s2: CharSequence): Int = {
     val n = s1.length
     val m = s2.length
     if (n == 0) return m

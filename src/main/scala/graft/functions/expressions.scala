@@ -23,20 +23,25 @@ abstract class StringPairExpression extends BinaryExpression with Serializable {
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
   }
-  /** Fully-qualified static method, e.g. "graft.functions.StringSim.jaro". */
+  /** Fully-qualified static method taking two CharSequences. Inputs pass
+    * through `StringSim.cs` — a zero-copy view for ASCII strings, a String
+    * materialisation only for multi-byte UTF-8 (saves two allocations per
+    * comparison in the scoring hot path). */
   protected def staticMethod: String
-  protected def compute(a: String, b: String): Any
+  protected def compute(a: CharSequence, b: CharSequence): Any
   override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+    compute(StringSim.cs(a.asInstanceOf[UTF8String]),
+      StringSim.cs(b.asInstanceOf[UTF8String]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"$staticMethod($a.toString(), $b.toString())")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"$staticMethod(graft.functions.StringSim.cs($a), graft.functions.StringSim.cs($b))")
 }
 
 case class JaroSim(left: Expression, right: Expression) extends StringPairExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_sim"
   protected def staticMethod = "graft.functions.StringSim.jaro"
-  protected def compute(a: String, b: String): Any = StringSim.jaro(a, b)
+  protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.jaro(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroSim =
     copy(left = l, right = r)
 }
@@ -45,7 +50,7 @@ case class JaroWinklerSim(left: Expression, right: Expression) extends StringPai
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"
   protected def staticMethod = "graft.functions.StringSim.jaroWinkler"
-  protected def compute(a: String, b: String): Any = StringSim.jaroWinkler(a, b)
+  protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.jaroWinkler(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
     copy(left = l, right = r)
 }
@@ -54,7 +59,7 @@ case class DamerauLevenshtein(left: Expression, right: Expression) extends Strin
   override def dataType: DataType = IntegerType
   override def prettyName: String = "damerau_levenshtein"
   protected def staticMethod = "graft.functions.StringSim.damerauLevenshtein"
-  protected def compute(a: String, b: String): Any = StringSim.damerauLevenshtein(a, b)
+  protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.damerauLevenshtein(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshtein =
     copy(left = l, right = r)
 }
@@ -64,7 +69,7 @@ case class JaccardSim(left: Expression, right: Expression) extends StringPairExp
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
   protected def staticMethod = "graft.functions.StringSim.jaccardQgram2"
-  protected def compute(a: String, b: String): Any = StringSim.jaccardQgram(a, b, 2)
+  protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.jaccardQgram(a.toString, b.toString, 2)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.StringSim.jaccardQgram($a.toString(), $b.toString(), 2)")
