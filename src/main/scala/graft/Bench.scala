@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line (also written to bench_out.json for the driver).
+  *
+  * Each query is forced to FULL evaluation by hashing every output column
+  * (xxhash64 over a struct of all columns, summed) — a bare count() lets
+  * Catalyst prune unused projections, which benches pure-projection
+  * queries as scan-only.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,7 +25,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        val df = fn(spark, sfDir)
+        // bit_xor, not sum: ANSI mode makes a LONG sum of 2^63-range hashes
+        // throw ARITHMETIC_OVERFLOW; xor is closed over Long.
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(bit_xor(col("h"))).collect()
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
       }
@@ -23,7 +40,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout from `sbt runMain` is wrapped in [info] noise; the file is the
+    // reliable channel for the driver's parser.
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }

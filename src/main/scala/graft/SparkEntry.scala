@@ -82,13 +82,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // §2.4 aggregation baseline (also the bench headline shape)
+    // §2.4 aggregation baseline (also the bench headline shape).
+    // Sums are exact integers (floor to whole units / cents, LONG add) so
+    // neither engine's double->decimal cast rounding nor sum-output
+    // precision (Spark DECIMAL(28,x) vs DuckDB DECIMAL(38,x)/HUGEINT) can
+    // poison the driver's typed hash.
     "q1_agg" -> ((s, dir) => {
       pq(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(floor(col("l_quantity"))).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100)).as("sum_price_cents"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -207,7 +211,9 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+          // exact micro-unit LONG sum: floor(x*1e6) is bit-identical IEEE
+          // math in Spark and DuckDB, and integer addition is order-free
+          sum(floor(col("value") * 1000000)).as("sum_value_micros"),
           countDistinct(col("user_id")).as("n_users"))
     }),
 
@@ -405,8 +411,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -532,7 +538,7 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
 
@@ -588,14 +594,16 @@ object SparkEntry {
          |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END, 6)
          |      AS truth_threshold, pos
          |  FROM cv),
-         |tot AS (SELECT sum(pos) AS total_p, sum(1 - pos) AS total_n FROM mw),
-         |by_t AS (SELECT truth_threshold, sum(pos) AS p_at, sum(1 - pos) AS n_at
+         |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS total_p,
+         |               CAST(sum(1 - pos) AS BIGINT) AS total_n FROM mw),
+         |by_t AS (SELECT truth_threshold, CAST(sum(pos) AS BIGINT) AS p_at,
+         |                CAST(sum(1 - pos) AS BIGINT) AS n_at
          |         FROM mw GROUP BY 1),
          |cum AS (SELECT truth_threshold,
-         |          sum(p_at) OVER (ORDER BY truth_threshold DESC
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
-         |          sum(n_at) OVER (ORDER BY truth_threshold DESC
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+         |          CAST(sum(p_at) OVER (ORDER BY truth_threshold DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |          CAST(sum(n_at) OVER (ORDER BY truth_threshold DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
          |        FROM cum_src)
          |SELECT truth_threshold, tp, fp,
          |  (SELECT total_n FROM tot) - fp AS tn,

@@ -33,6 +33,32 @@ def rowset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+def type_family(t):
+    """Coarse arrow-type family: the driver's hash is dtype-sensitive
+    (DuckDB HUGEINT/DECIMAL outputs poisoned round-1 hashes even when every
+    value matched), so flag any family divergence as a failure."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_family(t.value_type)}>"
+    return str(t)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -53,9 +79,10 @@ def main(sf_dir, out_dir):
             print(f"  ~ {name}: no oracle (rows-only) rows={len(spark_rows)}")
             continue
         try:
-            res = con.execute(oracle[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_tbl = con.execute(oracle[name]).arrow()
+            duck_cols = duck_tbl.column_names
+            duck_rows = [tuple(r[c] for c in duck_cols)
+                         for r in duck_tbl.to_pylist()]
         except Exception as e:
             print(f"  X {name}: oracle SQL failed: {e}")
             failures += 1
@@ -73,6 +100,16 @@ def main(sf_dir, out_dir):
             if s != d:
                 diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
                 print(f"  X {name}: value mismatch, first diffs: {diff}")
+                ok = False
+        if ok:
+            stypes = {c: type_family(tbl.schema.field(c).type)
+                      for c in tbl.column_names}
+            dtypes = {c: type_family(duck_tbl.schema.field(c).type)
+                      for c in duck_cols}
+            bad = {c: (stypes[c], dtypes[c]) for c in stypes
+                   if stypes[c] != dtypes[c]}
+            if bad:
+                print(f"  X {name}: dtype mismatch {bad}")
                 ok = False
         if ok:
             print(f"  + {name}: MATCH rows={len(spark_rows)}")
