@@ -379,33 +379,62 @@ object SparkEntry {
         metas.map { case (n, c) => c.as(n) }: _*)
     }),
 
-    // multimodal: partition-wise decode stub (real plumbing, fake codec) -
-    // rows-only check on aggregate stats
+    // multimodal: partition-wise decode stub (real plumbing, deterministic
+    // FNV-1a codec). Per-row oracle: DuckDB recomputes the FNV stream over
+    // the payload bytes with HUGEINT mod-2^64 arithmetic.
     "q_multimodal_decode" -> ((s, dir) => {
       val media = MultimodalOps.asMediaTable(pq(s, dir, "documents"), "doc_id", "text")
       MultimodalOps.decode(media)
-        .agg(count(lit(1)).as("n_decoded"),
-          sum("width").as("sum_width"), sum("height").as("sum_height"),
-          sum(size(col("feature"))).as("sum_feature_len"))
+        .select(col("media_id"), col("width"), col("height"), col("n_channels"),
+          size(col("feature")).as("feature_len"))
     }),
 
-    // dedup: MinHash-LSH near-dup candidates (no SQL oracle - rows-only)
+    // dedup: MinHash-LSH near-dup pairs. Fully oracle-able: the shingle
+    // hash is FNV-1a (portable), the k universal-hash params are fixed JVM
+    // literals exported into the oracle SQL, and band equality reduces to
+    // slot-value equality — DuckDB replays signature + banding + verify.
     "q_minhash_pairs" -> ((s, dir) => {
       DedupOps.minhashDedupPairs(pq(s, dir, "documents"), "doc_id", "text",
         k = 32, rowsPerBand = 4, threshold = 0.5)
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(round(avg("jaccard"), 6), lit(0.0)).as("avg_jaccard"))
     }),
 
-    // dedup: SimHash near-dup candidates (no SQL oracle - rows-only)
+    // dedup: SimHash near-dup pairs. maxHamming=3 < 4 bands makes the band
+    // blocking provably exhaustive (pigeonhole), so the output is exactly
+    // "all within-block pairs with hamming <= 3" — deterministic and
+    // recomputable in DuckDB from the portable FNV-1a token hashes.
     "q_simhash_pairs" -> ((s, dir) => {
       DedupOps.simhashDedupPairs(pq(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 6,
+        maxHamming = 3,
         blockKeys = Seq(col("lang"), floor(col("n_chars") / 50)))
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(round(avg("hamming"), 6), lit(0.0)).as("avg_hamming"))
     })
   )
+
+  // ---- portable-hash oracle fragments ----------------------------------
+  // The minhash/simhash/decode kernels hash with FNV-1a 64 (and, for
+  // minhash, fixed universal-hash params), so DuckDB can REPLAY the whole
+  // pipeline with HUGEINT mod-2^64 arithmetic: candidate generation,
+  // banding, and verification all become plain SQL.
+  private val M64 = "18446744073709551616::HUGEINT"
+  private val M32 = "4294967296::HUGEINT"
+  private val Neg = "9223372036854775808::HUGEINT" // 2^63
+  /** FNV-1a 64 of an ASCII varchar as HUGEINT in [0, 2^64). */
+  private def fnvSql(g: String): String =
+    s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      s"list_transform(range(1, len($g)+1), i -> ord(substr($g, CAST(i AS INT), 1))::HUGEINT)), " +
+      s"(h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $M64)"
+  /** Unsigned decimal literal of a JVM long. */
+  private def u64(v: Long): String = java.lang.Long.toUnsignedString(v)
+  /** Normalisation identical to ShingleKernel: lower, collapse \s+, trim. */
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  /** Distinct q-gram shingle list of the normalised text (q=8).
+    * `normExtra` = computed extra columns (against documents);
+    * `shExtra` = their plain names (re-selected from norm). */
+  private def shingleCte(normExtra: String = "", shExtra: String = ""): String =
+    s"""norm AS (SELECT doc_id$normExtra, $normSql AS t FROM documents),
+       |sh AS (SELECT doc_id$shExtra,
+       |    CASE WHEN len(t) = 0 THEN []::VARCHAR[] WHEN len(t) <= 8 THEN [t]
+       |         ELSE list_transform(range(1, len(t) - 6), i -> substr(t, CAST(i AS INT), 8)) END AS gs
+       |  FROM norm)""".stripMargin
 
   /** DuckDB-dialect oracle SQL per query (tables registered by name). */
   def oracleSql: Map[String, String] = Map(
@@ -710,6 +739,79 @@ object SparkEntry {
         |  md5(text) AS digest,
         |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS prefix_hex
         |FROM documents""".stripMargin,
+
+    // FNV-1a decode stub replayed over the payload bytes (ASCII text).
+    "q_multimodal_decode" ->
+      s"""WITH h AS (SELECT doc_id AS media_id, ${fnvSql("text")} AS hv FROM documents),
+         |s AS (SELECT media_id, hv,
+         |  CAST(CASE WHEN hv >= $Neg THEN hv - $M64 ELSE hv END AS BIGINT) AS hs
+         |  FROM h)
+         |SELECT media_id,
+         |  CAST(64 + abs(hs) % 1024 AS INT) AS width,
+         |  CAST(64 + (hv // 131072::HUGEINT) % 1024 AS INT) AS height,
+         |  3 AS n_channels, 8 AS feature_len
+         |FROM s""".stripMargin,
+
+    // Full MinHash-LSH replay: FNV shingle hashes -> 32 universal-hash
+    // slots (params exported from ShingleKernel.hashParams — signed-long
+    // min semantics) -> 8 bands of 4 -> candidate join -> jaccard verify.
+    "q_minhash_pairs" -> {
+      val params = graft.functions.ShingleKernel.hashParams(32)
+      val slotExprs = (0 until 32).map { x =>
+        val a = u64(params(2 * x)); val b = u64(params(2 * x + 1))
+        val v = s"((($a::HUGEINT * h0) + (($a::HUGEINT * h1) % $M32) * $M32) % $M64" +
+          s" + $b::HUGEINT) % $M64"
+        s"min(CAST(CASE WHEN ($v) >= $Neg THEN ($v) - $M64 ELSE ($v) END AS BIGINT)) AS s$x"
+      }.mkString(",\n    ")
+      val bandSelects = (0 until 8).map { b =>
+        val key = (0 until 4).map(j => s"CAST(s${4 * b + j} AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('-', $key) AS bkey FROM slots"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${shingleCte()},
+         |sets AS (SELECT doc_id, list_distinct(gs) AS s FROM sh
+         |         WHERE len(list_distinct(gs)) > 0),
+         |tok AS (SELECT doc_id, unnest(s) AS g FROM sets),
+         |hashed AS (SELECT doc_id, ${fnvSql("g")} AS hv FROM tok),
+         |hsplit AS (SELECT doc_id, hv % $M32 AS h0, hv // $M32 AS h1 FROM hashed),
+         |slots AS (SELECT doc_id,
+         |    $slotExprs
+         |  FROM hsplit GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cands AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+         |SELECT c.id_l, c.id_r,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 9) AS jaccard
+         |FROM cands c JOIN sets a ON c.id_l = a.doc_id JOIN sets b ON c.id_r = b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin
+    },
+
+    // SimHash replay: per-bit FNV votes -> 64-bit signature -> all
+    // within-block pairs at hamming <= 3 (band blocking is exhaustive
+    // there, so LSH output == brute force within blocks).
+    "q_simhash_pairs" -> {
+      val bits = (0 until 64).map { b =>
+        val p = u64(1L << b)
+        s"(CASE WHEN sum(CASE WHEN (hv // $p::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
+          s"THEN $p::HUGEINT ELSE 0::HUGEINT END)"
+      }.mkString(" + ")
+      s"""WITH ${shingleCte(", lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket", ", lang, bucket")},
+         |tok AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM sh),
+         |hashed AS (SELECT doc_id, ${fnvSql("g")} AS hv FROM tok),
+         |simv AS (SELECT doc_id, ($bits) AS v FROM hashed GROUP BY doc_id),
+         |sim AS (SELECT n.doc_id, n.lang, n.bucket,
+         |    CAST(CASE WHEN coalesce(s.v, 0::HUGEINT) >= $Neg
+         |         THEN coalesce(s.v, 0::HUGEINT) - $M64
+         |         ELSE coalesce(s.v, 0::HUGEINT) END AS BIGINT) AS sh
+         |  FROM norm n LEFT JOIN simv s ON n.doc_id = s.doc_id)
+         |SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+         |  CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+         |FROM sim l JOIN sim r
+         |  ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.sh, r.sh)) <= 3""".stripMargin
+    },
 
     "q_exact_dedup" ->
       """SELECT substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16)
