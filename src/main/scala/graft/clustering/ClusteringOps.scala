@@ -65,12 +65,15 @@ object ClusteringOps {
         if (remaining.isEmpty) done = true
       }
     }
-    if (matched.isEmpty)
+    if (matched.isEmpty) {
+      // empty frame typed from the INPUT id type (string/int ids must not
+      // come back as long — downstream unions would fail)
+      val idType = remaining.schema("a").dataType
       edges.sparkSession.emptyDataFrame
-        .withColumn("node_id", lit(null).cast("long"))
-        .withColumn("cluster_id", lit(null).cast("long"))
+        .withColumn("node_id", lit(null).cast(idType))
+        .withColumn("cluster_id", lit(null).cast(idType))
         .limit(0)
-    else {
+    } else {
       val pairs = matched.reduce(_.unionByName(_))
       pairs.select(col("a").as("node_id"), col("a").as("cluster_id"))
         .unionByName(pairs.select(col("b").as("node_id"), col("a").as("cluster_id")))

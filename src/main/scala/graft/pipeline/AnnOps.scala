@@ -56,13 +56,25 @@ object AnnOps {
   /** Driver-side Lloyd's k-means over a sampled, collected subset — the
     * IVF coarse quantizer. Centroid counts are tiny (<=256) so this is
     * driver math; only assignment runs on the cluster. Deterministic:
-    * seeded init from the sample. */
+    * seeded init from the sample.
+    *
+    * The sample is bottom-k by a portable hash of the id — a uniform
+    * deterministic sample over the WHOLE corpus with no prior count().
+    * (`limit(n)` would take the first partitions' rows: at 100TB the
+    * quantizer would train on one file's vectors and produce skewed cells
+    * — one hot cell, one giant task.) Runs as a distributed top-k (per-
+    * partition limit + merge), never a full sort. */
   def trainCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
-      sampleSize: Int = 4096, iterations: Int = 10, seed: Long = 42L)
-      : Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol))
-      .limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      sampleSize: Int = 4096, iterations: Int = 10, seed: Long = 42L,
+      idCol: String = "vec_id"): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(vecCol), TextOps.portableHash(col(idCol)).as("__h"))
+      .orderBy("__h").limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case n: java.lang.Number => n.doubleValue
+      }.toArray)
     require(sample.nonEmpty, "empty corpus")
     val rng = new scala.util.Random(seed)
     var centroids = rng.shuffle(sample.toVector).take(nCells).toArray
@@ -124,7 +136,8 @@ object AnnOps {
       nCells: Int = 16, nProbe: Int = 4,
       queryIdCol: String = "vec_id", corpusIdCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val centroids = trainCentroids(corpus, vecCol, nCells, seed = seed)
+    val centroids = trainCentroids(corpus, vecCol, nCells, seed = seed,
+      idCol = corpusIdCol)
     val c = corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv"),
       cellAssignment(col(vecCol), centroids).as("cell"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),

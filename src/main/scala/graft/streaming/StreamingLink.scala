@@ -44,7 +44,11 @@ object StreamingLink {
     docs.withColumn("fingerprint",
         graft.pipeline.TextOps.fingerprint(org.apache.spark.sql.functions.col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("fingerprint")
+      // dropDuplicatesWithinWatermark, NOT dropDuplicates("fingerprint"):
+      // without the event-time column in the key set, Spark never evicts
+      // dedup state on watermark advance — unbounded state in a
+      // long-running stream.
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Convenience: run the stream into an in-memory accumulator (testing /
     * small sinks); returns the started query. */

@@ -52,4 +52,32 @@ class AnnSpec extends SparkSpec {
     val b = topkSets(AnnOps.ivfTopK(queries, emb, 5, nCells = 8, nProbe = 2))
     assert(a == b)
   }
+
+  test("quantizer sample is partition-order independent (no hot cell)") {
+    // Adversarial layout: repartitionByRange on the label clusters the
+    // first partitions by label — a limit()-based sample would train the
+    // quantizer on one label's vectors only. The hash-bottom-k sample must
+    // produce the same centroids (same cell sizes) as the natural layout.
+    val skewed = emb.repartitionByRange(8, col("label"), col("vec_id"))
+    def cellSizes(df: org.apache.spark.sql.DataFrame): Map[Int, Long] = {
+      val ctr = AnnOps.trainCentroids(df, "embedding", 8)
+      df.select(AnnOps.cellAssignment(col("embedding"), ctr).as("cell"))
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val natural = cellSizes(emb)
+    val adversarial = cellSizes(skewed)
+    assert(natural == adversarial)
+    // and no single cell swallowed the corpus
+    val total = natural.values.sum.toDouble
+    assert(natural.values.max / total < 0.5,
+      s"hot cell: $natural")
+  }
+
+  test("quantizer accepts array<double> embeddings") {
+    val asDouble = emb.withColumn("embedding",
+      expr("transform(embedding, x -> cast(x as double))"))
+    val ctr = AnnOps.trainCentroids(asDouble, "embedding", 4)
+    assert(ctr.length == 4 && ctr.forall(_.nonEmpty))
+  }
 }

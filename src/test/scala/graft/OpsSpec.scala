@@ -55,6 +55,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("one-to-one with string ids and no mutual pairs keeps the id type") {
+    // self-loops only -> filtered -> no matches; the empty frame must carry
+    // the INPUT id type (string), not a hardcoded long
+    val edges = Seq(("a", "a", 0.9))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val got = ClusteringOps.oneToOne(edges, smallGraphThreshold = 0L)
+    assert(got.schema("node_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(got.count() == 0)
+    // unions cleanly with a non-empty string-typed cluster frame
+    val other = Seq(("x", "x")).toDF("node_id", "cluster_id")
+    assert(got.unionByName(other).count() == 1)
+  }
+
   test("multi-threshold clustering splits as threshold rises") {
     val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.4), (3L, 4L, 0.9))
       .toDF("unique_id_l", "unique_id_r", "match_probability")
