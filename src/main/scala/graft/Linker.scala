@@ -113,6 +113,31 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
       settings = Training.estimateMFromLabelColumn(inputs, settings, labelColumn)
       settings
     }
+
+    /** m from a pairwise labels table (`m_from_labels.py:26-102`). */
+    def estimateMFromPairwiseLabels(labels: DataFrame): LinkSettings = {
+      settings = Training.estimateMFromPairwiseLabels(inputs, settings, labels)
+      settings
+    }
+  }
+
+  /** Score exactly the pairs in a labels table through the model
+    * (`block_from_labels.py` + predict), keeping `clerical_match_score`
+    * when present (missing scores count as definite matches). */
+  def scorePairsFromLabels(labels: DataFrame): DataFrame = {
+    val prepared = Labels.prepared(labels, settings)
+    val cv = ComparisonVectors.compute(
+      Labels.idPairs(prepared, settings), concatWithTf, settings)
+    val scored = Predict.score(cv, settings)
+    val uid = settings.uniqueIdColumn
+    val sd = settings.sourceDatasetColumn
+    val keys = Seq(Cols.l(uid), Cols.r(uid)) ++
+      (if (prepared.columns.contains(Cols.l(sd))) Seq(Cols.l(sd), Cols.r(sd))
+       else Nil)
+    val scoreCols = keys.map(col) :+
+      (if (prepared.columns.contains("clerical_match_score"))
+        col("clerical_match_score") else lit(1.0).as("clerical_match_score"))
+    scored.join(prepared.select(scoreCols: _*), keys, "inner")
   }
 
   /** Chunked predict (`chunking.py:12-42`,
@@ -191,6 +216,31 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     def predictionErrorsFromLabelColumn(labelColumn: String,
         threshold: Double): DataFrame =
       Evaluation.predictionErrors(predict(), labelColumn, threshold)
+
+    /** Truth-space table against a pairwise labels table
+      * (`accuracy.py` labels-table path): the labelled pairs are scored
+      * through the model; clerical truth = score >= thresholdActual. */
+    def truthSpaceFromLabelsTable(labels: DataFrame,
+        thresholdActual: Double = 0.5): DataFrame = {
+      val scored = scorePairsFromLabels(labels)
+        .withColumn("clerical_match",
+          (col("clerical_match_score") >= thresholdActual).cast("int"))
+      Evaluation.truthSpaceTable(scored)
+    }
+
+    /** FP/FN lists at a prediction threshold against a pairwise labels
+      * table (`linker_components/evaluation.py:37-351`). */
+    def predictionErrorsFromLabelsTable(labels: DataFrame,
+        thresholdActual: Double = 0.5,
+        thresholdPredict: Double = 0.5): DataFrame =
+      scorePairsFromLabels(labels)
+        .withColumn("clerical_match",
+          (col("clerical_match_score") >= thresholdActual).cast("int"))
+        .withColumn("predicted",
+          (col(Cols.MatchProbability) >= thresholdPredict).cast("int"))
+        .filter(col("predicted") =!= col("clerical_match"))
+        .withColumn("error_type",
+          when(col("predicted") === 1, lit("FP")).otherwise(lit("FN")))
   }
 
   /** Clustering facade beyond plain CC. */

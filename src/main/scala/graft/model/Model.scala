@@ -53,6 +53,10 @@ object LinkType {
   }
 }
 
+/** One parameter estimate recorded by a training session
+  * (`comparison_level.py:355-399`). */
+case class TrainedValue(probability: Double, description: String)
+
 /**
  * One level of a comparison: a boolean predicate over `_l`/`_r` suffixed
  * columns plus trained/declared m and u probabilities.
@@ -60,6 +64,10 @@ object LinkType {
  * `sqlCondition` is Spark SQL (parsed with `expr`); "ELSE" marks the
  * catch-all level — same convention as the reference's model JSON
  * (`comparison_level.py:161-246`).
+ *
+ * `trainedM`/`trainedU` record every training session's estimate; the
+ * live m/u are the MEDIAN across sessions (`linker.py:459-467`) — a second
+ * EM session refines rather than overwrites the first.
  */
 case class ComparisonLevel(
     label: String,
@@ -71,12 +79,31 @@ case class ComparisonLevel(
     tfAdjustmentWeight: Double = 1.0,
     tfMinimumUValue: Double = 0.0,
     fixMProbability: Boolean = false,
-    fixUProbability: Boolean = false) {
+    fixUProbability: Boolean = false,
+    trainedM: Seq[TrainedValue] = Nil,
+    trainedU: Seq[TrainedValue] = Nil) {
   def isElse: Boolean = sqlCondition.trim.equalsIgnoreCase("ELSE")
   def condition: Column =
     if (isElse) lit(true) else expr(sqlCondition)
   def withM(v: Double): ComparisonLevel = copy(m = Some(v))
   def withU(v: Double): ComparisonLevel = copy(u = Some(v))
+
+  /** Record a session's m estimate AND refresh m to the median of all
+    * recorded sessions (no-op when m is fixed). */
+  def addTrainedM(v: Double, desc: String): ComparisonLevel =
+    if (fixMProbability) this
+    else {
+      val hist = trainedM :+ TrainedValue(v, desc)
+      copy(trainedM = hist, m = Some(Model.median(hist.map(_.probability))))
+    }
+
+  /** Record a session's u estimate AND refresh u to the median. */
+  def addTrainedU(v: Double, desc: String): ComparisonLevel =
+    if (fixUProbability) this
+    else {
+      val hist = trainedU :+ TrainedValue(v, desc)
+      copy(trainedU = hist, u = Some(Model.median(hist.map(_.probability))))
+    }
 
   /** log2 Bayes factor for this level, clamped like the reference
     * (`comparison_level.py:33-52`: probabilities floored at 1e-32 so the
@@ -95,6 +122,13 @@ object Model {
   /** Sentinel for levels never observed in training
     * (`comparison_level.py:287-289`). */
   val UnobservedSentinel = 1e-6
+  /** statistics.median semantics: mean of the two middle values when even. */
+  def median(vals: Seq[Double]): Double = {
+    require(vals.nonEmpty)
+    val s = vals.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
 }
 
 /**

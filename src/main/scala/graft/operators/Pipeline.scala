@@ -200,6 +200,49 @@ object Blocking {
 }
 
 /**
+ * Pairwise labels-table workflows (reference `block_from_labels.py:12-92`,
+ * `lower_id_on_lhs.py`): a clerical-review labels table carries
+ * `<uid>_l`, `<uid>_r` (plus `<source_dataset>_l/_r` for multi-frame
+ * models) and optionally `clerical_match_score`. The pairs become blocked
+ * id pairs with `match_key = 'from_labels'` and flow through the normal
+ * comparison-vector + scoring machinery.
+ */
+object Labels {
+
+  private def joinKey(labels: DataFrame, settings: LinkSettings,
+      side: String => String): Column = {
+    val sd = side(settings.sourceDatasetColumn)
+    if (labels.columns.contains(sd))
+      concat_ws("-__-", col(sd), col(side(settings.uniqueIdColumn)).cast("string"))
+    else col(side(settings.uniqueIdColumn))
+  }
+
+  /** Normalise so the LOWER join key is on the left, swapping every paired
+    * `_l`/`_r` column together (`lower_id_on_lhs.py:47`) — label tables come
+    * from review tools in arbitrary orientation, but blocked pairs are
+    * canonically ordered. */
+  def prepared(labels: DataFrame, settings: LinkSettings): DataFrame = {
+    val swap = joinKey(labels, settings, Cols.l) > joinKey(labels, settings, Cols.r)
+    val cols = labels.columns.map { c =>
+      if (c.endsWith("_l") && labels.columns.contains(c.dropRight(2) + "_r"))
+        when(swap, col(c.dropRight(2) + "_r")).otherwise(col(c)).as(c)
+      else if (c.endsWith("_r") && labels.columns.contains(c.dropRight(2) + "_l"))
+        when(swap, col(c.dropRight(2) + "_l")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    labels.select(cols.toSeq: _*)
+  }
+
+  /** Labels as a blocked-id-pairs frame (match_key, join_key_l, join_key_r). */
+  def idPairs(labels: DataFrame, settings: LinkSettings): DataFrame = {
+    val p = prepared(labels, settings)
+    p.select(lit("from_labels").as(Cols.MatchKey),
+      joinKey(p, settings, Cols.l).as("join_key_l"),
+      joinKey(p, settings, Cols.r).as("join_key_r"))
+  }
+}
+
+/**
  * Comparison-vector computation (reference
  * `comparison_vector_values.py:41-132`): join blocked id pairs back to the
  * records on both sides, project every model column as `col_l`/`col_r`,

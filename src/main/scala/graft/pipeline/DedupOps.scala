@@ -30,22 +30,29 @@ object DedupOps {
   // -------------------------------------------------------- token jaccard
 
   /** Candidate pairs from equality blocking, verified by token-set Jaccard
-    * >= threshold. blockKeys must be cheap, low-ish-cardinality columns. */
+    * >= threshold. blockKeys must be cheap, low-ish-cardinality columns.
+    *
+    * Shuffle rows carry SORTED HASHED tokens (array<long>), never the raw
+    * `array<string>` token sets: an order of magnitude fewer shuffle bytes
+    * for prose, and verification is a linear merge over sorted longs
+    * instead of an interpreted string array_intersect. Jaccard over 64-bit
+    * token hashes equals true Jaccard up to ~1e-19 collision probability. */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockKeys: Seq[Column], threshold: Double): DataFrame = {
     val withTok = df.select(
-      (col(idCol).as("id") +: tokenSet(col(textCol)).as("toks") +:
+      (col(idCol).as("id") +:
+        sort_array(array_distinct(transform(tokenSet(col(textCol)),
+          t => xxhash64(t)))).as("toks") +:
         blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") }): _*)
     val keys = blockKeys.indices.map(i => s"bk$i")
     val l = withTok.alias("l")
     val r = withTok.alias("r")
     val joinCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
       .reduce(_ && _) && col("l.id") < col("r.id")
-    val inter = size(array_intersect(col("l.toks"), col("r.toks")))
-    val uni = size(col("l.toks")) + size(col("r.toks")) - inter
+    val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
     l.join(r, joinCond)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
-        round(inter.cast("double") / uni, 9).as("jaccard"))
+        round(jac, 9).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

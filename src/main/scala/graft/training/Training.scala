@@ -84,7 +84,8 @@ object Training {
       k += 1
     }
     sampled.unpersist()
-    applyLevelProbabilities(settings, merged.toMap, setM = false)
+    applyLevelProbabilities(settings, merged.toMap, setM = false,
+      sessionDesc = "estimate u by random sampling")
   }
 
   /** groupBy each comparison's gamma column -> Map(comparison ->
@@ -101,9 +102,13 @@ object Training {
     } finally { cached.unpersist() }
   }
 
-  /** Write per-level probabilities (share of non-null gammas) into m or u. */
+  /** Record per-level probabilities (share of non-null gammas) as a
+    * training session for m or u; the live value becomes the median across
+    * all recorded sessions (`comparison_level.py:355-399`,
+    * `linker.py:459-467`). */
   private def applyLevelProbabilities(settings: LinkSettings,
-      counts: Map[String, Map[Int, Long]], setM: Boolean): LinkSettings = {
+      counts: Map[String, Map[Int, Long]], setM: Boolean,
+      sessionDesc: String): LinkSettings = {
     val updated = settings.comparisons.map { c =>
       val byGamma = counts.getOrElse(c.outputColumnName, Map.empty)
       val totalObs = byGamma.collect { case (g, n) if g >= 0 => n }.sum.toDouble
@@ -118,8 +123,8 @@ object Training {
               case 0 => Model.UnobservedSentinel
               case n => n / totalObs
             }
-          if (setM) { if (lv.fixMProbability) lv else lv.withM(share) }
-          else { if (lv.fixUProbability) lv else lv.withU(share) }
+          if (setM) lv.addTrainedM(share, sessionDesc)
+          else lv.addTrainedU(share, sessionDesc)
         }
       }
       c.copy(levels = newLevels)
@@ -140,7 +145,26 @@ object Training {
     val pairs = Blocking.blockedIdPairs(concat, mSettings)
     val cv = ComparisonVectors.compute(pairs,
       TermFrequency.joinAll(concat, settings.tfColumns), mSettings)
-    applyLevelProbabilities(settings, gammaCounts(cv, settings), setM = true)
+    applyLevelProbabilities(settings, gammaCounts(cv, settings), setM = true,
+      sessionDesc = s"estimate m from label column $labelColumn")
+  }
+
+  /**
+   * Estimate m from a pairwise labels TABLE (`m_from_labels.py:26-102`):
+   * the labelled pairs are taken as true matches (match_probability 1), so
+   * each level's m is its share of non-null gammas among them.
+   *
+   * @param labels frame with `<uid>_l`, `<uid>_r` (and the composite parts
+   *               when linking multiple frames) — see [[operators.Labels]]
+   */
+  def estimateMFromPairwiseLabels(inputs: Seq[(String, DataFrame)],
+      settings: LinkSettings, labels: DataFrame): LinkSettings = {
+    val concat = VerticalConcat(inputs, settings)
+    val pairs = Labels.idPairs(labels, settings)
+    val cv = ComparisonVectors.compute(pairs,
+      TermFrequency.joinAll(concat, settings.tfColumns), settings)
+    applyLevelProbabilities(settings, gammaCounts(cv, settings), setM = true,
+      sessionDesc = "estimate m from pairwise labels")
   }
 
   /**
@@ -361,7 +385,10 @@ object Training {
     val (m, u, lambda) = (core.m, core.u, core.lambda)
     val (iter, converged, history) = (core.iterations, core.converged, core.history)
 
-    // merge trained params back into the full settings
+    // merge trained params back into the full settings: each session is
+    // RECORDED and the live value becomes the median across sessions
+    // (`linker.py:459-467`) — a second EM session refines, never overwrites
+    val sessionDesc = s"EM, blocked on ${trainingRule.describe}"
     val trainedComparisons = settings.comparisons.map { c =>
       active.indexWhere(_.outputColumnName == c.outputColumnName) match {
         case -1 => c
@@ -371,8 +398,8 @@ object Training {
             else {
               val g = c.activeLevelsWithGamma.collectFirst {
                 case (l2, gg) if l2 == lv => gg }.get
-              val withM = if (lv.fixMProbability) lv else lv.withM(m(i)(g))
-              if (fixU || lv.fixUProbability) withM else withM.withU(u(i)(g))
+              val withM = lv.addTrainedM(m(i)(g), sessionDesc)
+              if (fixU) withM else withM.addTrainedU(u(i)(g), sessionDesc)
             }
           }
           c.copy(levels = newLevels)

@@ -169,6 +169,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - expected) < 1e-6)
   }
 
+  test("token jaccard over hashed longs equals brute-force string sets") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over a lazy dog"),
+      (3L, "completely unrelated text about query planning"),
+      (4L, "dog lazy the over jumps fox brown quick the") // reordered = same set
+    ).toDF("doc_id", "text")
+    val got = DedupOps.tokenJaccardPairs(docs, "doc_id", "text",
+      Seq(lit(1)), threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def tok(s: String) = s.toLowerCase.split("\\s+").toSet
+    val all = Seq(1L, 2L, 3L, 4L).map(i =>
+      i -> tok(docs.collect().find(_.getLong(0) == i).get.getString(1))).toMap
+    val expected = (for {
+      a <- all.keys; b <- all.keys if a < b
+      j = all(a).intersect(all(b)).size.toDouble / all(a).union(all(b)).size
+      if j >= 0.3
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-6, k) }
+    assert(got((1L, 4L)) == 1.0) // reordering invisible to token sets
+    // scale shape: the join input carries hashed longs, not strings
+    val plan = DedupOps.tokenJaccardPairs(docs, "doc_id", "text",
+      Seq(lit(1)), 0.3).queryExecution.analyzed.toString
+    assert(!plan.contains("array_intersect"))
+  }
+
   test("simhash of similar docs is close, dissimilar far") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and again!"
