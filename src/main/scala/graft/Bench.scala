@@ -43,8 +43,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // stdout from `sbt runMain` is wrapped in [info] noise; the file is the
-    // reliable channel for the driver's parser.
+    // stdout from `sbt runMain` is wrapped in [info] noise; stderr is not,
+    // and the file is a second reliable channel for the driver's parser.
+    System.err.println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }

@@ -740,7 +740,9 @@ object SparkEntry {
         |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS prefix_hex
         |FROM documents""".stripMargin,
 
-    // FNV-1a decode stub replayed over the payload bytes (ASCII text).
+    // FNV-1a decode stub replayed over the payload bytes. ord()-based fnvSql
+    // assumes the ASCII-only test corpus (codepoint == utf8 byte); NULL text
+    // yields hv NULL -> all-NULL metadata, matching the engine's NULL row.
     "q_multimodal_decode" ->
       s"""WITH h AS (SELECT doc_id AS media_id, ${fnvSql("text")} AS hv FROM documents),
          |s AS (SELECT media_id, hv,
@@ -749,7 +751,8 @@ object SparkEntry {
          |SELECT media_id,
          |  CAST(64 + abs(hs) % 1024 AS INT) AS width,
          |  CAST(64 + (hv // 131072::HUGEINT) % 1024 AS INT) AS height,
-         |  3 AS n_channels, 8 AS feature_len
+         |  CASE WHEN hv IS NULL THEN NULL ELSE 3 END AS n_channels,
+         |  CASE WHEN hv IS NULL THEN NULL ELSE 8 END AS feature_len
          |FROM s""".stripMargin,
 
     // Full MinHash-LSH replay: FNV shingle hashes -> 32 universal-hash

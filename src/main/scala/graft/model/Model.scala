@@ -54,8 +54,13 @@ object LinkType {
 }
 
 /** One parameter estimate recorded by a training session
-  * (`comparison_level.py:355-399`). */
-case class TrainedValue(probability: Double, description: String)
+  * (`comparison_level.py:355-399`). `observed = false` marks a session in
+  * which the level never appeared (the reference's LEVEL_NOT_OBSERVED_TEXT,
+  * `em_training_session.py:336-353`) — such sessions are excluded from the
+  * median so one sparse session can't drag a real estimate toward the
+  * sentinel. */
+case class TrainedValue(probability: Double, description: String,
+    observed: Boolean = true)
 
 /**
  * One level of a comparison: a boolean predicate over `_l`/`_r` suffixed
@@ -89,20 +94,21 @@ case class ComparisonLevel(
   def withU(v: Double): ComparisonLevel = copy(u = Some(v))
 
   /** Record a session's m estimate AND refresh m to the median of all
-    * recorded sessions (no-op when m is fixed). */
-  def addTrainedM(v: Double, desc: String): ComparisonLevel =
+    * OBSERVED sessions (no-op when m is fixed); the sentinel applies only
+    * when no session observed the level (`comparison_level.py:386-399`). */
+  def addTrainedM(v: Double, desc: String, observed: Boolean = true): ComparisonLevel =
     if (fixMProbability) this
     else {
-      val hist = trainedM :+ TrainedValue(v, desc)
-      copy(trainedM = hist, m = Some(Model.median(hist.map(_.probability))))
+      val hist = trainedM :+ TrainedValue(v, desc, observed)
+      copy(trainedM = hist, m = Some(Model.medianObserved(hist)))
     }
 
   /** Record a session's u estimate AND refresh u to the median. */
-  def addTrainedU(v: Double, desc: String): ComparisonLevel =
+  def addTrainedU(v: Double, desc: String, observed: Boolean = true): ComparisonLevel =
     if (fixUProbability) this
     else {
-      val hist = trainedU :+ TrainedValue(v, desc)
-      copy(trainedU = hist, u = Some(Model.median(hist.map(_.probability))))
+      val hist = trainedU :+ TrainedValue(v, desc, observed)
+      copy(trainedU = hist, u = Some(Model.medianObserved(hist)))
     }
 
   /** log2 Bayes factor for this level, clamped like the reference
@@ -128,6 +134,13 @@ object Model {
     val s = vals.sorted
     val n = s.size
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Median over the sessions that observed the level; sentinel otherwise
+    * (`comparison_level.py:386-399`). */
+  def medianObserved(hist: Seq[TrainedValue]): Double = {
+    val obs = hist.filter(_.observed).map(_.probability)
+    if (obs.isEmpty) UnobservedSentinel else median(obs)
   }
 }
 

@@ -24,6 +24,10 @@ object SettingsJson {
         ("blocking_rule" -> other.describe) ~
           ("arrays_to_explode" -> other.arraysToExplode)
     }
+    def trained(hist: Seq[TrainedValue]): List[JValue] = hist.toList.map { tv =>
+      ("probability" -> tv.probability) ~ ("description" -> tv.description) ~
+        ("observed" -> tv.observed): JValue
+    }
     val comparisons = s.comparisons.map { c =>
       ("output_column_name" -> c.outputColumnName) ~
         ("comparison_levels" -> c.levels.map { lv =>
@@ -36,7 +40,9 @@ object SettingsJson {
             ("tf_adjustment_weight" -> lv.tfAdjustmentWeight) ~
             ("tf_minimum_u_value" -> lv.tfMinimumUValue) ~
             ("fix_m_probability" -> lv.fixMProbability) ~
-            ("fix_u_probability" -> lv.fixUProbability)
+            ("fix_u_probability" -> lv.fixUProbability) ~
+            ("trained_m_probabilities" -> trained(lv.trainedM)) ~
+            ("trained_u_probabilities" -> trained(lv.trainedU))
         })
     }
     val json =
@@ -92,6 +98,13 @@ object SettingsJson {
       }
       case _ => Nil
     }
+    def trained(f: JValue): Seq[TrainedValue] = f match {
+      case JArray(ts) => ts.map { tv =>
+        TrainedValue(dbl(tv \ "probability", 0.0), str(tv \ "description", ""),
+          bool(tv \ "observed", default = true))
+      }
+      case _ => Nil
+    }
     val comparisons = (j \ "comparisons") match {
       case JArray(vs) => vs.map { cv =>
         val levels = (cv \ "comparison_levels") match {
@@ -108,7 +121,9 @@ object SettingsJson {
               tfAdjustmentWeight = dbl(lv \ "tf_adjustment_weight", 1.0),
               tfMinimumUValue = dbl(lv \ "tf_minimum_u_value", 0.0),
               fixMProbability = bool(lv \ "fix_m_probability", default = false),
-              fixUProbability = bool(lv \ "fix_u_probability", default = false))
+              fixUProbability = bool(lv \ "fix_u_probability", default = false),
+              trainedM = trained(lv \ "trained_m_probabilities"),
+              trainedU = trained(lv \ "trained_u_probabilities"))
           }
           case _ => Nil
         }

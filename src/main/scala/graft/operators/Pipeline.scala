@@ -168,8 +168,15 @@ object Blocking {
    */
   def pairsUnderRules(left: DataFrame, right: DataFrame,
       rules: Seq[BlockingRule], extraFilter: Option[Column]): DataFrame = {
+    val anyExplodes = rules.exists(_.arraysToExplode.nonEmpty)
     val perRule = rules.zipWithIndex.map { case (rule, i) =>
-      val notPrev = rules.take(i).map(pr =>
+      // NOT-previous is only exact against NON-exploding earlier rules: an
+      // exploding rule's condition on the unexploded arrays is whole-array
+      // equality, not element overlap, so pairs sharing just some elements
+      // would escape the filter and be emitted under two match keys. With
+      // any exploding rule in play, cross-rule dedupe instead falls through
+      // to the min(match_key) groupBy below (`blocking.py:814-827`).
+      val notPrev = rules.take(i).filter(_.arraysToExplode.isEmpty).map(pr =>
         !coalesce(pr.condition, lit(false))) // AND NOT any earlier rule
       val (lhs, rhs) =
         if (rule.arraysToExplode.nonEmpty) {
@@ -192,10 +199,19 @@ object Blocking {
           project(lhs.join(rhs,
             cond && pmod(hash(col("l.__join_key")), lit(salts)) === k, "inner"))
         }.reduce(_.unionByName(_))
-      // exploded rules can emit the same pair many times (`blocking.py:398-407`)
+      // exploded rules can emit the same pair many times (`blocking.py:398-407`);
+      // the per-rule distinct pre-shrinks the union feeding the global dedupe
       if (rule.arraysToExplode.nonEmpty) selected.distinct() else selected
     }
-    perRule.reduce(_.unionByName(_))
+    val unioned = perRule.reduce(_.unionByName(_))
+    if (!anyExplodes || rules.size == 1) unioned
+    else
+      // one narrow (3-column) global groupBy, only in the exploding multi-
+      // rule case — the reference pays the same materialised dedupe
+      unioned.groupBy(col("join_key_l"), col("join_key_r"))
+        .agg(min(col(Cols.MatchKey).cast("int")).as("__mk"))
+        .select(col("__mk").cast("string").as(Cols.MatchKey),
+          col("join_key_l"), col("join_key_r"))
   }
 }
 
@@ -214,6 +230,12 @@ object Labels {
     val sd = side(settings.sourceDatasetColumn)
     if (labels.columns.contains(sd))
       concat_ws("-__-", col(sd), col(side(settings.uniqueIdColumn)).cast("string"))
+    else if (settings.linkType != LinkType.DedupeOnly)
+      // multi-frame records join on the composite '<sd>-__-<uid>' key; a
+      // bare-uid label key would inner-join to zero rows with no error
+      throw new IllegalArgumentException(
+        s"labels table must carry '$sd' for link type ${settings.linkType} " +
+          "(records use composite source_dataset+uid join keys)")
     else col(side(settings.uniqueIdColumn))
   }
 
@@ -233,12 +255,15 @@ object Labels {
     labels.select(cols.toSeq: _*)
   }
 
-  /** Labels as a blocked-id-pairs frame (match_key, join_key_l, join_key_r). */
+  /** Labels as a blocked-id-pairs frame (match_key, join_key_l, join_key_r).
+    * Distinct: a pair labelled twice must be scored once — the score join
+    * back onto the labels would otherwise fan out quadratically. */
   def idPairs(labels: DataFrame, settings: LinkSettings): DataFrame = {
     val p = prepared(labels, settings)
     p.select(lit("from_labels").as(Cols.MatchKey),
       joinKey(p, settings, Cols.l).as("join_key_l"),
       joinKey(p, settings, Cols.r).as("join_key_r"))
+      .distinct()
   }
 }
 

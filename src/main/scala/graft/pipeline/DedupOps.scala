@@ -50,10 +50,12 @@ object DedupOps {
     val joinCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
       .reduce(_ && _) && col("l.id") < col("r.id")
     val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
+    // filter on the UNROUNDED jaccard (round only in the projection) so the
+    // threshold semantics match an oracle that filters the raw ratio
     l.join(r, joinCond)
+      .filter(jac >= threshold)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
         round(jac, 9).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Character n-gram Jaccard pairs: same blocked-join shape as
@@ -73,10 +75,11 @@ object DedupOps {
     val joinCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
       .reduce(_ && _) && col("l.id") < col("r.id")
     val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
+    // unrounded filter, rounded projection — see tokenJaccardPairs
     l.join(r, joinCond)
+      .filter(jac >= threshold)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
         round(jac, 9).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   // ------------------------------------------------------- minhash + LSH
@@ -141,9 +144,9 @@ object DedupOps {
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.id") < col("r.id"))
+      .filter(jac >= threshold) // unrounded filter, rounded projection
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
         round(jac, 9).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
       .distinct()
   }
 
@@ -207,6 +210,9 @@ object DedupOps {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bk"))
     val l = base.alias("l")
     val r = base.alias("r")
+    // NOTE: unlike the jaccard operators (exact rational arithmetic, filtered
+    // unrounded), cosine is float math whose last ulp differs across engines —
+    // filtering the ROUNDED value keeps thresholds deterministic everywhere.
     l.join(r, col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
         round(cosine(col("l.vec"), col("r.vec")), 9).as("cosine"))

@@ -117,14 +117,13 @@ object Training {
         else {
           val gv = c.activeLevelsWithGamma.collectFirst {
             case (l2, g) if l2 == lv => g }.get
+          // a level with zero observations records an UNOBSERVED session:
+          // the sentinel must not enter the cross-session median
+          val obs = totalObs > 0 && byGamma.getOrElse(gv, 0L) > 0
           val share =
-            if (totalObs == 0) Model.UnobservedSentinel
-            else byGamma.getOrElse(gv, 0L) match {
-              case 0 => Model.UnobservedSentinel
-              case n => n / totalObs
-            }
-          if (setM) lv.addTrainedM(share, sessionDesc)
-          else lv.addTrainedU(share, sessionDesc)
+            if (obs) byGamma(gv) / totalObs else Model.UnobservedSentinel
+          if (setM) lv.addTrainedM(share, sessionDesc, observed = obs)
+          else lv.addTrainedU(share, sessionDesc, observed = obs)
         }
       }
       c.copy(levels = newLevels)
@@ -389,6 +388,13 @@ object Training {
     // RECORDED and the live value becomes the median across sessions
     // (`linker.py:459-467`) — a second EM session refines, never overwrites
     val sessionDesc = s"EM, blocked on ${trainingRule.describe}"
+    // gammas this session actually saw: levels absent from every agreement
+    // pattern record an observed=false session (excluded from the median),
+    // mirroring LEVEL_NOT_OBSERVED_TEXT (`em_training_session.py:336-353`)
+    val seenGammas: Array[Set[Int]] = Array.tabulate(active.size) { i =>
+      patterns.iterator.filter(p => p.count > 0 && p.gammas(i) >= 0)
+        .map(_.gammas(i)).toSet
+    }
     val trainedComparisons = settings.comparisons.map { c =>
       active.indexWhere(_.outputColumnName == c.outputColumnName) match {
         case -1 => c
@@ -398,8 +404,11 @@ object Training {
             else {
               val g = c.activeLevelsWithGamma.collectFirst {
                 case (l2, gg) if l2 == lv => gg }.get
-              val withM = lv.addTrainedM(m(i)(g), sessionDesc)
-              if (fixU) withM else withM.addTrainedU(u(i)(g), sessionDesc)
+              val obs = seenGammas(i).contains(g)
+              val mv = if (obs) m(i)(g) else Model.UnobservedSentinel
+              val uv = if (obs) u(i)(g) else Model.UnobservedSentinel
+              val withM = lv.addTrainedM(mv, sessionDesc, observed = obs)
+              if (fixU) withM else withM.addTrainedU(uv, sessionDesc, observed = obs)
             }
           }
           c.copy(levels = newLevels)
