@@ -136,7 +136,11 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
        else Nil)
     val scoreCols = keys.map(col) :+
       (if (prepared.columns.contains("clerical_match_score"))
-        col("clerical_match_score") else lit(1.0).as("clerical_match_score"))
+        // per-row NULL = unmarked pair = definite match, same as the
+        // whole-column default (`block_from_labels.py` score handling)
+        coalesce(col("clerical_match_score").cast("double"), lit(1.0))
+          .as("clerical_match_score")
+      else lit(1.0).as("clerical_match_score"))
     scored.join(prepared.select(scoreCols: _*), keys, "inner")
   }
 

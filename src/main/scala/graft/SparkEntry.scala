@@ -406,6 +406,51 @@ object SparkEntry {
       DedupOps.simhashDedupPairs(pq(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3,
         blockKeys = Seq(col("lang"), floor(col("n_chars") / 50)))
+    }),
+
+    // §2.12 labels-table workflow end to end: clerical labels synthesised
+    // from consecutive custkeys (some reversed orientation, some NULL
+    // scores = definite matches), canonicalised, scored through the model,
+    // rolled into the truth-space table (`block_from_labels.py`,
+    // `lower_id_on_lhs.py:47`).
+    "q_labels_truth_space" -> ((s, dir) => {
+      val c = customers(s, dir)
+      val base = c.filter(col("unique_id") % 5 === 0)
+        .select(col("unique_id").as("k"), (col("unique_id") + 1).as("other"))
+      val labels = base.select(
+        when(col("k") % 10 === 0, col("other")).otherwise(col("k")).as("unique_id_l"),
+        when(col("k") % 10 === 0, col("k")).otherwise(col("other")).as("unique_id_r"),
+        when(col("k") % 15 === 0, lit(null).cast("double"))
+          .otherwise((col("k") % 97) / lit(96.0)).as("clerical_match_score"))
+      val linker = new Linker(c, customerSettings)
+      linker.evaluation.truthSpaceFromLabelsTable(labels)
+        .select(col("truth_threshold"), col("tp"), col("fp"), col("tn"), col("fn"),
+          round(col("precision"), 9).as("precision"),
+          round(col("recall"), 9).as("recall"),
+          round(col("f1"), 9).as("f1"))
+    }),
+
+    // §2.5/§2.6 profiling distribution: value-frequency percentile table
+    // (`profile_data.py:105-208`)
+    "q_profile_dist" -> ((s, dir) => {
+      Evaluation.profileDistribution(pq(s, dir, "part"), Seq("p_brand", "p_type"))
+        .select(col("column_name"), col("value_count"), col("n_values"),
+          col("cum_rows"), round(col("percentile"), 9).as("percentile"))
+    }),
+
+    // §2.4 TF chart data: most/least-frequent values per TF column
+    // (`term_frequencies.py:146-153`)
+    "q_tf_chart" -> ((s, dir) => {
+      Evaluation.tfChartData(pq(s, dir, "part"), Seq("p_type"), 5)
+        .select(col("column_name"), col("side"), col("value"), col("value_count"),
+          round(col("tf"), 9).as("tf"),
+          col("rank_most_frequent"), col("rank_least_frequent"))
+    }),
+
+    // §2.4 blocking analysis: marginal + cumulative comparisons per rule
+    // under NOT-previous semantics (`blocking_analysis.py:601-724`)
+    "q_cumulative_comparisons" -> ((s, dir) => {
+      Evaluation.cumulativeComparisonsPerRule(customers(s, dir), customerSettings)
     })
   )
 
@@ -435,6 +480,45 @@ object SparkEntry {
        |    CASE WHEN len(t) = 0 THEN []::VARCHAR[] WHEN len(t) <= 8 THEN [t]
        |         ELSE list_transform(range(1, len(t) - 6), i -> substr(t, CAST(i AS INT), 8)) END AS gs
        |  FROM norm)""".stripMargin
+
+  /** log2(m/u) as a DuckDB double literal. */
+  private def wlog(m: Double, u: Double): String =
+    s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+
+  /** The customerSettings match weight over gamma columns g_name / g_bal. */
+  private val oracleCustomerMw: String = {
+    val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+    s"""$prior
+       |    + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${wlog(0.9, 0.001)}
+       |        WHEN 2 THEN ${wlog(0.05, 0.01)} WHEN 1 THEN ${wlog(0.03, 0.05)}
+       |        ELSE ${wlog(0.02, 0.939)} END
+       |    + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${wlog(0.7, 0.02)}
+       |        WHEN 1 THEN ${wlog(0.2, 0.03)} ELSE ${wlog(0.1, 0.95)} END""".stripMargin
+  }
+
+  /** Truth-space cumulative tail over an `mw(truth_threshold, pos)` CTE. */
+  private val oracleTruthTail: String =
+    """tot AS (SELECT CAST(sum(pos) AS BIGINT) AS total_p,
+      |               CAST(sum(1 - pos) AS BIGINT) AS total_n FROM mw),
+      |by_t AS (SELECT truth_threshold, CAST(sum(pos) AS BIGINT) AS p_at,
+      |                CAST(sum(1 - pos) AS BIGINT) AS n_at
+      |         FROM mw GROUP BY 1),
+      |cum AS (SELECT truth_threshold,
+      |          CAST(sum(p_at) OVER (ORDER BY truth_threshold DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+      |          CAST(sum(n_at) OVER (ORDER BY truth_threshold DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+      |        FROM by_t)
+      |SELECT truth_threshold, tp, fp,
+      |  (SELECT total_n FROM tot) - fp AS tn,
+      |  (SELECT total_p FROM tot) - tp AS fn,
+      |  round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0::DOUBLE END, 9) AS precision,
+      |  round(CASE WHEN (SELECT total_p FROM tot) > 0
+      |    THEN tp::DOUBLE / (SELECT total_p FROM tot) ELSE 0.0::DOUBLE END, 9) AS recall,
+      |  round(CASE WHEN 2 * tp + fp + ((SELECT total_p FROM tot) - tp) > 0
+      |    THEN 2.0::DOUBLE * tp / (2 * tp + fp + ((SELECT total_p FROM tot) - tp))
+      |    ELSE 0.0::DOUBLE END, 9) AS f1
+      |FROM cum""".stripMargin
 
   /** DuckDB-dialect oracle SQL per query (tables registered by name). */
   def oracleSql: Map[String, String] = Map(
@@ -603,9 +687,7 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin,
 
-    "q_truth_space" -> {
-      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
-      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+    "q_truth_space" ->
       s"""$oraclePairsCte,
          |cv AS (
          |  SELECT p.uid_l, p.uid_r,
@@ -615,36 +697,29 @@ object SparkEntry {
          |  JOIN customer l ON p.uid_l = l.c_custkey
          |  JOIN customer r ON p.uid_r = r.c_custkey),
          |mw AS (
-         |  SELECT round($prior
-         |    + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
-         |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
-         |        ELSE ${w(0.02, 0.939)} END
-         |    + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
-         |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END, 6)
-         |      AS truth_threshold, pos
+         |  SELECT round($oracleCustomerMw, 6) AS truth_threshold, pos
          |  FROM cv),
-         |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS total_p,
-         |               CAST(sum(1 - pos) AS BIGINT) AS total_n FROM mw),
-         |by_t AS (SELECT truth_threshold, CAST(sum(pos) AS BIGINT) AS p_at,
-         |                CAST(sum(1 - pos) AS BIGINT) AS n_at
-         |         FROM mw GROUP BY 1),
-         |cum AS (SELECT truth_threshold,
-         |          CAST(sum(p_at) OVER (ORDER BY truth_threshold DESC
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
-         |          CAST(sum(n_at) OVER (ORDER BY truth_threshold DESC
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
-         |        FROM cum_src)
-         |SELECT truth_threshold, tp, fp,
-         |  (SELECT total_n FROM tot) - fp AS tn,
-         |  (SELECT total_p FROM tot) - tp AS fn,
-         |  round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0::DOUBLE END, 9) AS precision,
-         |  round(CASE WHEN (SELECT total_p FROM tot) > 0
-         |    THEN tp::DOUBLE / (SELECT total_p FROM tot) ELSE 0.0::DOUBLE END, 9) AS recall,
-         |  round(CASE WHEN 2 * tp + fp + ((SELECT total_p FROM tot) - tp) > 0
-         |    THEN 2.0::DOUBLE * tp / (2 * tp + fp + ((SELECT total_p FROM tot) - tp))
-         |    ELSE 0.0::DOUBLE END, 9) AS f1
-         |FROM cum""".stripMargin.replace("FROM cum_src", "FROM by_t")
-    },
+         |$oracleTruthTail""".stripMargin,
+
+    // labelled pairs scored through the same model; clerical truth from
+    // the (NULL -> 1.0) score; identical cumulative tail
+    "q_labels_truth_space" ->
+      s"""WITH labels AS (
+         |  SELECT c_custkey AS uid_l, c_custkey + 1 AS uid_r,
+         |    CASE WHEN c_custkey % 15 = 0 THEN 1.0::DOUBLE
+         |         ELSE (c_custkey % 97) / 96.0 END AS score
+         |  FROM customer WHERE c_custkey % 5 = 0),
+         |cv AS (
+         |  SELECT b.uid_l, b.uid_r,
+         |    $oracleGammaName AS g_name, $oracleGammaBal AS g_bal,
+         |    CASE WHEN b.score >= 0.5 THEN 1 ELSE 0 END AS pos
+         |  FROM labels b
+         |  JOIN customer l ON b.uid_l = l.c_custkey
+         |  JOIN customer r ON b.uid_r = r.c_custkey),
+         |mw AS (
+         |  SELECT round($oracleCustomerMw, 6) AS truth_threshold, pos
+         |  FROM cv),
+         |$oracleTruthTail""".stripMargin,
 
     "q_unlinkables" -> {
       def log2(x: Double) = math.log(x) / math.log(2.0)
@@ -681,6 +756,53 @@ object SparkEntry {
         |  SELECT 'p_type', CAST(p_type AS VARCHAR), count(*),
         |    CAST(row_number() OVER (ORDER BY count(*) DESC, CAST(p_type AS VARCHAR) ASC) AS INT) AS rank
         |  FROM part WHERE p_type IS NOT NULL GROUP BY p_type) WHERE rank <= 10""".stripMargin,
+
+    "q_profile_dist" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, value_count, n_values, cum_rows,
+           |  round(cum_rows::DOUBLE / total_rows, 9) AS percentile
+           |FROM (
+           |  SELECT value_count, n_values,
+           |    CAST(sum(value_count * n_values) OVER (ORDER BY value_count DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rows,
+           |    CAST(sum(value_count * n_values) OVER () AS BIGINT) AS total_rows
+           |  FROM (
+           |    SELECT value_count, count(*) AS n_values FROM (
+           |      SELECT count(*) AS value_count FROM part
+           |      WHERE $c IS NOT NULL GROUP BY $c)
+           |    GROUP BY value_count))""".stripMargin
+      s"${one("p_brand")}\nUNION ALL\n${one("p_type")}"
+    },
+
+    "q_tf_chart" -> {
+      def one(side: String, order: String) =
+        s"""SELECT 'p_type' AS column_name, '${side}_frequent' AS side,
+           |  value, value_count, round(tf, 9) AS tf,
+           |  ${if (side == "most") "CAST(rank AS INT)" else "CAST(NULL AS INT)"} AS rank_most_frequent,
+           |  ${if (side == "most") "CAST(NULL AS INT)" else "CAST(rank AS INT)"} AS rank_least_frequent
+           |FROM (
+           |  SELECT CAST(p_type AS VARCHAR) AS value, count(*) AS value_count,
+           |    count(*)::DOUBLE / (SELECT count(p_type) FROM part) AS tf,
+           |    row_number() OVER (ORDER BY count(*) $order,
+           |      CAST(p_type AS VARCHAR) ASC) AS rank
+           |  FROM part WHERE p_type IS NOT NULL GROUP BY p_type)
+           |WHERE rank <= 5""".stripMargin
+      s"${one("most", "DESC")}\nUNION ALL\n${one("least", "ASC")}"
+    },
+
+    "q_cumulative_comparisons" ->
+      s"""$oraclePairsCte,
+         |counts AS (SELECT match_key, count(*) AS row_count FROM pairs GROUP BY 1),
+         |rules AS (SELECT '0' AS match_key, 'block_on(c_nationkey, c_mktsegment)' AS rule
+         |          UNION ALL
+         |          SELECT '1', 'block_on(c_nationkey, round(c_acctbal, -2))'),
+         |n AS (SELECT count(*) AS cnt FROM customer)
+         |SELECT r.match_key, r.rule,
+         |  CAST(coalesce(c.row_count, 0) AS BIGINT) AS row_count,
+         |  CAST(sum(coalesce(c.row_count, 0)) OVER (ORDER BY CAST(r.match_key AS INT)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_rows,
+         |  (SELECT CAST(cnt * (cnt - 1) / 2 AS BIGINT) FROM n) AS cartesian
+         |FROM rules r LEFT JOIN counts c USING (match_key)""".stripMargin,
 
     "q_largest_blocks" ->
       """SELECT c_nationkey AS key_0, c_mktsegment AS key_1,

@@ -125,6 +125,65 @@ object Evaluation {
         .select("column_name", "value", "value_count", "rank")
     }.reduce(_.unionByName(_))
 
+  /** Value-frequency distribution / percentile table per column
+    * (`profile_data.py:105-208`, percentile cumsum `:119-132`): one row per
+    * distinct VALUE COUNT with how many values share it and the cumulative
+    * share of non-null rows covered by values at least that frequent.
+    * Grouping by count (not value) keeps the result deterministic under
+    * ties and tiny — at 100 TB the window runs over |distinct counts| rows,
+    * never the data. */
+  def profileDistribution(df: DataFrame, columns: Seq[String]): DataFrame =
+    columns.map { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c))
+        .agg(count(lit(1)).as("value_count"))
+      val byCount = counts.groupBy("value_count")
+        .agg(count(lit(1)).as("n_values"))
+        .withColumn("rows_at_count", col("value_count") * col("n_values"))
+      val w = Window.orderBy(desc("value_count"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      byCount
+        .withColumn("cum_rows", sum("rows_at_count").over(w))
+        .withColumn("percentile",
+          col("cum_rows").cast("double") / sum("rows_at_count").over(wAll))
+        .withColumn("column_name", lit(c))
+        .select("column_name", "value_count", "n_values", "cum_rows", "percentile")
+    }.reduce(_.unionByName(_))
+
+  /** TF-adjustment chart data (`term_frequencies.py:146-153`): the N most-
+    * and least-frequent values per TF column with their relative term
+    * frequency — the diagnostic users consult when a TF-adjusted name
+    * column misbehaves. Ranks tie-break on the value string, so the output
+    * is deterministic. */
+  def tfChartData(df: DataFrame, columns: Seq[String], n: Int = 10): DataFrame =
+    columns.map { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("value_count"))
+      val total = counts.agg(sum("value_count").as("__total"))
+      // orderBy+limit is a distributed TakeOrdered (per-partition top-k then
+      // merge) — never a global sort/row_number over all distinct values;
+      // the rank window then runs over <= n rows
+      def ranked(ordered: DataFrame, rankCol: String) =
+        ordered.limit(n).withColumn(rankCol,
+          row_number().over(Window.orderBy(
+            if (rankCol == "rank_most_frequent") desc("value_count") else asc("value_count"),
+            asc("value"))))
+      val most = ranked(counts.orderBy(desc("value_count"), asc("value")),
+        "rank_most_frequent").withColumn("side", lit("most_frequent"))
+      val least = ranked(counts.orderBy(asc("value_count"), asc("value")),
+        "rank_least_frequent").withColumn("side", lit("least_frequent"))
+      most.withColumn("rank_least_frequent", lit(null).cast("int"))
+        .unionByName(least.withColumn("rank_most_frequent", lit(null).cast("int")))
+        .crossJoin(broadcast(total))
+        .withColumn("tf", col("value_count").cast("double") / col("__total"))
+        .withColumn("column_name", lit(c))
+        .select("column_name", "side", "value", "value_count", "tf",
+          "rank_most_frequent", "rank_least_frequent")
+    }.reduce(_.unionByName(_))
+
   /**
    * Count comparisons a blocking rule would generate WITHOUT materialising
    * the pairs (`blocking_analysis.py:118-190`): per-key counts on each
@@ -136,6 +195,108 @@ object Evaluation {
       .groupBy(keyExprs.indices.map(i => col(s"k$i")): _*)
       .agg(count(lit(1)).as("cnt"))
       .agg(sum(col("cnt") * (col("cnt") - 1) / 2).cast("bigint").as("n_comparisons"))
+  }
+
+  /** Total possible comparisons under the link type, as a lazy 1-row frame
+    * (`blocking_analysis.py:601-700`): dedupe / link_and_dedupe = N(N-1)/2
+    * over the concat; link_only = sum of cross-frame products. */
+  def totalPossiblePairs(concat: DataFrame, settings: LinkSettings): DataFrame =
+    settings.linkType match {
+      case LinkType.LinkOnly =>
+        val bySd = concat.groupBy(col(settings.sourceDatasetColumn).as("sd"))
+          .agg(count(lit(1)).as("n"))
+        bySd.alias("l").join(bySd.alias("r"), col("l.sd") < col("r.sd"))
+          .agg(sum(col("l.n") * col("r.n")).cast("bigint").as("cartesian"))
+      case _ =>
+        concat.agg(count(lit(1)).as("__n"))
+          .select((col("__n") * (col("__n") - 1) / 2).cast("bigint").as("cartesian"))
+    }
+
+  /** Marginal and cumulative comparison counts per blocking rule under
+    * NOT-previous semantics (`blocking_analysis.py:601-724`): the chart
+    * data behind `cumulative_comparisons_to_be_scored_from_blocking_rules`.
+    * Counts come from the actual blocked-pairs plan (exact, including
+    * salting/exploding), aggregated to one row per rule; the cumulative
+    * window runs over |rules| rows only. */
+  def cumulativeComparisonsPerRule(concat: DataFrame,
+      settings: LinkSettings): DataFrame = {
+    import graft.operators.Blocking
+    val rules = settings.blockingRules
+    val counts = Blocking.blockedIdPairs(concat, settings)
+      .groupBy(col(Cols.MatchKey)).agg(count(lit(1)).as("row_count"))
+    // keep zero-pair rules visible in the chart
+    val ruleFrame = concat.sparkSession
+      .createDataFrame(rules.zipWithIndex.map { case (r, i) =>
+        (i.toString, r.describe) })
+      .toDF(Cols.MatchKey, "rule")
+    val w = Window.orderBy(col(Cols.MatchKey).cast("int"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    broadcast(ruleFrame).join(counts, Seq(Cols.MatchKey), "left")
+      .na.fill(0L, Seq("row_count"))
+      .withColumn("cumulative_rows", sum("row_count").over(w))
+      .crossJoin(broadcast(totalPossiblePairs(concat, settings)))
+      .select(Cols.MatchKey, "rule", "row_count", "cumulative_rows", "cartesian")
+  }
+
+  /** The equi expressions of a rule when (and only when) a per-key count is
+    * exact: a `block_on` or an AND of `block_on`s, no exploding arrays. */
+  private def pureEquiExprs(rule: BlockingRule): Option[Seq[String]] = rule match {
+    case BlockingRule.BlockOnRule(exprs, _, Nil) => Some(exprs)
+    case BlockingRule.AndRule(parts) =>
+      parts.foldLeft(Option(Seq.empty[String])) {
+        case (Some(acc), BlockingRule.BlockOnRule(exprs, _, Nil)) => Some(acc ++ exprs)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /**
+   * Link-type-aware comparison count for ONE rule, with cartesian fallback
+   * (`blocking_analysis.py:601-780`). Pure-equi rules never materialise
+   * pairs: per-key counts are joined/aggregated instead (`method = keyed`).
+   * Non-equi rules either materialise and count exactly (`exact = true`,
+   * `method = materialised`) or return the link type's cartesian bound
+   * (`method = cartesian_bound`) — the reference warns identically before
+   * letting a user count a cartesian-ish rule.
+   */
+  def countComparisonsLinkAware(concat: DataFrame, settings: LinkSettings,
+      rule: BlockingRule, exact: Boolean = false): DataFrame = {
+    import graft.operators.Blocking
+    val one = pureEquiExprs(rule) match {
+      case Some(exprs) =>
+        val keys = exprs.zipWithIndex.map { case (e, i) => expr(e).as(s"k$i") }
+        val keyCols = exprs.indices.map(i => col(s"k$i"))
+        settings.linkType match {
+          case LinkType.LinkOnly =>
+            val byKey = concat
+              .select(keys :+ col(settings.sourceDatasetColumn).as("__sd"): _*)
+              .groupBy(keyCols :+ col("__sd"): _*)
+              .agg(count(lit(1)).as("n"))
+            byKey.alias("l").join(byKey.alias("r"),
+                exprs.indices.map(i => col(s"l.k$i") <=> col(s"r.k$i"))
+                  .reduce(_ && _) && col("l.__sd") < col("r.__sd"))
+              .agg(coalesce(sum(col("l.n") * col("r.n")), lit(0L))
+                .cast("bigint").as("n_comparisons"))
+          case _ =>
+            concat.select(keys: _*).groupBy(keyCols: _*)
+              .agg(count(lit(1)).as("n"))
+              .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+                .cast("bigint").as("n_comparisons"))
+        }
+      case None if exact =>
+        Blocking.blockedIdPairs(concat, settings.copy(blockingRules = Seq(rule)))
+          .agg(count(lit(1)).cast("bigint").as("n_comparisons"))
+      case None =>
+        totalPossiblePairs(concat, settings)
+          .select(col("cartesian").as("n_comparisons"))
+    }
+    val method = pureEquiExprs(rule) match {
+      case Some(_) => "keyed"
+      case None if exact => "materialised"
+      case None => "cartesian_bound"
+    }
+    one.withColumn("rule", lit(rule.describe)).withColumn("method", lit(method))
+      .select("rule", "method", "n_comparisons")
   }
 
   /** Top-N largest blocks for a rule (`blocking_analysis.py:725-780`). */

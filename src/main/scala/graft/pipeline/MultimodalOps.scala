@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
  * Multimodal-column operators: image/audio/video payloads are opaque
  * `binary` columns with typed metadata. The Spark-side plumbing — schema,
  * partition-wise batch iteration, frame slicing, feature schema — is real
- * and tested; the actual codec call is STUBBED with a deterministic fake
- * (no image/audio libraries in this environment). Swap
- * [[decodeStub]] for a real decoder (JNI/FFmpeg/javacv) without touching
- * the surrounding plan: the operator shape (mapPartitions over an iterator
- * of rows, one output row per media item) is exactly what a Pandas-UDF /
- * `mapInPandas` decode does in the reference-adjacent pipelines.
+ * and tested. Decode dispatches on magic bytes to REAL pure-JVM parsers for
+ * public container formats (PNG / BMP / WAV, [[Codecs]]); payloads in no
+ * known format fall back to a deterministic FNV stub so synthetic corpora
+ * stay oracle-replayable. Richer codecs (JPEG entropy decode, FFmpeg via
+ * JNI) slot into [[Codecs.parse]] without touching the surrounding plan:
+ * the operator shape (mapPartitions over an iterator of rows, one output
+ * row per media item) is exactly what a Pandas-UDF / `mapInPandas` decode
+ * does in the reference-adjacent pipelines.
  */
 object MultimodalOps {
 
@@ -56,27 +58,39 @@ object MultimodalOps {
     }: _*)
   }
 
-  /** Decoded-feature schema produced by [[decodeStub]]. */
+  /** Decoded-feature schema produced by [[decode]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_channels", IntegerType, nullable = true),
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
-  /** Deterministic fake "decode": derives plausible dimensions + a feature
-    * vector from the bytes. REPLACE with a real codec; the partition-wise
-    * iterator shape (and the schema contract) is the real operator. */
+  /** Deterministic synthetic "decode" for payloads in NO known container
+    * format: derives dimensions + a feature vector from an FNV-1a walk of
+    * the bytes. Portable by construction — the DuckDB oracle replays it
+    * bit-for-bit over the synthetic text corpus. */
   def decodeStub(mediaId: Long, payload: Array[Byte]): Row = {
-    if (payload == null) return Row(mediaId, null, null, null, null)
+    if (payload == null) return Row(mediaId, null, null, null, null, null)
     var h = 0xcbf29ce484222325L
     payload.foreach { b => h ^= (b & 0xFF); h *= 0x100000001b3L }
     val width = 64 + (math.abs(h) % 1024).toInt
     val height = 64 + (math.abs(h >>> 17) % 1024).toInt
     val feature = Array.tabulate(8) { i =>
       (((h >>> (8 * (i % 8))) & 0xFF).toInt / 255.0f) }
-    Row(mediaId, width, height, 3, feature.toSeq)
+    Row(mediaId, "synthetic", width, height, 3, feature.toSeq)
   }
+
+  /** Decode one payload: real container parsers (PNG/BMP/WAV headers +
+    * content stats, [[Codecs.parse]]) with the deterministic stub as the
+    * unknown-format fallback. */
+  def decodeOne(mediaId: Long, payload: Array[Byte]): Row =
+    Codecs.parse(payload) match {
+      case Some(d) =>
+        Row(mediaId, d.format, d.width, d.height, d.nChannels, d.feature.toSeq)
+      case None => decodeStub(mediaId, payload)
+    }
 
   /** Partition-wise decode: one pass over each partition's rows, one
     * output row per media item (the mapInPandas batch shape). */
@@ -84,7 +98,7 @@ object MultimodalOps {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
-        decodeStub(r.getLong(0),
+        decodeOne(r.getLong(0),
           if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
       }
     }

@@ -140,7 +140,8 @@ class OpsSpec extends SparkSpec {
     assert(frames.size == 3 && frames.forall(_.length == 4))
     val decoded = MultimodalOps.decode(media).collect()
     assert(decoded.length == 2)
-    assert(decoded.forall(r => r.getInt(1) >= 64 && r.getSeq[Float](4).size == 8))
+    assert(decoded.forall(r => r.getAs[String]("format") == "synthetic" &&
+      r.getAs[Int]("width") >= 64 && r.getAs[Seq[Float]]("feature").size == 8))
     // determinism
     val again = MultimodalOps.decode(media).collect()
     assert(decoded.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
