@@ -28,10 +28,15 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   /** `__splink__df_concat` (`vertically_concatenate.py:23-71`). */
   lazy val concat: DataFrame = VerticalConcat(inputs, settings)
 
-  /** `__splink__df_concat_with_tf` (`vertically_concatenate.py:74-81`). */
+  /** `__splink__df_concat_with_tf` (`vertically_concatenate.py:74-81`).
+    * Repartitioned to the role's policy count before the persist
+    * (`spark/database_api.py:229-287`) so the cached per-record frame has
+    * even, predictable partitions regardless of input file layout. */
   lazy val concatWithTf: DataFrame = {
     val df = TermFrequency.joinAll(concat, settings.tfColumns)
-    if (settings.tfColumns.nonEmpty) df.persist() else df
+    if (settings.tfColumns.nonEmpty)
+      Repartition(df, Repartition.ConcatWithTf).persist()
+    else df
   }
 
   /** Blocked candidate id pairs (`blocking.py:603-695`). Two-frame

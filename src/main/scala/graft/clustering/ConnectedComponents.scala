@@ -44,18 +44,31 @@ object ConnectedComponents {
       eager: Boolean = false,
       smallGraphThreshold: Long = SmallGraphEdgeThreshold): DataFrame = {
 
-    // Symmetric neighbour list (`connected_components.py:169-190`)
+    // Symmetric neighbour list (`connected_components.py:169-190`),
+    // hash-partitioned on node_id to the Neighbours role count
+    // (`spark/database_api.py:261`, `__splink__df_neighbours` ÷4) before
+    // the checkpoint: the loop re-joins this frame on node_id every round,
+    // so the one exchange buys both even materialised partitions and
+    // co-location for those joins.
+    // One exchange does both: HashPartitioning(node_id) satisfies the
+    // dedupe's clustered distribution (all copies of a pair share node_id),
+    // so the distinct runs in-place on the role-partitioned frame.
     val fwd = edges.select(col(srcCol).as("node_id"), col(dstCol).as("neighbour"))
     val bwd = edges.select(col(dstCol).as("node_id"), col(srcCol).as("neighbour"))
-    var neighbours = fwd.unionByName(bwd)
+    val symmetric = fwd.unionByName(bwd)
       .filter(col("node_id") =!= col("neighbour"))
-      .distinct()
+    var neighbours = graft.operators.Repartition
+      .byKeys(symmetric, graft.operators.Repartition.Neighbours, col("node_id"))
+      .dropDuplicates()
       .localCheckpoint(eager)
 
     val edgeCount = neighbours.count()
     if (edgeCount <= smallGraphThreshold)
       return driverUnionFind(neighbours)
 
+    // exchange-free: the checkpointed neighbours frame carries its
+    // hash(node_id) partitioning into this groupBy, so reps materialises
+    // with the same role partitioning without another shuffle
     var reps = neighbours
       .groupBy("node_id")
       .agg(least(min(col("neighbour")), first(col("node_id"))).as("representative"))

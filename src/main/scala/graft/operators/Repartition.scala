@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Per-role repartition policy for materialised intermediates (reference:
+ * `spark/database_api.py:220-287` `_repartition_if_needed`).
+ *
+ * The reference repartitions named intermediate tables whenever they are
+ * persisted, for two reasons it documents inline: (1) a predictable, modest
+ * file count when the frame is written out (some stages otherwise emit one
+ * file per shuffle task); (2) evenly-sized partitions for the downstream
+ * stages that re-scan the materialised frame. Each table role gets a
+ * divisor of the base parallelism `ceil(spark.sql.shuffle.partitions / 2)`
+ * — pair-level frames keep the full base, per-entity frames shrink by the
+ * reference's empirical factors (÷4 records, ÷6 id pairs, ÷10 clusters).
+ *
+ * Only applied at persist/checkpoint boundaries: repartitioning a lazy
+ * frame that flows straight into another shuffle would be a wasted pass.
+ */
+object Repartition {
+  /** Table roles, with the reference's divisor for each
+    * (`spark/database_api.py:256-283`). */
+  sealed abstract class Role(val divisor: Int)
+  /** Scored pairs (`__splink__df_predict`) — full base parallelism. */
+  case object Predict extends Role(1)
+  /** Blocked id pairs (`__splink__blocked_id_pairs`) — 3 narrow columns. */
+  case object BlockedIdPairs extends Role(6)
+  /** Per-record frame with TF columns (`__splink__df_concat_with_tf`). */
+  case object ConcatWithTf extends Role(4)
+  /** Sampled records for estimate-u (`__splink__df_concat_with_tf_sample`). */
+  case object ConcatWithTfSample extends Role(4)
+  /** CC symmetric edge list (`__splink__df_neighbours`). */
+  case object Neighbours extends Role(4)
+  /** CC node -> representative frame (`__splink__df_representatives`). */
+  case object Representatives extends Role(6)
+  /** Final cluster outputs (`__splink__clusters_at_*`, nodes/edges in play). */
+  case object ClusteringOutput extends Role(10)
+
+  /** Base parallelism: half the session's shuffle partitions
+    * (`spark/database_api.py:220-227`). */
+  def base(df: DataFrame): Int = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(1, math.ceil(p / 2.0).toInt)
+  }
+
+  /** Target partition count for a role. */
+  def numPartitions(df: DataFrame, role: Role): Int =
+    math.max(1, math.ceil(base(df).toDouble / role.divisor).toInt)
+
+  /** Round-robin repartition to the role's target — use right before a
+    * persist/checkpoint/write. */
+  def apply(df: DataFrame, role: Role): DataFrame =
+    df.repartition(numPartitions(df, role))
+
+  /** Hash repartition on `keys` to the role's target — use when the loop
+    * re-joining the materialised frame always joins on `keys`, so the
+    * exchange doubles as co-location. */
+  def byKeys(df: DataFrame, role: Role, keys: Column*): DataFrame =
+    df.repartition(numPartitions(df, role), keys: _*)
+}

@@ -53,11 +53,15 @@ object Training {
     val concat = VerticalConcat(inputs, settings)
     val total = concat.count()
     val needed = rowsForPairCount(maxPairs)
-    val sampled =
-      (if (needed >= total) concat
-       else concat.filter(TextOps.hashSample(
-         col(settings.uniqueIdColumn).cast("string"), needed.toDouble / total)))
-        .persist()
+    // repartition-to-role before the persist (`spark/database_api.py:263`,
+    // `__splink__df_concat_with_tf_sample` ÷4): the filter keeps input
+    // partitioning, so a sparse sample would otherwise cache as many
+    // near-empty partitions feeding the cartesian below
+    val sampled = Repartition(
+      if (needed >= total) concat
+      else concat.filter(TextOps.hashSample(
+        col(settings.uniqueIdColumn).cast("string"), needed.toDouble / total)),
+      Repartition.ConcatWithTfSample).persist()
     val uSettings = settings.copy(
       blockingRules = Seq(BlockingRule.CustomBlockingRule("1=1")))
     val pairs = Blocking.blockedIdPairs(sampled, uSettings)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.model.{LevelLibrary => ll}
+import graft.operators.Repartition
+
+/** Repartition-by-table-role policy (reference
+  * `spark/database_api.py:220-287`): role divisors over the base
+  * parallelism, and its application at the engine's persist points. */
+class RepartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` with spark.sql.shuffle.partitions temporarily overridden. */
+  private def withShufflePartitions[A](n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("role divisors follow the reference policy over base = ceil(p/2)") {
+    withShufflePartitions(32) {
+      val df = Seq(1, 2, 3).toDF("x")
+      assert(Repartition.base(df) === 16)
+      assert(Repartition.numPartitions(df, Repartition.Predict) === 16)
+      assert(Repartition.numPartitions(df, Repartition.ConcatWithTf) === 4)
+      assert(Repartition.numPartitions(df, Repartition.ConcatWithTfSample) === 4)
+      assert(Repartition.numPartitions(df, Repartition.Neighbours) === 4)
+      assert(Repartition.numPartitions(df, Repartition.BlockedIdPairs) === 3)
+      assert(Repartition.numPartitions(df, Repartition.Representatives) === 3)
+      assert(Repartition.numPartitions(df, Repartition.ClusteringOutput) === 2)
+      assert(Repartition(df, Repartition.ConcatWithTf).rdd.getNumPartitions === 4)
+    }
+  }
+
+  test("concat-with-tf persists with the role's partition count") {
+    val df = (1 to 200).map(i => (i.toLong, s"n${i % 7}")).toDF("unique_id", "name")
+    val settings = LinkSettings(
+      linkType = LinkType.DedupeOnly,
+      blockingRules = Seq(BlockingRule.blockOn("name")),
+      comparisons = Seq(Comparison("name", Seq(
+        ll.nullLevel("name"),
+        ll.exactMatch("name", tfAdjustment = true).withM(0.8).withU(0.01),
+        ll.elseLevel.withM(0.2).withU(0.99)))))
+    val linker = new Linker(df, settings)
+    assert(linker.concatWithTf.rdd.getNumPartitions ===
+      Repartition.numPartitions(df, Repartition.ConcatWithTf))
+    linker.concatWithTf.unpersist()
+  }
+
+  test("keyed role exchange satisfies a downstream dedupe without a second shuffle") {
+    withShufflePartitions(32) {
+      val edges = (1 to 100).flatMap(i => Seq((i.toLong, (i + 1).toLong)))
+        .toDF("node_id", "neighbour")
+      val deduped = Repartition
+        .byKeys(edges, Repartition.Neighbours, col("node_id"))
+        .dropDuplicates()
+      // hash(node_id) clusters every copy of a (node_id, neighbour) pair,
+      // so the dedupe aggregate needs no exchange of its own
+      val plan = deduped.queryExecution.executedPlan.toString
+      assert(plan.split("Exchange hashpartitioning").length - 1 === 1,
+        s"expected the role exchange to be the only shuffle:\n$plan")
+      assert(deduped.rdd.getNumPartitions ===
+        Repartition.numPartitions(edges, Repartition.Neighbours))
+    }
+  }
+}
