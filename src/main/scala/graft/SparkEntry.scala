@@ -398,6 +398,13 @@ object SparkEntry {
         k = 32, rowsPerBand = 4, threshold = 0.5)
     }),
 
+    // dedup, end to end: the same verified near-dup pairs fed through
+    // connected components; one canonical doc per near-dup cluster.
+    "q_dedup_docs" -> ((s, dir) => {
+      DedupOps.dedupeByMinhash(pq(s, dir, "documents"), "doc_id", "text",
+        k = 32, rowsPerBand = 4, threshold = 0.5)
+    }),
+
     // dedup: SimHash near-dup pairs. maxHamming=3 < 4 bands makes the band
     // blocking provably exhaustive (pigeonhole), so the output is exactly
     // "all within-block pairs with hamming <= 3" — deterministic and
@@ -462,13 +469,69 @@ object SparkEntry {
   private val M64 = "18446744073709551616::HUGEINT"
   private val M32 = "4294967296::HUGEINT"
   private val Neg = "9223372036854775808::HUGEINT" // 2^63
-  /** FNV-1a 64 of an ASCII varchar as HUGEINT in [0, 2^64). */
+  /** FNV-1a 64 of a varchar's UTF-16 code units as HUGEINT in [0, 2^64).
+    * Replays the JVM kernels (ShingleKernel/SimHash `charAt` loops): ord()
+    * yields the codepoint, which equals the UTF-16 code unit for all BMP
+    * text — exact for any BMP unicode, diverging only on surrogate pairs.
+    * NULL-safe: NULL in -> NULL out. */
   private def fnvSql(g: String): String =
-    s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+    s"CASE WHEN $g IS NULL THEN NULL ELSE " +
+      s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
       s"list_transform(range(1, len($g)+1), i -> ord(substr($g, CAST(i AS INT), 1))::HUGEINT)), " +
-      s"(h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $M64)"
+      s"(h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $M64) END"
+  /** FNV-1a 64 of a varchar's UTF-8 BYTES as HUGEINT in [0, 2^64).
+    * Replays the byte-wise JVM kernels (MultimodalOps.decodeStub hashes the
+    * binary payload = utf8 bytes of `text`): hex-decodes encode($g) so the
+    * oracle is byte-accurate for any unicode content, not just ASCII.
+    * NULL-safe: NULL in -> NULL out. */
+  private def fnvBytesSql(g: String): String = {
+    val hx = s"hex(encode($g))"
+    val byte = s"(16 * (strpos('0123456789ABCDEF', substr($hx, CAST(2*i-1 AS INT), 1)) - 1)" +
+      s" + (strpos('0123456789ABCDEF', substr($hx, CAST(2*i AS INT), 1)) - 1))::HUGEINT"
+    s"CASE WHEN $g IS NULL THEN NULL ELSE " +
+      s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      s"list_transform(range(1, octet_length(encode($g))+1), i -> $byte)), " +
+      s"(h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $M64) END"
+  }
   /** Unsigned decimal literal of a JVM long. */
   private def u64(v: Long): String = java.lang.Long.toUnsignedString(v)
+
+  /** Shared CTE chain replaying MinHash-LSH end to end (used by
+    * q_minhash_pairs and q_dedup_docs): FNV shingle hashes -> 32
+    * universal-hash slots -> 8 bands of 4 -> candidate join -> jaccard
+    * verify at threshold 0.5. Terminal CTE: `pairs(id_l, id_r, jaccard)`. */
+  private lazy val minhashPairCtes: String = {
+    val params = graft.functions.ShingleKernel.hashParams(32)
+    val slotExprs = (0 until 32).map { x =>
+      val a = u64(params(2 * x)); val b = u64(params(2 * x + 1))
+      val v = s"((($a::HUGEINT * h0) + (($a::HUGEINT * h1) % $M32) * $M32) % $M64" +
+        s" + $b::HUGEINT) % $M64"
+      s"min(CAST(CASE WHEN ($v) >= $Neg THEN ($v) - $M64 ELSE ($v) END AS BIGINT)) AS s$x"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      val key = (0 until 4).map(j => s"CAST(s${4 * b + j} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('-', $key) AS bkey FROM slots"
+    }.mkString(" UNION ALL ")
+    s"""${shingleCte()},
+       |sets AS (SELECT doc_id, list_distinct(gs) AS s FROM sh
+       |         WHERE len(list_distinct(gs)) > 0),
+       |tok AS (SELECT doc_id, unnest(s) AS g FROM sets),
+       |hashed AS (SELECT doc_id, ${fnvSql("g")} AS hv FROM tok),
+       |hsplit AS (SELECT doc_id, hv % $M32 AS h0, hv // $M32 AS h1 FROM hashed),
+       |slots AS (SELECT doc_id,
+       |    $slotExprs
+       |  FROM hsplit GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |pairs AS (SELECT c.id_l, c.id_r,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 9) AS jaccard
+       |FROM cands c JOIN sets a ON c.id_l = a.doc_id JOIN sets b ON c.id_r = b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)""".stripMargin
+  }
   /** Normalisation identical to ShingleKernel: lower, collapse \s+, trim. */
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
   /** Distinct q-gram shingle list of the normalised text (q=8).
@@ -862,11 +925,11 @@ object SparkEntry {
         |  hex(CAST(substring(text, 1, 8) AS BLOB)) AS prefix_hex
         |FROM documents""".stripMargin,
 
-    // FNV-1a decode stub replayed over the payload bytes. ord()-based fnvSql
-    // assumes the ASCII-only test corpus (codepoint == utf8 byte); NULL text
-    // yields hv NULL -> all-NULL metadata, matching the engine's NULL row.
+    // FNV-1a decode stub replayed over the payload BYTES (fnvBytesSql is
+    // byte-accurate for any unicode payload); NULL text yields hv NULL ->
+    // all-NULL metadata, matching the engine's NULL row.
     "q_multimodal_decode" ->
-      s"""WITH h AS (SELECT doc_id AS media_id, ${fnvSql("text")} AS hv FROM documents),
+      s"""WITH h AS (SELECT doc_id AS media_id, ${fnvBytesSql("text")} AS hv FROM documents),
          |s AS (SELECT media_id, hv,
          |  CAST(CASE WHEN hv >= $Neg THEN hv - $M64 ELSE hv END AS BIGINT) AS hs
          |  FROM h)
@@ -880,38 +943,25 @@ object SparkEntry {
     // Full MinHash-LSH replay: FNV shingle hashes -> 32 universal-hash
     // slots (params exported from ShingleKernel.hashParams — signed-long
     // min semantics) -> 8 bands of 4 -> candidate join -> jaccard verify.
-    "q_minhash_pairs" -> {
-      val params = graft.functions.ShingleKernel.hashParams(32)
-      val slotExprs = (0 until 32).map { x =>
-        val a = u64(params(2 * x)); val b = u64(params(2 * x + 1))
-        val v = s"((($a::HUGEINT * h0) + (($a::HUGEINT * h1) % $M32) * $M32) % $M64" +
-          s" + $b::HUGEINT) % $M64"
-        s"min(CAST(CASE WHEN ($v) >= $Neg THEN ($v) - $M64 ELSE ($v) END AS BIGINT)) AS s$x"
-      }.mkString(",\n    ")
-      val bandSelects = (0 until 8).map { b =>
-        val key = (0 until 4).map(j => s"CAST(s${4 * b + j} AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, $b AS band, concat_ws('-', $key) AS bkey FROM slots"
-      }.mkString(" UNION ALL ")
-      s"""WITH ${shingleCte()},
-         |sets AS (SELECT doc_id, list_distinct(gs) AS s FROM sh
-         |         WHERE len(list_distinct(gs)) > 0),
-         |tok AS (SELECT doc_id, unnest(s) AS g FROM sets),
-         |hashed AS (SELECT doc_id, ${fnvSql("g")} AS hv FROM tok),
-         |hsplit AS (SELECT doc_id, hv % $M32 AS h0, hv // $M32 AS h1 FROM hashed),
-         |slots AS (SELECT doc_id,
-         |    $slotExprs
-         |  FROM hsplit GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cands AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
-         |  FROM bands l JOIN bands r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
-         |SELECT c.id_l, c.id_r,
-         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 9) AS jaccard
-         |FROM cands c JOIN sets a ON c.id_l = a.doc_id JOIN sets b ON c.id_r = b.doc_id
-         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin
-    },
+    "q_minhash_pairs" ->
+      s"""WITH $minhashPairCtes
+         |SELECT id_l, id_r, jaccard FROM pairs""".stripMargin,
+
+    // The end-to-end dedupe on top of the same replay: verified near-dup
+    // pairs -> transitive closure via a recursive min-label CTE (the SQL
+    // twin of the engine's pointer-jumping CC) -> canonical = component
+    // min; singletons keep themselves.
+    "q_dedup_docs" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id_l AS a, id_r AS b FROM pairs
+         |          UNION ALL SELECT id_r, id_l FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.m FROM edges e JOIN reach ON reach.n = e.b)
+         |SELECT n AS doc_id, min(m) AS canonical_id,
+         |  CAST(CASE WHEN n = min(m) THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM reach GROUP BY n""".stripMargin,
 
     // SimHash replay: per-bit FNV votes -> 64-bit signature -> all
     // within-block pairs at hamming <= 3 (band blocking is exhaustive

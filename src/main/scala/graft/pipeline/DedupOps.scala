@@ -150,6 +150,34 @@ object DedupOps {
       .distinct()
   }
 
+  /**
+   * End-to-end near-duplicate dedupe: MinHash-LSH candidate pairs ->
+   * connected components -> one canonical document (min id) per near-dup
+   * cluster. Documents with no near-duplicate map to themselves.
+   *
+   * The full 100 TB shape in one operator: candidate generation is the
+   * banded bucket join above (never all-pairs), the transitive closure is
+   * the same pointer-jumping CC the linker uses (reference
+   * `connected_components.py`), and the final mapping is one left join back
+   * to the corpus keyed on the id.
+   *
+   * @return DataFrame(doc_id, canonical_id, keep) — keep = 1 on the one
+   *         retained document per cluster (and on all singletons)
+   */
+  def dedupeByMinhash(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.7,
+      shingleQ: Int = 8): DataFrame = {
+    val pairs = minhashDedupPairs(df, idCol, textCol, k, rowsPerBand,
+      threshold, shingleQ)
+    val cc = graft.clustering.ConnectedComponents.run(pairs, "id_l", "id_r")
+    df.select(col(idCol).as("doc_id"))
+      .join(cc.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep",
+        (col("doc_id") === col("canonical_id")).cast("int"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash from a token array (native expression, see
