@@ -254,6 +254,16 @@ object SparkEntry {
       AnnOps.ivfTopK(e.filter(col("vec_id") < 10), e, 5, nCells = 8, nProbe = 8)
     }),
 
+    // similarity search: multi-table hyperplane LSH — candidate buckets
+    // from 8 tables x 8 bits, exact cosine re-rank inside buckets. The
+    // oracle replays the seeded hyperplane signatures bit for bit, so this
+    // checks the approximate path's ACTUAL output (bucket collisions
+    // included), not just recall.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      AnnOps.lshTopK(e.filter(col("vec_id") < 10), e, 5, bits = 8, tables = 8)
+    }),
+
     // dedup: embedding cosine pairs >= 0.2 among vec_id % 20 == 0 subset
     "q_embed_pairs" -> ((s, dir) => {
       val e = pq(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
@@ -1075,6 +1085,42 @@ object SparkEntry {
         |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |WHERE q.vec_id < 10
         |QUALIFY rank <= 5""".stripMargin,
+
+    // Hyperplane-LSH replay: the 64 seeded planes are regenerated here via
+    // the same AnnOps.hyperplanes call the engine uses, and the dot
+    // products fold in the same left-to-right double order as Spark's
+    // aggregate(zip_with(...)) — float->double widening and double ops are
+    // both exact/correctly-rounded, so every signature bit matches.
+    "q_ann_lsh" -> {
+      val planeRows = (for {
+        t <- 0 until 8
+        (plane, b) <- AnnOps.hyperplanes(64, 8, 42L + t).zipWithIndex
+      } yield s"($t, ${1L << b}::BIGINT, [${plane.mkString(", ")}]::DOUBLE[])")
+        .mkString(",\n  ")
+      s"""WITH planes AS (SELECT * FROM (VALUES
+         |  $planeRows) p(t, bit, plane)),
+         |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dots AS (SELECT vec_id, t, bit,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, 65), i -> v[CAST(i AS INT)] * plane[CAST(i AS INT)])),
+         |    (acc, x) -> acc + x) AS d
+         |  FROM vecs CROSS JOIN planes),
+         |sigs AS (SELECT vec_id, t,
+         |    CAST(SUM(CASE WHEN d > 0 THEN bit ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY vec_id, t),
+         |cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbour_id
+         |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+         |    AND q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT query_id, neighbour_id,
+         |  round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 9) AS cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 9) DESC,
+         |             neighbour_id ASC) AS INT) AS rank
+         |FROM cands JOIN embeddings qe ON cands.query_id = qe.vec_id
+         |           JOIN embeddings ce ON cands.neighbour_id = ce.vec_id
+         |QUALIFY rank <= 5""".stripMargin
+    },
 
     "q_embed_pairs" ->
       """SELECT l.vec_id AS id_l, r.vec_id AS id_r,
