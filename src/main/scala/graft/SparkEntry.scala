@@ -166,6 +166,21 @@ object SparkEntry {
           round(col("match_weight"), 6).as("match_weight"))
     }),
 
+    // §2.12 find matches to new records: block + score a small batch of
+    // incoming records against the corpus without re-linking the corpus to
+    // itself (`find_matches_to_new_records.py:14-51`). No uid-ordering
+    // filter: l = corpus, r = new, so a record present in both sides
+    // scores against itself too.
+    "q_new_records" -> ((s, dir) => {
+      val c = customers(s, dir)
+      val linker = new Linker(c, customerSettings)
+      linker.findMatchesToNewRecords(c.filter(col("unique_id") % 97 === 0))
+        .select(col("match_key"),
+          col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("match_probability"), 6).as("match_probability"))
+    }),
+
     // §2.4 agreement-pattern counts (EM E-step input)
     "q_em_patterns" -> ((s, dir) => {
       val linker = new Linker(customers(s, dir), customerSettings)
@@ -691,6 +706,37 @@ object SparkEntry {
          |                coalesce(tf_r, tf_l), 0.0::DOUBLE))) * 1.0::DOUBLE END
          |      ELSE 0.0::DOUBLE END, 6) AS match_weight
          |FROM pairs""".stripMargin
+    },
+
+    "q_new_records" -> {
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+      s"""WITH nr AS (SELECT * FROM customer WHERE c_custkey % 97 = 0),
+         |pairs AS (
+         |  SELECT '0' AS match_key, l.c_custkey AS uid_l, r.c_custkey AS uid_r
+         |  FROM customer l JOIN nr r
+         |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+         |  UNION ALL
+         |  SELECT '1', l.c_custkey, r.c_custkey
+         |  FROM customer l JOIN nr r
+         |    ON l.c_nationkey = r.c_nationkey
+         |   AND round(l.c_acctbal, -2) = round(r.c_acctbal, -2)
+         |   AND NOT coalesce(l.c_nationkey = r.c_nationkey
+         |             AND l.c_mktsegment = r.c_mktsegment, false)),
+         |mw AS (
+         |  SELECT match_key, p.uid_l, p.uid_r,
+         |    $prior
+         |    + CASE $oracleGammaName WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
+         |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
+         |        ELSE ${w(0.02, 0.939)} END
+         |    + CASE $oracleGammaBal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
+         |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END AS mw
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN nr r ON p.uid_r = r.c_custkey)
+         |SELECT match_key, uid_l, uid_r, round(mw, 6) AS match_weight,
+         |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
+         |FROM mw""".stripMargin
     },
 
     "q_em_patterns" ->
