@@ -181,6 +181,17 @@ object SparkEntry {
           round(col("match_probability"), 6).as("match_probability"))
     }),
 
+    // §2.12 waterfall-chart data: the additive log2-Bayes-factor
+    // decomposition of every scored pair — prior row, one row per
+    // comparison, final row (`waterfall_chart.py:11-170`)
+    "q_waterfall" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      Evaluation.waterfallData(linker.predict(), customerSettings)
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          col("term"), col("bar_sort_order"),
+          round(col("log2_bayes_factor"), 6).as("log2_bayes_factor"))
+    }),
+
     // §2.4 agreement-pattern counts (EM E-step input)
     "q_em_patterns" -> ((s, dir) => {
       val linker = new Linker(customers(s, dir), customerSettings)
@@ -737,6 +748,31 @@ object SparkEntry {
          |SELECT match_key, uid_l, uid_r, round(mw, 6) AS match_weight,
          |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
          |FROM mw""".stripMargin
+    },
+
+    "q_waterfall" -> {
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+      val wName = s"""CASE $oracleGammaName WHEN -1 THEN 0.0::DOUBLE
+                     |    WHEN 3 THEN ${w(0.9, 0.001)} WHEN 2 THEN ${w(0.05, 0.01)}
+                     |    WHEN 1 THEN ${w(0.03, 0.05)} ELSE ${w(0.02, 0.939)} END""".stripMargin
+      val wBal = s"""CASE $oracleGammaBal WHEN -1 THEN 0.0::DOUBLE
+                    |    WHEN 2 THEN ${w(0.7, 0.02)} WHEN 1 THEN ${w(0.2, 0.03)}
+                    |    ELSE ${w(0.1, 0.95)} END""".stripMargin
+      s"""$oraclePairsCte,
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r, $wName AS w_name, $wBal AS w_bal
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey)
+         |SELECT uid_l, uid_r, 'prior' AS term, -1 AS bar_sort_order,
+         |  round($prior, 6) AS log2_bayes_factor FROM cv
+         |UNION ALL
+         |SELECT uid_l, uid_r, 'c_name', 0, round(w_name, 6) FROM cv
+         |UNION ALL
+         |SELECT uid_l, uid_r, 'c_acctbal', 1, round(w_bal, 6) FROM cv
+         |UNION ALL
+         |SELECT uid_l, uid_r, 'final', 2, round($prior + w_name + w_bal, 6) FROM cv""".stripMargin
     },
 
     "q_em_patterns" ->
