@@ -181,6 +181,18 @@ object SparkEntry {
           round(col("match_probability"), 6).as("match_probability"))
     }),
 
+    // §2.12 realtime compare_records: small frames cross-joined through
+    // the trained model with no blocking (`realtime.py:44-159`)
+    "q_compare_records" -> ((s, dir) => {
+      val c = customers(s, dir)
+      val linker = new Linker(c, customerSettings)
+      linker.compareRecords(c.filter(col("unique_id") % 499 === 0),
+          c.filter(col("unique_id") % 313 === 0))
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          col("gamma_c_name"), col("gamma_c_acctbal"),
+          round(col("match_weight"), 6).as("match_weight"))
+    }),
+
     // §2.12 waterfall-chart data: the additive log2-Bayes-factor
     // decomposition of every scored pair — prior row, one row per
     // comparison, final row (`waterfall_chart.py:11-170`)
@@ -748,6 +760,22 @@ object SparkEntry {
          |SELECT match_key, uid_l, uid_r, round(mw, 6) AS match_weight,
          |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
          |FROM mw""".stripMargin
+    },
+
+    "q_compare_records" -> {
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+      s"""SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r,
+         |  $oracleGammaName AS gamma_c_name,
+         |  $oracleGammaBal AS gamma_c_acctbal,
+         |  round($prior
+         |    + CASE $oracleGammaName WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
+         |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
+         |        ELSE ${w(0.02, 0.939)} END
+         |    + CASE $oracleGammaBal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
+         |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END, 6) AS match_weight
+         |FROM customer l CROSS JOIN customer r
+         |WHERE l.c_custkey % 499 = 0 AND r.c_custkey % 313 = 0""".stripMargin
     },
 
     "q_waterfall" -> {

@@ -341,20 +341,23 @@ object Evaluation {
     * and final rows — the additive decomposition of the score. */
   def waterfallData(scored: DataFrame, settings: LinkSettings): DataFrame = {
     val uid = settings.uniqueIdColumn
-    val prior = scored.select(col(Cols.l(uid)), col(Cols.r(uid)),
-      lit("prior").as("term"), lit(-1).as("bar_sort_order"),
-      lit(settings.priorMatchWeight).as("log2_bayes_factor"))
-    val perComparison = settings.comparisons.zipWithIndex.map { case (c, i) =>
-      scored.select(col(Cols.l(uid)), col(Cols.r(uid)),
-        lit(c.outputColumnName).as("term"), lit(i).as("bar_sort_order"),
-        (c.matchWeightColumn +
+    def row(term: String, order: Int, weight: Column) = struct(
+      lit(term).as("term"), lit(order).as("bar_sort_order"),
+      weight.as("log2_bayes_factor"))
+    // one explode, not a UNION of per-term selects: a union re-evaluates
+    // the scored frame (the whole predict pipeline, if unmaterialised)
+    // once per term; this shape scans it exactly once
+    val rows =
+      row("prior", -1, lit(settings.priorMatchWeight)) +:
+      settings.comparisons.zipWithIndex.map { case (c, i) =>
+        row(c.outputColumnName, i, c.matchWeightColumn +
           (if (c.hasTfLevels) c.tfAdjustmentColumn else lit(0.0)))
-          .as("log2_bayes_factor"))
-    }
-    val finalRow = scored.select(col(Cols.l(uid)), col(Cols.r(uid)),
-      lit("final").as("term"), lit(settings.comparisons.size).as("bar_sort_order"),
-      col(Cols.MatchWeight).as("log2_bayes_factor"))
-    (prior +: perComparison :+ finalRow).reduce(_.unionByName(_))
+      } :+
+      row("final", settings.comparisons.size, col(Cols.MatchWeight))
+    scored.select(col(Cols.l(uid)), col(Cols.r(uid)),
+        explode(array(rows: _*)).as("w"))
+      .select(col(Cols.l(uid)), col(Cols.r(uid)), col("w.term"),
+        col("w.bar_sort_order"), col("w.log2_bayes_factor"))
   }
 
   /** False positives / false negatives at a threshold against a label
