@@ -157,14 +157,23 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   def predictChunked(numChunks: Int,
       thresholdMatchProbability: Option[Double] = None): DataFrame = {
     require(numChunks >= 1)
-    val pairs = blockedIdPairs()
+    // materialise the blocked pairs ONCE (role-partitioned, reference
+    // `__splink__blocked_id_pairs` ÷6): a lazy frame here would re-run the
+    // whole blocking join for every chunk's filter
+    val pairs = Repartition(blockedIdPairs(), Repartition.BlockedIdPairs)
+      .persist()
     val chunkCol = pmod(hash(col("join_key_l")), lit(numChunks))
-    (0 until numChunks).map { k =>
+    // eager per-chunk checkpoints = chunks score one after another, which
+    // is the entire point of chunking (bound peak shuffle/memory); lazy
+    // checkpoints would all materialise inside the caller's first action
+    val chunks = (0 until numChunks).map { k =>
       val cv = ComparisonVectors.compute(pairs.filter(chunkCol === k),
         concatWithTf, settings)
       Predict.score(cv, settings, None, thresholdMatchProbability)
-        .localCheckpoint(false)
-    }.reduce(_.unionByName(_))
+        .localCheckpoint(true)
+    }
+    pairs.unpersist()
+    chunks.reduce(_.unionByName(_))
   }
 
   /** Block + score new records against the existing corpus without

@@ -134,8 +134,13 @@ object ConnectedComponents {
       }
     }
     if (!done) finalised += reps // maxIterations safety valve
-    finalised.reduce(_.unionByName(_))
-      .select(col("node_id"), col("representative").as("cluster_id"))
+    // The union carries one partition set per finalised round (hundreds of
+    // small partitions); the role exchange (`__splink__clusters_at_*` ÷10)
+    // collapses that to a sane count for the caller's write / re-join.
+    graft.operators.Repartition(
+      finalised.reduce(_.unionByName(_))
+        .select(col("node_id"), col("representative").as("cluster_id")),
+      graft.operators.Repartition.ClusteringOutput)
   }
 
   /** Small-graph fast path: collect the (symmetric, deduped) edge list and

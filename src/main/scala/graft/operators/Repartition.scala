@@ -20,7 +20,12 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Repartition {
   /** Table roles, with the reference's divisor for each
-    * (`spark/database_api.py:256-283`). */
+    * (`spark/database_api.py:256-283`). The engine auto-applies a role
+    * wherever it persists/checkpoints that frame itself; Predict and
+    * Representatives are deliberately NOT auto-applied — predict() returns
+    * a lazy frame (apply at your write site), and the CC loop's reps flow
+    * straight into next round's keyed shuffle, where an extra exchange per
+    * round buys nothing. */
   sealed abstract class Role(val divisor: Int)
   /** Scored pairs (`__splink__df_predict`) — full base parallelism. */
   case object Predict extends Role(1)
