@@ -279,6 +279,16 @@ object SparkEntry {
         Seq(col("lang"), col("source"), floor(col("n_chars") / 50)), 0.35)
     }),
 
+    // dedup: character 5-gram Jaccard — catches reordered/joined/split
+    // words that token-level sets miss; same hashed-sorted-longs shuffle
+    // shape as q_jaccard_pairs. The oracle computes Jaccard on the raw
+    // shingle string sets, which equals the engine's hashed-set value
+    // absent an xxhash64 collision.
+    "q_ngram_pairs" -> ((s, dir) => {
+      DedupOps.ngramJaccardPairs(pq(s, dir, "documents"), "doc_id", "text",
+        Seq(col("lang"), col("source")), 0.1, q = 5)
+    }),
+
     // similarity search: brute-force cosine top-5 for query vecs (id < 10)
     "q_ann_topk" -> ((s, dir) => {
       val e = pq(s, dir, "embeddings")
@@ -585,11 +595,12 @@ object SparkEntry {
   /** Distinct q-gram shingle list of the normalised text (q=8).
     * `normExtra` = computed extra columns (against documents);
     * `shExtra` = their plain names (re-selected from norm). */
-  private def shingleCte(normExtra: String = "", shExtra: String = ""): String =
+  private def shingleCte(normExtra: String = "", shExtra: String = "",
+      q: Int = 8): String =
     s"""norm AS (SELECT doc_id$normExtra, $normSql AS t FROM documents),
        |sh AS (SELECT doc_id$shExtra,
-       |    CASE WHEN len(t) = 0 THEN []::VARCHAR[] WHEN len(t) <= 8 THEN [t]
-       |         ELSE list_transform(range(1, len(t) - 6), i -> substr(t, CAST(i AS INT), 8)) END AS gs
+       |    CASE WHEN len(t) = 0 THEN []::VARCHAR[] WHEN len(t) <= $q THEN [t]
+       |         ELSE list_transform(range(1, len(t) - ${q - 2}), i -> substr(t, CAST(i AS INT), $q)) END AS gs
        |  FROM norm)""".stripMargin
 
   /** log2(m/u) as a DuckDB double literal. */
@@ -1156,6 +1167,18 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_guess,
         |  substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q_ngram_pairs" ->
+      s"""WITH ${shingleCte(normExtra = ", lang, source", shExtra = ", lang, source", q = 5)},
+         |sets AS (SELECT doc_id, lang, source, list_distinct(gs) AS s FROM sh
+         |         WHERE len(list_distinct(gs)) > 0)
+         |SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+         |  round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+         |    / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))), 9) AS jaccard
+         |FROM sets l JOIN sets r
+         |  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+         |WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+         |    / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) >= 0.1""".stripMargin,
 
     "q_jaccard_pairs" ->
       """SELECT l.doc_id AS id_l, r.doc_id AS id_r,
