@@ -143,6 +143,7 @@ object funcs {
   def jaccard_sorted_longs(l: Column, r: Column): Column =
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
   def minhash_sig(c: Column, q: Int, k: Int): Column = expr(MinHashSig(ex(c), q, k))
+  def cosine_sim(l: Column, r: Column): Column = expr(CosineSim(ex(l), ex(r)))
 
   /** Cosine similarity of two float/double array columns via higher-order
     * built-ins — exactly the formula the reference emits for Spark
@@ -173,5 +174,6 @@ object funcs {
     reg("dmetaphone_alt", es => DMetaphoneAlt(es(0)))
     reg("qgram_tokenise", es => QgramTokenise(es(0),
       es(1).eval(null).asInstanceOf[Int]))
+    reg("cosine_sim", es => CosineSim(es(0), es(1)))
   }
 }

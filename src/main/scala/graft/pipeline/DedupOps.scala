@@ -222,14 +222,14 @@ object DedupOps {
 
   // --------------------------------------------------- embedding cosine
 
-  /** Cosine similarity of two float-array columns (double accumulation). */
-  def cosine(l: Column, r: Column): Column = {
-    val dot = aggregate(zip_with(l, r, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nl = sqrt(aggregate(l, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nr = sqrt(aggregate(r, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (nl * nr)
-  }
+  /** Cosine similarity of two float/double-array columns (double
+    * accumulation). Native one-pass kernel ([[graft.functions.CosineSim]]):
+    * Spark evaluates higher-order `aggregate`/`zip_with` lambdas
+    * interpreted, which would put four closure calls per element in the
+    * ANN re-rank hot loop; the kernel is bit-identical (same fold order)
+    * and stays inside whole-stage codegen. */
+  def cosine(l: Column, r: Column): Column =
+    graft.functions.funcs.cosine_sim(l, r)
 
   /** Embedding near-dup pairs above a cosine threshold, within blocking
     * buckets given by `bucket` (pass a constant to brute-force a subset). */
