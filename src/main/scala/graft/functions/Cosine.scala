@@ -35,16 +35,49 @@ object CosineKernel {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Plain dot product — the LSH hyperplane-signature inner loop. */
+  def dot(a: ArrayData, b: ArrayData, fa: Boolean, fb: Boolean): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  /** Squared L2 distance — the IVF cell-assignment inner loop. */
+  def l2sq(a: ArrayData, b: ArrayData, fa: Boolean, fb: Boolean): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }
 
-/** cosine similarity of two array<float|double> columns -> double. */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with Serializable {
+/** Shared shape for the binary float/double-array -> double kernels. */
+abstract class ArrayPairDoubleExpression extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "cosine_sim"
+  /** Kernel entry point, e.g. "cosine" — static method on CosineKernel. */
+  protected def kernel: String
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
+  protected def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
@@ -55,12 +88,8 @@ case class CosineSim(left: Expression, right: Expression)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cosine_sim requires (array<float|double>, array<float|double>), got $other")
+          s"$prettyName requires (array<float|double>, array<float|double>), got $other")
     }
-
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CosineKernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (fa, fb) = (isFloat(left), isFloat(right))
@@ -68,7 +97,7 @@ case class CosineSim(left: Expression, right: Expression)
     // mismatch / null element), so route through a boxed local
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |Object kr = graft.functions.CosineKernel.cosine($a, $b, $fa, $fb);
+         |Object kr = graft.functions.CosineKernel.$kernel($a, $b, $fa, $fb);
          |if (kr == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -77,7 +106,40 @@ case class CosineSim(left: Expression, right: Expression)
        """.stripMargin
     })
   }
+}
 
+/** cosine similarity of two array<float|double> columns -> double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends ArrayPairDoubleExpression {
+  override def prettyName: String = "cosine_sim"
+  override protected def kernel: String = "cosine"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** dot product of two array<float|double> columns -> double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends ArrayPairDoubleExpression {
+  override def prettyName: String = "dot_product"
+  override protected def kernel: String = "dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** squared L2 distance of two array<float|double> columns -> double. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends ArrayPairDoubleExpression {
+  override def prettyName: String = "l2_sq"
+  override protected def kernel: String = "l2sq"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernel.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredL2 =
     copy(left = l, right = r)
 }

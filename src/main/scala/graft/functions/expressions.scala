@@ -144,6 +144,8 @@ object funcs {
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
   def minhash_sig(c: Column, q: Int, k: Int): Column = expr(MinHashSig(ex(c), q, k))
   def cosine_sim(l: Column, r: Column): Column = expr(CosineSim(ex(l), ex(r)))
+  def dot_product(l: Column, r: Column): Column = expr(DotProduct(ex(l), ex(r)))
+  def l2_sq(l: Column, r: Column): Column = expr(SquaredL2(ex(l), ex(r)))
 
   /** Cosine similarity of two float/double array columns via higher-order
     * built-ins — exactly the formula the reference emits for Spark
@@ -175,5 +177,7 @@ object funcs {
     reg("qgram_tokenise", es => QgramTokenise(es(0),
       es(1).eval(null).asInstanceOf[Int]))
     reg("cosine_sim", es => CosineSim(es(0), es(1)))
+    reg("dot_product", es => DotProduct(es(0), es(1)))
+    reg("l2_sq", es => SquaredL2(es(0), es(1)))
   }
 }

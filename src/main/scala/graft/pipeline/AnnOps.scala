@@ -42,12 +42,12 @@ object AnnOps {
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Bit-signature of a vector against the planes: bit b = dot(vec, plane_b) > 0. */
+  /** Bit-signature of a vector against the planes: bit b = dot(vec, plane_b) > 0.
+    * Native dot kernel — `bits` interpreted higher-order folds per row
+    * would dominate the signature scan otherwise. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, b) =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(plane.toSeq), (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.funcs.dot_product(vec, typedLit(plane.toSeq))
       when(dot > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -102,13 +102,10 @@ object AnnOps {
     centroids
   }
 
-  /** Column: index of the nearest centroid (squared-L2). */
+  /** Column: index of the nearest centroid (squared-L2, native kernel). */
   def cellAssignment(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.map { ctr =>
-      aggregate(zip_with(vec, typedLit(ctr.toSeq),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v)
-    }
+    val dists = centroids.map(ctr =>
+      graft.functions.funcs.l2_sq(vec, typedLit(ctr.toSeq)))
     // argmin via struct sort: array of (dist, idx) -> min's idx
     val pairs = array(dists.zipWithIndex.map { case (d, i) =>
       struct(d.as("d"), lit(i).as("i")) }: _*)
@@ -117,11 +114,8 @@ object AnnOps {
 
   /** Column: the `nProbe` nearest centroid indices (for the query side). */
   def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
-    val dists = centroids.map { ctr =>
-      aggregate(zip_with(vec, typedLit(ctr.toSeq),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v)
-    }
+    val dists = centroids.map(ctr =>
+      graft.functions.funcs.l2_sq(vec, typedLit(ctr.toSeq)))
     val pairs = array(dists.zipWithIndex.map { case (d, i) =>
       struct(d.as("d"), lit(i).as("i")) }: _*)
     transform(slice(array_sort(pairs), 1, nProbe), p => p.getField("i"))
