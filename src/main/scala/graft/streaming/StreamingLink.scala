@@ -13,6 +13,14 @@ import graft.Linker
  * `foreachBatch` + [[Linker.findMatchesToNewRecords]] — the static side's
  * TF tables and model constants are reused across batches.
  */
+/** One exploded (doc, band) observation on the stream. */
+case class BandObs(docId: String, band: Int, bandVal: Long,
+    eventTime: java.sql.Timestamp)
+/** Per-(doc, band) dedup verdict emitted by the stateful op. */
+case class BandVerdict(docId: String, band: Int, firstInBucket: Boolean)
+/** Streaming state per band bucket. */
+case class BucketState(seen: Boolean)
+
 object StreamingLink {
 
   /**
@@ -49,6 +57,64 @@ object StreamingLink {
       // dedup state on watermark advance — unbounded state in a
       // long-running stream.
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /**
+   * Stateful streaming NEAR-dup detection: SimHash 4x16-bit band buckets
+   * with explicit per-bucket state via `flatMapGroupsWithState` (the
+   * streaming form of [[graft.pipeline.DedupOps.simhashDedupPairs]]'s
+   * band blocking). Emits one verdict per (doc, band): `firstInBucket`
+   * is true iff no earlier document (by event time, then id, within this
+   * batch or any previous one whose state is still live) hashed into the
+   * same band bucket. A document is a near-dup CANDIDATE iff any of its
+   * four bands collides — i.e. keep a doc when all 4 verdicts are first
+   * (same pigeonhole guarantee as the batch operator: every pair within
+   * hamming <= 3 shares a band; collision-only filtering is the
+   * documented recall/precision dial, no pairwise verify in-stream).
+   *
+   * State is bounded: each bucket's entry carries an event-time timeout
+   * at `watermark past its last hit` and is removed when it fires —
+   * long-running-stream safe, same discipline as [[dedupStream]].
+   */
+  def simhashBandDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String = "1 hour",
+      shingleQ: Int = 8): org.apache.spark.sql.Dataset[BandVerdict] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = graft.pipeline.DedupOps.simhash(
+      graft.pipeline.DedupOps.shingles(col(textCol), shingleQ))
+    val banded = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("string").as("docId"), sh.as("sh"),
+        col(tsCol).as("eventTime"))
+      .select(col("docId"), col("eventTime"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bandVal"))
+        }: _*)).as("b"))
+      .select(col("docId"), col("b.band"), col("b.bandVal"), col("eventTime"))
+      .as[BandObs]
+    banded
+      .groupByKey(o => (o.band, o.bandVal))
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy(o => (o.eventTime.getTime, o.docId))
+            val occupied = state.exists
+            val verdicts = batch.zipWithIndex.map { case (o, i) =>
+              BandVerdict(o.docId, o.band, firstInBucket = !occupied && i == 0)
+            }
+            state.update(BucketState(seen = true))
+            // evict one full watermark delay after this bucket's last hit
+            state.setTimeoutTimestamp(
+              batch.map(_.eventTime.getTime).max, watermarkDelay)
+            verdicts.iterator
+          }
+      }
+  }
 
   /** Convenience: run the stream into an in-memory accumulator (testing /
     * small sinks); returns the started query. */

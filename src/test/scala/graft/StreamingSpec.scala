@@ -76,4 +76,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows(("10:05", "click")) == (1L, 5.0))
     assert(rows(("10:00", "view")) == (1L, 1.0))
   }
+
+  test("stateful simhash band dedup flags near-dup candidates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val verdicts = StreamingLink.simhashBandDedupStream(
+      stream.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+    val query = verdicts.writeStream.format("memory")
+      .queryName("band_out").outputMode("append").start()
+    // long enough that a one-char edit leaves >=1 of the 4 simhash bands
+    // intact (hamming 6, 1 shared band for this fixture)
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the tall mountains of the west"
+    stream.addData((1L, base, ts(0)), (2L, "completely different content here", ts(1)))
+    query.processAllAvailable()
+    // doc 3 = near-dup of doc 1 (one word changed); doc 4 fresh
+    stream.addData((3L, base.replace("lazy", "hazy"), ts(2)),
+      (4L, "yet another unrelated document body", ts(3)))
+    query.processAllAvailable()
+    query.stop()
+    val perDoc = spark.table("band_out").collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[Boolean]("firstInBucket")))
+      .groupBy(_._1).view.mapValues(vs => vs.forall(_._2)).toMap
+    // every doc emits exactly 4 verdicts
+    assert(spark.table("band_out").count() == 16)
+    // batch 1: both docs fully fresh
+    assert(perDoc("1") && perDoc("2"))
+    // doc 3 shares >=1 band with doc 1 (hamming small) -> not all-first;
+    // doc 4 collides with nothing
+    assert(!perDoc("3"))
+    assert(perDoc("4"))
+  }
 }
