@@ -23,20 +23,26 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        // bit_xor, not sum: ANSI mode makes a LONG sum of 2^63-range hashes
-        // throw ARITHMETIC_OVERFLOW; xor is closed over Long.
-        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-          .agg(bit_xor(col("h"))).collect()
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_BENCH_REPEAT > 1 reruns the whole suite in-JVM and
+    // reports the LAST pass, separating codegen/JIT warmup from data cost
+    // (profiling aid; the driver uses the default single cold pass).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    def onePass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          // bit_xor, not sum: ANSI mode makes a LONG sum of 2^63-range hashes
+          // throw ARITHMETIC_OVERFLOW; xor is closed over Long.
+          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+            .agg(bit_xor(col("h"))).collect()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = (1 to repeat).map(_ => onePass()).last
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -140,9 +140,11 @@ object Blocking {
         case _ => Seq(settings.sourceDatasetColumn)
       })).distinct
 
-    def narrow(df: DataFrame) = df.select(
+    // widen before the self-join: pair expansion is quadratic per block and
+    // must not run on a tiny scan's task count (no-op at scale)
+    def narrow(df: DataFrame) = Repartition.ensureMinParallel(df.select(
       (joinKeyCol(settings).as("__join_key") +:
-        neededCols.filter(df.columns.contains).map(col)): _*)
+        neededCols.filter(df.columns.contains).map(col)): _*))
 
     (settings.linkType, twoFrames) match {
       case (LinkType.LinkOnly, Some((left, right))) =>

@@ -63,4 +63,21 @@ object Repartition {
     * exchange doubles as co-location. */
   def byKeys(df: DataFrame, role: Role, keys: Column*): DataFrame =
     df.repartition(numPartitions(df, role), keys: _*)
+
+  /** Widen a frame to the session's shuffle parallelism when its physical
+    * partitioning is narrower. Guard for row-multiplying or kernel-heavy
+    * stages (pair self-joins, per-document shingle/signature scans): those
+    * must never inherit a tiny scan's task count — a single-row-group
+    * parquet file otherwise serialises quadratic pair work onto one core.
+    * At scale the scan already has >= target splits and this is a no-op.
+    *
+    * Only call on scan/projection-level frames: the partition-count probe
+    * plans the physical query, which is cheap for a scan but would eagerly
+    * kick off broadcast futures if a join were already in the tree.
+    */
+  def ensureMinParallel(df: DataFrame): DataFrame = {
+    val target =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -18,6 +18,7 @@ import org.apache.spark.sql.expressions.Window
 object AnnOps {
 
   import DedupOps.cosine
+  import graft.operators.Repartition.ensureMinParallel
 
   /** Exact top-k by cosine: queries × corpus. The query side is broadcast —
     * corpus never shuffles. */
@@ -25,7 +26,10 @@ object AnnOps {
       queryIdCol: String = "vec_id", corpusIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv"))
+    // widen the streamed corpus side: the per-pair cosine re-rank must not
+    // inherit a single-row-group scan's one-task parallelism (no-op at scale)
+    val c = ensureMinParallel(
+      corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
@@ -132,8 +136,11 @@ object AnnOps {
       vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nCells, seed = seed,
       idCol = corpusIdCol)
-    val c = corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv"),
-      cellAssignment(col(vecCol), centroids).as("cell"))
+    // widen BEFORE cell assignment so the kernel scan parallelises too
+    val craw = ensureMinParallel(
+      corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv")))
+    val c = craw.select(col("neighbour_id"), col("cv"),
+      cellAssignment(col("cv"), centroids).as("cell"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
       explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
@@ -167,8 +174,11 @@ object AnnOps {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
       explode(sigs(col(vecCol))).as("b"))
       .select(col("query_id"), col("qv"), col("b.t"), col("b.sig"))
-    val c = corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv"),
-      explode(sigs(col(vecCol))).as("b"))
+    // widen BEFORE the signature explode so the kernel scan parallelises
+    val craw = ensureMinParallel(
+      corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv")))
+    val c = craw.select(col("neighbour_id"), col("cv"),
+      explode(sigs(col("cv"))).as("b"))
       .select(col("neighbour_id"), col("cv"), col("b.t"), col("b.sig"))
     val scored = c.join(broadcast(q), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbour_id"))

@@ -20,6 +20,14 @@ object DedupOps {
   def tokenSet(text: Column): Column =
     array_distinct(TextOps.tokens(lower(text)))
 
+  /** Narrow raw projection, widened to session parallelism BEFORE the
+    * per-document shingle/signature kernels run: a single-row-group input
+    * file must not serialise the kernel scan (and the quadratic bucket
+    * joins fed by it) onto one core. No-op at scale — see
+    * [[graft.operators.Repartition.ensureMinParallel]]. */
+  private def widened(df: DataFrame, cols: Seq[Column]): DataFrame =
+    graft.operators.Repartition.ensureMinParallel(df.select(cols: _*))
+
   // ---------------------------------------------------------------- exact
 
   /** One representative (min id) per exact normalised text. */
@@ -39,11 +47,13 @@ object DedupOps {
     * token hashes equals true Jaccard up to ~1e-19 collision probability. */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockKeys: Seq[Column], threshold: Double): DataFrame = {
-    val withTok = df.select(
-      (col(idCol).as("id") +:
-        sort_array(array_distinct(transform(tokenSet(col(textCol)),
+    val raw = widened(df, col(idCol).as("id") +: col(textCol).as("__text") +:
+      blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") })
+    val withTok = raw.select(
+      (col("id") +:
+        sort_array(array_distinct(transform(tokenSet(col("__text")),
           t => xxhash64(t)))).as("toks") +:
-        blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") }): _*)
+        blockKeys.indices.map(i => col(s"bk$i"))): _*)
     val keys = blockKeys.indices.map(i => s"bk$i")
     val l = withTok.alias("l")
     val r = withTok.alias("r")
@@ -64,11 +74,13 @@ object DedupOps {
     * (reorderings, joined/split words). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockKeys: Seq[Column], threshold: Double, q: Int = 5): DataFrame = {
-    val withTok = df.select(
-      (col(idCol).as("id") +:
-        sort_array(array_distinct(transform(shingles(col(textCol), q),
+    val raw = widened(df, col(idCol).as("id") +: col(textCol).as("__text") +:
+      blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") })
+    val withTok = raw.select(
+      (col("id") +:
+        sort_array(array_distinct(transform(shingles(col("__text"), q),
           t => xxhash64(t)))).as("toks") +:
-        blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") }): _*)
+        blockKeys.indices.map(i => col(s"bk$i"))): _*)
     val keys = blockKeys.indices.map(i => s"bk$i")
     val l = withTok.alias("l")
     val r = withTok.alias("r")
@@ -126,10 +138,11 @@ object DedupOps {
     // smaller shuffle rows and a linear-merge set-intersection at verify
     // time (native expression); jaccard over 64-bit hashes equals true
     // jaccard up to ~1e-19 collision probability
-    val base = df.select(col(idCol).as("id"),
-        sort_array(array_distinct(transform(shingles(col(textCol), shingleQ),
+    val raw = widened(df, Seq(col(idCol).as("id"), col(textCol).as("__text")))
+    val base = raw.select(col("id"),
+        sort_array(array_distinct(transform(shingles(col("__text"), shingleQ),
           t => xxhash64(t)))).as("toks"),
-        graft.functions.funcs.minhash_sig(col(textCol), shingleQ, k).as("sig"))
+        graft.functions.funcs.minhash_sig(col("__text"), shingleQ, k).as("sig"))
       .filter(size(col("toks")) > 0)
     val banded = base
       .select(col("id"), col("toks"),
@@ -196,9 +209,11 @@ object DedupOps {
   def simhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleQ: Int = 8,
       blockKeys: Seq[Column] = Nil): DataFrame = {
-    val base = df.select(
-      (col(idCol).as("id") +: simhash(shingles(col(textCol), shingleQ)).as("sh") +:
-        blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") }): _*)
+    val raw = widened(df, col(idCol).as("id") +: col(textCol).as("__text") +:
+      blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") })
+    val base = raw.select(
+      (col("id") +: simhash(shingles(col("__text"), shingleQ)).as("sh") +:
+        blockKeys.indices.map(i => col(s"bk$i"))): _*)
     val keyCols = blockKeys.indices.map(i => s"bk$i")
     val banded = base.select(
       (col("id") +: col("sh") +: keyCols.map(col) :+
@@ -235,7 +250,8 @@ object DedupOps {
     * buckets given by `bucket` (pass a constant to brute-force a subset). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bucket: Column, threshold: Double): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bk"))
+    val base = widened(df,
+      Seq(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bk")))
     val l = base.alias("l")
     val r = base.alias("r")
     // NOTE: unlike the jaccard operators (exact rational arithmetic, filtered
