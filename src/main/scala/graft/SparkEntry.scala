@@ -516,8 +516,52 @@ object SparkEntry {
     // under NOT-previous semantics (`blocking_analysis.py:601-724`)
     "q_cumulative_comparisons" -> ((s, dir) => {
       Evaluation.cumulativeComparisonsPerRule(customers(s, dir), customerSettings)
+    }),
+
+    // §2.11 node-level graph metrics (`graph_metrics.py:28-113`): degree,
+    // cluster size, size-adjusted centrality over the orders path graph
+    "q_node_metrics" -> ((s, dir) => {
+      val (edges, clusters) = ordersPathGraph(s, dir)
+      ClusteringOps.nodeMetrics(clusters, edges)
+        .select(col("node_id"), col("cluster_id"), col("degree"),
+          col("cluster_size"), round(col("centrality"), 9).as("centrality"))
+    }),
+
+    // §2.11 cluster-level graph metrics (`graph_metrics.py:116-170`):
+    // node/edge counts and density 2E/(n(n-1))
+    "q_cluster_density" -> ((s, dir) => {
+      val (edges, clusters) = ordersPathGraph(s, dir)
+      ClusteringOps.clusterMetrics(clusters, edges)
+        .select(col("cluster_id"), col("n_nodes"), col("n_edges"),
+          round(col("density"), 9).as("density"))
+    }),
+
+    // §2.3 deterministic (rules-only) link: blocked pairs re-joined to full
+    // records without scoring (`linker_components/inference.py`
+    // deterministic_link)
+    "q_deterministic_link" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      linker.deterministicLink()
+        .select(col("match_key"),
+          col("unique_id_l").cast("bigint").as("uid_l"),
+          col("unique_id_r").cast("bigint").as("uid_r"),
+          col("c_name_l"), col("c_name_r"))
     })
   )
+
+  /** Path graph over each customer's consecutive orders (shared by the
+    * graph-metric queries; same construction as q_cluster). */
+  private def ordersPathGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val o = pq(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val edges = o.select(col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("unique_id_l"),
+        col("o_orderkey").as("unique_id_r"))
+    (edges, ConnectedComponents.run(edges))
+  }
 
   // ---- portable-hash oracle fragments ----------------------------------
   // The minhash/simhash/decode kernels hash with FNV-1a 64 (and, for
@@ -997,6 +1041,62 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_rows,
          |  (SELECT CAST(cnt * (cnt - 1) / 2 AS BIGINT) FROM n) AS cartesian
          |FROM rules r LEFT JOIN counts c USING (match_key)""".stripMargin,
+
+    "q_node_metrics" ->
+      """WITH e AS (
+        |  SELECT lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nl,
+        |         o_orderkey AS nr
+        |  FROM orders
+        |  QUALIFY nl IS NOT NULL
+        |), deg AS (
+        |  SELECT node_id, count(*) AS degree FROM (
+        |    SELECT nl AS node_id FROM e UNION ALL SELECT nr FROM e) u
+        |  GROUP BY node_id
+        |), cl AS (
+        |  SELECT o_orderkey AS node_id,
+        |         min(o_orderkey) OVER (PARTITION BY o_custkey) AS cluster_id
+        |  FROM orders
+        |  QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 2
+        |)
+        |SELECT cl.node_id, cl.cluster_id,
+        |  CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+        |  count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size,
+        |  CASE WHEN count(*) OVER (PARTITION BY cl.cluster_id) > 1
+        |       THEN round(coalesce(deg.degree, 0)::DOUBLE
+        |                  / (count(*) OVER (PARTITION BY cl.cluster_id) - 1), 9)
+        |       ELSE 0.0::DOUBLE END AS centrality
+        |FROM cl LEFT JOIN deg ON cl.node_id = deg.node_id""".stripMargin,
+
+    "q_cluster_density" ->
+      """WITH e AS (
+        |  SELECT lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nl,
+        |         o_orderkey AS nr
+        |  FROM orders
+        |  QUALIFY nl IS NOT NULL
+        |), cl AS (
+        |  SELECT o_orderkey AS node_id,
+        |         min(o_orderkey) OVER (PARTITION BY o_custkey) AS cluster_id
+        |  FROM orders
+        |  QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 2
+        |), ne AS (
+        |  SELECT cl.cluster_id, count(*) AS n_edges
+        |  FROM e JOIN cl ON e.nl = cl.node_id
+        |  GROUP BY cl.cluster_id
+        |), nn AS (SELECT cluster_id, count(*) AS n_nodes FROM cl GROUP BY cluster_id)
+        |SELECT nn.cluster_id, nn.n_nodes,
+        |  CAST(coalesce(ne.n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN nn.n_nodes > 1
+        |       THEN round(coalesce(ne.n_edges, 0)::DOUBLE * 2
+        |                  / (nn.n_nodes * (nn.n_nodes - 1)), 9)
+        |       ELSE 0.0::DOUBLE END AS density
+        |FROM nn LEFT JOIN ne ON nn.cluster_id = ne.cluster_id""".stripMargin,
+
+    "q_deterministic_link" ->
+      s"""$oraclePairsCte
+         |SELECT p.match_key, p.uid_l, p.uid_r, l.c_name AS c_name_l, r.c_name AS c_name_r
+         |FROM pairs p
+         |JOIN customer l ON p.uid_l = l.c_custkey
+         |JOIN customer r ON p.uid_r = r.c_custkey""".stripMargin,
 
     "q_largest_blocks" ->
       """SELECT c_nationkey AS key_0, c_mktsegment AS key_1,
