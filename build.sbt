@@ -15,6 +15,10 @@ run / fork := true
 // them through sbt's logger (which prefixes every line with [info] and
 // breaks line-oriented JSON consumers of `sbt runMain graft.Bench`).
 run / outputStrategy := Some(StdoutOutput)
+// Drop sbt's trailing "[success] Total time: …" line so the bench JSON
+// printed by graft.Bench stays the LAST line of `sbt runMain` stdout —
+// the driver parses that tail line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,11 +48,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout from `sbt runMain` is wrapped in [info] noise; stderr is not,
-    // and the file is a second reliable channel for the driver's parser.
-    System.err.println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // Stop Spark BEFORE emitting the JSON so no shutdown log line can land
+    // after it: with run/outputStrategy=StdoutOutput and showSuccess=false
+    // (build.sbt) the bare JSON is the final line of `sbt runMain` output.
     spark.stop()
+    println(json)
+    System.err.println(json)
   }
 }

@@ -8,7 +8,7 @@ import graft.model.{LevelLibrary => ll}
 import graft.operators._
 import graft.clustering.{ClusteringOps, ConnectedComponents}
 import graft.evaluation.Evaluation
-import graft.pipeline.{AnnOps, DedupOps, MultimodalOps, TextOps}
+import graft.pipeline.{AnnOps, CorpusOps, DedupOps, MultimodalOps, TextOps}
 
 /**
  * Driver contract: one query per implemented operator family (SURVEY.md §2)
@@ -546,6 +546,57 @@ object SparkEntry {
           col("unique_id_l").cast("bigint").as("uid_l"),
           col("unique_id_r").cast("bigint").as("uid_r"),
           col("c_name_l"), col("c_name_r"))
+    }),
+
+    // corpus: benchmark decontamination — word-3-gram overlap of every
+    // document against the probe subset (doc_id % 20 == 0 plays the held-out
+    // benchmark); probe n-gram set is broadcast, corpus never reshuffles
+    "q_contamination" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      CorpusOps.contaminationReport(d, "doc_id", "text",
+        d.filter(col("doc_id") % 20 === 0), "text", n = 3)
+    }),
+
+    // corpus: top-3 TF-IDF keywords per document (integer-deterministic
+    // rank: tf desc, doc_freq asc, term asc)
+    "q_tfidf" -> ((s, dir) => {
+      CorpusOps.tfidfTopK(pq(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    // corpus: sliding-window chunking for embedding pipelines (80-char
+    // windows every 60 chars, final partial window kept)
+    "q_doc_chunks" -> ((s, dir) => {
+      CorpusOps.chunkDocuments(pq(s, dir, "documents"), "doc_id", "text",
+        size = 80, stride = 60)
+    }),
+
+    // corpus: PII detection + redaction fingerprint. The synthetic corpus
+    // has no PII, so the query injects deterministic synthetic PII derived
+    // from doc_id (identically in the oracle) to exercise every pattern.
+    "q_pii" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 200).cast("string"), lit(".7"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" call +44 7700 900"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      val piiCols = CorpusOps.piiCounts(injected).map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +: piiCols) :+
+        substring(md5(CorpusOps.redactPii(injected)), 1, 16).as("redacted_fp"): _*)
+    }),
+
+    // corpus: repetition/junk quality metrics (dup-token and dup-bigram
+    // ratios, longest token, digit ratio) in one codegen'd scan
+    "q_repetition" -> ((s, dir) => {
+      pq(s, dir, "documents").select(col("doc_id"),
+        round(CorpusOps.dupTokenRatio(col("text")), 9).as("dup_token_ratio"),
+        round(CorpusOps.dupBigramRatio(col("text")), 9).as("dup_bigram_ratio"),
+        CorpusOps.maxWordLen(col("text")).as("max_word_len"),
+        round(CorpusOps.digitRatio(col("text")), 9).as("digit_ratio"))
     })
   )
 
@@ -1361,6 +1412,105 @@ object SparkEntry {
         |FROM embeddings l JOIN embeddings r
         |  ON l.label = r.label AND l.vec_id < r.vec_id
         |WHERE l.vec_id % 20 = 0 AND r.vec_id % 20 = 0
-        |  AND round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 9) >= 0.2""".stripMargin
+        |  AND round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 9) >= 0.2""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $wordGramCte
+         |probe AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 20 = 0),
+         |cg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         |hits AS (SELECT doc_id, count(*) AS n_hits,
+         |    count(DISTINCT gram) AS n_distinct_hits
+         |  FROM cg JOIN probe USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |  coalesce(h.n_distinct_hits, CAST(0 AS BIGINT)) AS n_distinct_hits
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tk AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(t) AS term FROM tk),
+        |dt AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS doc_freq FROM dt GROUP BY term),
+        |n AS (SELECT count(*) AS nn FROM documents)
+        |SELECT doc_id, term, tf, doc_freq,
+        |  round(tf * (ln((nn + 1)::DOUBLE / (doc_freq + 1)) + 1), 9) AS score,
+        |  CAST(rank AS INT) AS rank
+        |FROM (
+        |  SELECT dt.doc_id, dt.term, dt.tf, dfreq.doc_freq, nn,
+        |    row_number() OVER (PARTITION BY dt.doc_id
+        |      ORDER BY dt.tf DESC, dfreq.doc_freq ASC, dt.term ASC) AS rank
+        |  FROM dt JOIN dfreq USING (term) CROSS JOIN n) x
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+        |c AS (SELECT doc_id, text,
+        |    unnest(range(0, 1 + CAST(ceil(greatest(n - 80, 0)::DOUBLE / 60) AS BIGINT))) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  substr(text, CAST(chunk_id * 60 + 1 AS INT), 80) AS chunk_text,
+        |  CAST(len(substr(text, CAST(chunk_id * 60 + 1 AS INT), 80)) AS INT) AS chunk_chars
+        |FROM c""".stripMargin,
+
+    "q_pii" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipv4 = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+      val phone = """\+[0-9]{2}[0-9 -]{7,12}[0-9]"""
+      val ssn = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
+      s"""WITH inj AS (SELECT doc_id, concat(text,
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END,
+         |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END,
+         |    CASE WHEN doc_id % 7 = 0 THEN ' call +44 7700 900' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END,
+         |    CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ipv4')) AS INT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ssn')) AS INT) AS n_ssn,
+         |  (len(regexp_extract_all(t, '$email')) + len(regexp_extract_all(t, '$ipv4'))
+         |   + len(regexp_extract_all(t, '$phone')) + len(regexp_extract_all(t, '$ssn'))) > 0 AS any_pii,
+         |  substr(md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g'), '$ssn', '<SSN>', 'g')), 1, 16) AS redacted_fp
+         |FROM inj""".stripMargin
+    },
+
+    "q_repetition" ->
+      """WITH tk AS (SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tl,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tr
+        |  FROM documents),
+        |g AS (SELECT doc_id, text, tl, tr,
+        |    CASE WHEN len(tl) < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, len(tl)), i -> concat_ws(' ', tl[i], tl[i+1])) END AS bg
+        |  FROM tk)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(tl) = 0 THEN 0.0
+        |    ELSE (len(tl) - len(list_distinct(tl)))::DOUBLE / len(tl) END, 9) AS dup_token_ratio,
+        |  round(CASE WHEN len(bg) = 0 THEN 0.0
+        |    ELSE (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg) END, 9) AS dup_bigram_ratio,
+        |  CAST(CASE WHEN len(tr) = 0 THEN 0
+        |    ELSE list_max(list_transform(tr, x -> len(x))) END AS INT) AS max_word_len,
+        |  round(CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / len(text) END, 9) AS digit_ratio
+        |FROM g""".stripMargin
   )
+
+  /** Word-token and 3-gram lists of every document (DuckDB): `g(doc_id, gs)`
+    * with gs = space-joined word 3-grams of the lowercased text. */
+  private val wordGramCte: String =
+    """tk AS (SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END AS gs
+      |  FROM tk),""".stripMargin
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordNgrams: sliding word windows, short text -> empty") {
+    val df = Seq("a b c d", "a b", "", "  x  y  z  ").toDF("t")
+      .select(CorpusOps.wordNgrams(col("t"), 3).as("g"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq(), Seq(), Seq("x y z")))
+  }
+
+  test("contaminationReport: hand-counted overlap incl. zero rows") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),     // grams: "alpha beta gamma", "beta gamma delta"
+      (2L, "beta gamma delta epsilon"),   // grams: "beta gamma delta", "gamma delta epsilon"
+      (3L, "zeta eta theta iota")         // no overlap with probe
+    ).toDF("doc_id", "text")
+    val probes = Seq("x alpha beta gamma delta y").toDF("text")
+    // probe grams: {x alpha beta, alpha beta gamma, beta gamma delta,
+    //               gamma delta y}
+    val got = CorpusOps.contaminationReport(corpus, "doc_id", "text",
+        probes, "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 1L, 1L), (3L, 0L, 0L)))
+  }
+
+  test("tfidfTopK: integer-deterministic rank and smoothed score") {
+    val df = Seq(
+      (1L, "cat cat dog"),
+      (2L, "dog mouse"),
+      (3L, "cat fish fish")).toDF("doc_id", "text")
+    val got = CorpusOps.tfidfTopK(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSeq
+    // doc 1: cat tf=2 (df 2), dog tf=1 (df 2) -> [cat, dog]
+    // doc 2: tf ties at 1 -> lower df first: mouse (df 1) before dog (df 2)
+    // doc 3: fish tf=2 first, then cat
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((1L, "cat"), (1L, "dog"), (2L, "mouse"), (2L, "dog"),
+        (3L, "fish"), (3L, "cat")))
+    val fish = got.find(_._2 == "fish").get
+    val expected = BigDecimal(2.0 * (math.log(4.0 / 2.0) + 1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fish._3 == 2L && fish._4 == 1L && fish._5 == expected)
+  }
+
+  test("chunkDocuments: window boundaries and final partial chunk") {
+    def chunksOf(s: String): Seq[(Int, String)] =
+      CorpusOps.chunkDocuments(Seq((1L, s)).toDF("doc_id", "text"),
+          "doc_id", "text", size = 80, stride = 60)
+        .orderBy("chunk_id")
+        .select(col("chunk_id"), col("chunk_text"))
+        .as[(Int, String)].collect().toSeq
+    val s80 = "a" * 80
+    assert(chunksOf(s80) == Seq((0, s80)))
+    val s81 = "ab" * 40 + "Z"
+    assert(chunksOf(s81) == Seq((0, s81.substring(0, 80)), (1, s81.substring(60))))
+    val s150 = ('a' to 'z').mkString * 6 // 156 chars
+    val got150 = chunksOf(s150.take(150))
+    assert(got150.map(_._1) == Seq(0, 1, 2))
+    assert(got150(1)._2 == s150.substring(60, 140))
+    assert(got150(2)._2 == s150.substring(120, 150))
+    assert(chunksOf("").isEmpty)
+  }
+
+  test("piiCounts and redactPii: all four kinds, exact redaction") {
+    val text = "mail a.user+x@test.org or b@c.io, host 10.0.0.1, " +
+      "call +44 7700 900123, ssn 123-45-6789 end"
+    val df = Seq(text).toDF("t")
+    val counts = df.select(CorpusOps.piiCounts(col("t"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Int, Int, Int, Int, Boolean)].head()
+    assert(counts == ((2, 1, 1, 1, true)))
+    val redacted = df.select(CorpusOps.redactPii(col("t"))).as[String].head()
+    assert(redacted == "mail <EMAIL> or <EMAIL>, host <IP>, " +
+      "call <PHONE>, ssn <SSN> end")
+    val clean = df.select(CorpusOps.piiCounts(lit("no pii here 42"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Int, Int, Int, Int, Boolean)].head()
+    assert(clean == ((0, 0, 0, 0, false)))
+  }
+
+  test("repetition metrics: hand-computed ratios") {
+    val df = Seq("the THE cat", "a1b22 xy", "").toDF("t")
+    val got = df.select(
+        round(CorpusOps.dupTokenRatio(col("t")), 9).as("dtr"),
+        round(CorpusOps.dupBigramRatio(col("t")), 9).as("dbr"),
+        CorpusOps.maxWordLen(col("t")).as("mwl"),
+        round(CorpusOps.digitRatio(col("t")), 9).as("dgr"))
+      .as[(Double, Double, Int, Double)].collect().toSeq
+    // "the THE cat": lowercased tokens (the,the,cat) -> 1/3 dup; bigrams
+    // ("the the","the cat") distinct -> 0; longest token 3; no digits
+    assert(got(0) == ((BigDecimal(1.0 / 3).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 0.0, 3, 0.0)))
+    // "a1b22 xy": 3 digits of 8 chars
+    assert(got(1) == ((0.0, 0.0, 5, 0.375)))
+    assert(got(2) == ((0.0, 0.0, 0, 0.0)))
+  }
+}
