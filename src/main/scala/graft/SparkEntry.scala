@@ -9,6 +9,7 @@ import graft.operators._
 import graft.clustering.{ClusteringOps, ConnectedComponents}
 import graft.evaluation.Evaluation
 import graft.pipeline.{AnnOps, CorpusOps, DedupOps, MultimodalOps, TextOps}
+import graft.training.Training
 
 /**
  * Driver contract: one query per implemented operator family (SURVEY.md §2)
@@ -597,6 +598,52 @@ object SparkEntry {
         round(CorpusOps.dupBigramRatio(col("text")), 9).as("dup_bigram_ratio"),
         CorpusOps.maxWordLen(col("text")).as("max_word_len"),
         round(CorpusOps.digitRatio(col("text")), 9).as("digit_ratio"))
+    }),
+
+    // corpus: pack documents into 512-token training sequences over 8
+    // portable-hash bucket streams (concat-then-chunk pretraining shape)
+    "q_pack" -> ((s, dir) => {
+      CorpusOps.packSequences(pq(s, dir, "documents"), "doc_id", "text",
+        budget = 512, numBuckets = 8)
+    }),
+
+    // corpus: deterministic weighted language mixing; every rate is an
+    // exact multiple of 2^-32 so the md5 threshold is engine-exact
+    "q_mix" -> ((s, dir) => {
+      CorpusOps.weightedSample(pq(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.125), defaultRate = 0.75)
+        .select("doc_id", "lang")
+    }),
+
+    // §2.12 training: m from a ground-truth label column — pairs blocked
+    // on label equality are true matches; each level's m is its share of
+    // non-null gammas (`m_training.py:26-102`). The output IS the trained
+    // model state, so the oracle replays block -> gamma -> share in SQL.
+    "q_m_from_labels" -> ((s, dir) => {
+      graft.functions.funcs.registerAll(s) // no Linker on this direct path
+      val c = customers(s, dir).withColumn("label",
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment")))
+      val trained = Training.estimateMFromLabelColumn(
+        Seq("customer" -> c), customerSettings, "label")
+      val rows = trained.comparisons.flatMap { cmp =>
+        cmp.activeLevelsWithGamma.map { case (lv, g) =>
+          (cmp.outputColumnName, g, lv.m.get) } }
+      s.createDataFrame(rows).toDF("comparison", "gamma", "m")
+    }),
+
+    // §2.9 training: prior λ from deterministic high-precision rules +
+    // assumed recall (`linker_components/training.py:35-161`):
+    // λ = (observed/recall)/possible, clamped to [ProbFloor, 1]
+    "q_lambda" -> ((s, dir) => {
+      val c = customers(s, dir)
+      val settings = customerSettings
+      val trained = Training.estimateLambdaFromDeterministicRules(
+        Seq("customer" -> c), settings, settings.blockingRules, recall = 0.8)
+      val concat = VerticalConcat(Seq("customer" -> c), settings)
+      val observed = Blocking.blockedIdPairs(concat, settings).count()
+      s.createDataFrame(Seq((observed, c.count(),
+        trained.probabilityTwoRandomRecordsMatch)))
+        .toDF("observed_pairs", "n_records", "lambda")
     })
   )
 
@@ -1499,7 +1546,63 @@ object SparkEntry {
         |    ELSE list_max(list_transform(tr, x -> len(x))) END AS INT) AS max_word_len,
         |  round(CASE WHEN len(text) = 0 THEN 0.0
         |    ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / len(text) END, 9) AS digit_ratio
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // packing: same md5 bucket, same per-bucket cumulative token sum; all
+    // output columns are integers so the hash compare is exact
+    "q_pack" ->
+      """WITH tk AS (SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, bucket, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens AS BIGINT) AS strt
+        |  FROM tk)
+        |SELECT doc_id, bucket, n_tokens,
+        |  CAST(floor(strt / 512) AS BIGINT) AS seq_id,
+        |  strt % 512 AS seq_offset
+        |FROM c""".stripMargin,
+
+    "q_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+        |  CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+        |       WHEN 'de' THEN 0.125 ELSE 0.75 END * 4294967296 AS BIGINT)""".stripMargin,
+
+    // m-from-label-column: pairs on label equality -> gamma CASE -> per-
+    // level share of non-null gammas; unobserved levels get the 1e-6
+    // sentinel exactly as Model.medianObserved does
+    "q_m_from_labels" ->
+      s"""WITH lab AS (SELECT c_custkey, c_name, c_acctbal,
+         |    concat_ws('|', c_nationkey, c_mktsegment) AS label FROM customer),
+         |g AS (SELECT
+         |    $oracleGammaName AS g_name,
+         |    $oracleGammaBal AS g_bal
+         |  FROM lab l JOIN lab r ON l.label = r.label AND l.c_custkey < r.c_custkey),
+         |lv AS (SELECT * FROM (VALUES ('c_name', 3), ('c_name', 2), ('c_name', 1), ('c_name', 0),
+         |    ('c_acctbal', 2), ('c_acctbal', 1), ('c_acctbal', 0)) AS t(comparison, gamma)),
+         |cnt AS (
+         |  SELECT 'c_name' AS comparison, g_name AS gamma, count(*) AS n
+         |  FROM g WHERE g_name >= 0 GROUP BY g_name
+         |  UNION ALL
+         |  SELECT 'c_acctbal', g_bal, count(*) FROM g WHERE g_bal >= 0 GROUP BY g_bal),
+         |tot AS (SELECT comparison, CAST(sum(n) AS DOUBLE) AS total FROM cnt GROUP BY comparison)
+         |SELECT lv.comparison, CAST(lv.gamma AS INT) AS gamma,
+         |  CASE WHEN coalesce(cnt.n, 0) = 0 THEN 1e-6 ELSE cnt.n / tot.total END AS m
+         |FROM lv
+         |LEFT JOIN cnt ON lv.comparison = cnt.comparison AND lv.gamma = cnt.gamma
+         |LEFT JOIN tot ON lv.comparison = tot.comparison""".stripMargin,
+
+    // λ from deterministic rules: same two blocking rules as the pairs
+    // CTE; λ = (observed/recall)/((n*(n-1))/2) clamped to [1e-32, 1]
+    "q_lambda" ->
+      s"""$oraclePairsCte,
+         |stats AS (SELECT (SELECT count(*) FROM pairs) AS observed,
+         |                 (SELECT count(*) FROM customer) AS n)
+         |SELECT observed AS observed_pairs, n AS n_records,
+         |  greatest(least(1.0::DOUBLE, (observed::DOUBLE / 0.8::DOUBLE) / ((n::DOUBLE * (n::DOUBLE - 1)) / 2.0::DOUBLE)), 1e-32) AS lambda
+         |FROM stats""".stripMargin
   )
 
   /** Word-token and 3-gram lists of every document (DuckDB): `g(doc_id, gs)`

@@ -165,4 +165,55 @@ object CorpusOps {
     when(length(c) === 0, lit(0.0))
       .otherwise((length(c) - length(regexp_replace(c, "[0-9]", "")))
         .cast("double") / length(c))
+
+  // ---- sequence packing / corpus mixing ---------------------------------
+
+  /**
+   * Pack documents into fixed token-budget training sequences, GPT-style:
+   * concatenate documents in a deterministic order and cut every `budget`
+   * tokens; a document is assigned to the sequence where its first token
+   * falls (it may straddle the boundary — exactly what concat-then-chunk
+   * pretraining pipelines do).
+   *
+   * Global concatenation order would serialise the corpus through one
+   * task, so documents are first spread over `numBuckets` independent
+   * streams by a PORTABLE hash of the id (md5-derived — any engine can
+   * replay the assignment) and packed per stream: one shuffle keyed on the
+   * bucket, cumulative sum per bucket, no global sort. At 100 TB pick
+   * numBuckets ~ executors so each stream packs in parallel.
+   *
+   * Output: (doc_id, bucket, n_tokens, seq_id, seq_offset) — all integers,
+   * so cross-engine comparison is exact.
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, numBuckets: Int): DataFrame = {
+    require(budget >= 1 && numBuckets >= 1, "budget and numBuckets must be >= 1")
+    val base = df.select(col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).cast("bigint").as("n_tokens"),
+      (TextOps.portableHash(col(idCol)) % numBuckets).as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val start = sum(col("n_tokens")).over(w) - col("n_tokens")
+    base.select(col("doc_id"), col("bucket"), col("n_tokens"),
+      floor(start / budget).cast("bigint").as("seq_id"),
+      (start % budget).as("seq_offset"))
+  }
+
+  /**
+   * Deterministic weighted corpus mixing: keep each row with a per-group
+   * sampling rate (domain/source weighting for training-data mixes). The
+   * portable md5 hash makes the sample reproducible across engines and
+   * runs; a pure filter, no shuffle, fully pushdown-friendly.
+   *
+   * Use rates that are exact multiples of 2^-32 (0.5, 0.25, 0.125, ...) if
+   * an external engine must replay the cut EXACTLY: the threshold
+   * `rate * 2^32` is then an exact integer in both engines.
+   */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(TextOps.portableHash(col(idCol)) <
+      (rateCol * 4294967296.0).cast("bigint"))
+  }
 }

@@ -100,4 +100,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1) == ((0.0, 0.0, 5, 0.375)))
     assert(got(2) == ((0.0, 0.0, 0, 0.0)))
   }
+
+  test("packSequences: concat-then-chunk offsets within one stream") {
+    // single bucket -> one stream ordered by doc_id; budget 5
+    val df = Seq(
+      (1L, "a b c"),       // 3 tokens, start 0 -> seq 0, offset 0
+      (2L, "d e f g"),     // 4 tokens, start 3 -> seq 0, offset 3 (straddles)
+      (3L, "h"),           // 1 token,  start 7 -> seq 1, offset 2
+      (4L, "i j k l")      // 4 tokens, start 8 -> seq 1, offset 3
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.packSequences(df, "doc_id", "text", budget = 5,
+        numBuckets = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 3L, 0L, 0L), (2L, 0L, 4L, 0L, 3L),
+      (3L, 0L, 1L, 1L, 2L), (4L, 0L, 4L, 1L, 3L)))
+  }
+
+  test("packSequences: buckets partition the corpus, totals preserved") {
+    val df = (1L to 200L).map(i => (i, "w " * (i % 7 + 1).toInt)).toDF("doc_id", "text")
+    val packed = CorpusOps.packSequences(df, "doc_id", "text", 32, 4)
+    assert(packed.count() == 200)
+    assert(packed.select("bucket").distinct().count() == 4)
+    // within every (bucket, seq) the offsets stay below the budget and the
+    // first doc of each stream starts at (0, 0)
+    assert(packed.filter(col("seq_offset") >= 32 || col("seq_offset") < 0).count() == 0)
+    val firsts = packed.groupBy("bucket").agg(min_by(
+      struct(col("seq_id"), col("seq_offset")), col("doc_id")).as("f"))
+    assert(firsts.filter(col("f.seq_id") =!= 0 || col("f.seq_offset") =!= 0).count() == 0)
+  }
+
+  test("weightedSample: rate 1 keeps all, rate 0 drops group, deterministic") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "grp")
+    val kept = CorpusOps.weightedSample(df, "doc_id", "grp",
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+    val byGrp = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp.getOrElse("a", 0L) == 100L && !byGrp.contains("b"))
+    // deterministic: same filter twice -> identical ids
+    val again = CorpusOps.weightedSample(df, "doc_id", "grp",
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
 }
