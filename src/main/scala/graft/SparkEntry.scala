@@ -591,14 +591,9 @@ object SparkEntry {
     }),
 
     // corpus: repetition/junk quality metrics (dup-token and dup-bigram
-    // ratios, longest token, digit ratio) in one codegen'd scan
-    "q_repetition" -> ((s, dir) => {
-      pq(s, dir, "documents").select(col("doc_id"),
-        round(CorpusOps.dupTokenRatio(col("text")), 9).as("dup_token_ratio"),
-        round(CorpusOps.dupBigramRatio(col("text")), 9).as("dup_bigram_ratio"),
-        CorpusOps.maxWordLen(col("text")).as("max_word_len"),
-        round(CorpusOps.digitRatio(col("text")), 9).as("digit_ratio"))
-    }),
+    // ratios, longest token, digit ratio) via the one-pass native kernel
+    "q_repetition" -> ((s, dir) =>
+      CorpusOps.repetitionFrame(pq(s, dir, "documents"), "doc_id", "text")),
 
     // corpus: pack documents into 512-token training sequences over 8
     // portable-hash bucket streams (concat-then-chunk pretraining shape)

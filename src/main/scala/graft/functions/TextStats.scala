@@ -85,6 +85,69 @@ object TextStatsKernel {
   }
 }
 
+/**
+ * One-pass repetition/junk metrics kernel: duplicate-token and duplicate-
+ * bigram ratios via exact string hash sets, longest whitespace token, and
+ * ASCII-digit ratio. Same tokenisation as [[TextStatsKernel]]; semantics
+ * mirror the pure-Column [[graft.pipeline.CorpusOps]] formulation (which
+ * pays one interpreted higher-order pass per metric — ~8 regex splits per
+ * document) in a single split + single scan.
+ */
+object RepetitionStatsKernel {
+  def eval(s0: UTF8String): InternalRow = {
+    val text = s0.toString
+    val nChars = text.length
+    var digits = 0
+    var i = 0
+    while (i < nChars) {
+      val ch = text.charAt(i)
+      if (ch >= '0' && ch <= '9') digits += 1
+      i += 1
+    }
+    val digitRatio = if (nChars == 0) 0.0 else digits.toDouble / nChars
+    val trimmed = text.trim
+    val rawToks: Array[String] =
+      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+    val n = rawToks.length
+    var maxLen = 0
+    var dupTok = 0
+    var dupBi = 0
+    val seen = new java.util.HashSet[String](math.max(16, n * 2))
+    val seenBi = new java.util.HashSet[String](math.max(16, n * 2))
+    var prev: String = null
+    i = 0
+    while (i < n) {
+      val raw = rawToks(i)
+      if (raw.length > maxLen) maxLen = raw.length
+      val t = raw.toLowerCase
+      if (!seen.add(t)) dupTok += 1
+      if (prev != null && !seenBi.add(prev + " " + t)) dupBi += 1
+      prev = t
+      i += 1
+    }
+    val dupTokRatio = if (n == 0) 0.0 else dupTok.toDouble / n
+    val nBi = n - 1
+    val dupBiRatio = if (nBi <= 0) 0.0 else dupBi.toDouble / nBi
+    new GenericInternalRow(Array[Any](dupTokRatio, dupBiRatio, maxLen, digitRatio))
+  }
+}
+
+/** repetition_stats(str) -> struct of the four repetition/junk metrics. */
+case class RepetitionStats(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_token_ratio", DoubleType, nullable = false),
+    StructField("dup_bigram_ratio", DoubleType, nullable = false),
+    StructField("max_word_len", IntegerType, nullable = false),
+    StructField("digit_ratio", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStatsKernel.eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.RepetitionStatsKernel.eval($v)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+}
+
 /** text_stats(str) -> struct of the seven document metrics. */
 case class TextStats(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = StructType(Seq(

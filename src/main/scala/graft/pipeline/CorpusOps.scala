@@ -18,12 +18,26 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   /** Word n-grams of the whitespace-tokenised text, joined by single
-    * spaces; [] when the text has fewer than n tokens. */
+    * spaces; [] when the text has fewer than n tokens.
+    *
+    * Shape matters: the n shifted views of the token array are passed as
+    * `arrays_zip` ARGUMENTS (each evaluated once per row) and the lambda
+    * touches only its lambda variable. Referencing the tokenise expression
+    * from inside a lambda re-evaluates the whole split per element —
+    * O(tokens²) per document — which made the corpus-metric scans the two
+    * slowest queries in the suite (q_repetition 16 s -> ~1 s at sf0.1). */
   def wordNgrams(c: Column, n: Int): Column = {
     val toks = TextOps.tokens(c)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    if (n == 1) toks
+    else {
+      // arrays_zip names positional fields "0".."n-1" for non-attribute
+      // children; the zip pads to the longest input so slice to L-n+1
+      val zipped = arrays_zip((0 until n).map(k =>
+        if (k == 0) toks else slice(toks, lit(k + 1), size(toks))): _*)
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(slice(zipped, lit(1), size(toks) - n + 1),
+          s => concat_ws(" ", (0 until n).map(k => s(k.toString)): _*)))
+    }
   }
 
   /**
@@ -38,11 +52,16 @@ object CorpusOps {
    */
   def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeTextCol: String, n: Int): DataFrame = {
+    // grams travel as xxhash64 longs, not strings: the exploded corpus side
+    // is the big relation, and 8-byte keys shrink its shuffle/aggregation
+    // footprint several-fold (collisions ~grams²/2^64 — negligible)
     val probeGrams = probes
-      .select(explode(wordNgrams(lower(col(probeTextCol)), n)).as("gram"))
+      .select(explode(transform(wordNgrams(lower(col(probeTextCol)), n),
+        g => xxhash64(g))).as("gram"))
       .distinct()
     val corpusGrams = corpus.select(col(idCol),
-        explode(wordNgrams(lower(col(textCol)), n)).as("gram"))
+        explode(transform(wordNgrams(lower(col(textCol)), n),
+          g => xxhash64(g))).as("gram"))
     val hits = corpusGrams.join(broadcast(probeGrams), Seq("gram"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"),
@@ -135,21 +154,35 @@ object CorpusOps {
 
   // ---- repetition / quality metrics ------------------------------------
 
-  /** Fraction of tokens that are repeats of an earlier token (0 if empty). */
+  /** Fraction of tokens that are repeats of an earlier token (0 if empty).
+    *
+    * Distinct-counting runs over xxhash64 of each token, not the strings:
+    * `array_distinct` on primitive longs uses a hash set (O(n)) while the
+    * string path falls back to pairwise comparison (O(n²) per document).
+    * A within-document hash collision (~n²/2^64) would undercount by one —
+    * negligible against the ratio's 9-decimal rounding. */
   def dupTokenRatio(c: Column): Column = {
     val toks = TextOps.tokens(lower(c))
+    val hashed = transform(toks, t => xxhash64(t))
     when(size(toks) === 0, lit(0.0))
-      .otherwise((size(toks) - size(array_distinct(toks))).cast("double") /
+      .otherwise((size(toks) - size(array_distinct(hashed))).cast("double") /
         size(toks))
   }
 
   /** Fraction of word bigrams that are repeats — catches repeated phrases
-    * that token-level dedup misses (boilerplate, chorus lines). */
+    * that token-level dedup misses (boilerplate, chorus lines). Bigram
+    * identity is the xxhash64 of the adjacent-token struct (tokens carry
+    * no whitespace, so the pair is equivalent to the joined string); longs
+    * keep `array_distinct` on its O(n) primitive path. */
   def dupBigramRatio(c: Column): Column = {
-    val grams = wordNgrams(lower(c), 2)
-    when(size(grams) === 0, lit(0.0))
-      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
-        size(grams))
+    val toks = TextOps.tokens(lower(c))
+    val zipped = arrays_zip(toks, slice(toks, lit(2), size(toks)))
+    val hashed = transform(
+      slice(zipped, lit(1), greatest(size(toks) - 1, lit(0))),
+      s => xxhash64(s))
+    when(size(toks) < 2, lit(0.0))
+      .otherwise((size(hashed) - size(array_distinct(hashed))).cast("double") /
+        size(hashed))
   }
 
   /** Length of the longest whitespace token (0 if empty) — flags
@@ -165,6 +198,22 @@ object CorpusOps {
     when(length(c) === 0, lit(0.0))
       .otherwise((length(c) - length(regexp_replace(c, "[0-9]", "")))
         .cast("double") / length(c))
+
+  /** All four repetition metrics via the one-pass native kernel
+    * ([[graft.functions.RepetitionStats]]): one regex split + one scan per
+    * document instead of ~8 interpreted higher-order passes. Output is
+    * identical to the individual Column functions above. */
+  def repetitionFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stats = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.RepetitionStats(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol))))
+    df.select(col(idCol), stats.as("__r"))
+      .select(col(idCol),
+        round(col("__r.dup_token_ratio"), 9).as("dup_token_ratio"),
+        round(col("__r.dup_bigram_ratio"), 9).as("dup_bigram_ratio"),
+        col("__r.max_word_len").as("max_word_len"),
+        round(col("__r.digit_ratio"), 9).as("digit_ratio"))
+  }
 
   // ---- sequence packing / corpus mixing ---------------------------------
 

@@ -101,6 +101,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2) == ((0.0, 0.0, 0, 0.0)))
   }
 
+  test("repetitionFrame kernel == pure-Column metrics on adversarial rows") {
+    val df = Seq(
+      (1L, "the THE cat"), (2L, "a1b22 xy"), (3L, ""), (4L, "  pad  ted  "),
+      (5L, "x y x y x y"), (6L, "one two one two three two one"),
+      (7L, "A" * 40 + " b 12345"), (8L, "solo")).toDF("doc_id", "text")
+    val kernel = CorpusOps.repetitionFrame(df, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val cols = df.select(col("doc_id"),
+        round(CorpusOps.dupTokenRatio(col("text")), 9).as("dup_token_ratio"),
+        round(CorpusOps.dupBigramRatio(col("text")), 9).as("dup_bigram_ratio"),
+        CorpusOps.maxWordLen(col("text")).as("max_word_len"),
+        round(CorpusOps.digitRatio(col("text")), 9).as("digit_ratio"))
+      .orderBy("doc_id").collect().toSeq
+    assert(kernel == cols)
+  }
+
   test("packSequences: concat-then-chunk offsets within one stream") {
     // single bucket -> one stream ordered by doc_id; budget 5
     val df = Seq(
