@@ -648,11 +648,15 @@ object SparkEntry {
       : (DataFrame, DataFrame) = {
     val o = pq(s, dir, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    // edges are checkpointed once so CC and the metrics pass both read the
+    // materialised list instead of re-running the window pipeline (the
+    // reference materialises predictions before clustering/metrics too)
     val edges = o.select(col("o_orderkey"),
         lag("o_orderkey", 1).over(w).as("prev"))
       .filter(col("prev").isNotNull)
       .select(col("prev").as("unique_id_l"),
         col("o_orderkey").as("unique_id_r"))
+      .localCheckpoint(false)
     (edges, ConnectedComponents.run(edges))
   }
 

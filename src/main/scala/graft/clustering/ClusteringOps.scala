@@ -187,8 +187,14 @@ object ClusteringOps {
   def atMultipleThresholds(edges: DataFrame, thresholds: Seq[Double],
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
       probCol: String = "match_probability"): DataFrame = {
+    // materialise the scored edge list ONCE: each threshold's CC solve
+    // re-reads it, and without the checkpoint every solve would re-run the
+    // upstream scoring pipeline (the reference materialises the predict
+    // frame before clustering for the same reason)
+    val e0 = edges.select(col(srcCol), col(dstCol), col(probCol))
+      .localCheckpoint(false)
     thresholds.sorted.map { t =>
-      ConnectedComponents.run(edges.filter(col(probCol) >= t), srcCol, dstCol)
+      ConnectedComponents.run(e0.filter(col(probCol) >= t), srcCol, dstCol)
         .withColumn("threshold", lit(t))
     }.reduce(_.unionByName(_))
   }
@@ -199,8 +205,10 @@ object ClusteringOps {
    */
   def nodeMetrics(clusters: DataFrame, edges: DataFrame,
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r"): DataFrame = {
-    val deg = edges.select(col(srcCol).as("node_id"))
-      .unionByName(edges.select(col(dstCol).as("node_id")))
+    // one explode, not a union of two selects: a union evaluates the edge
+    // plan (often a full predict pipeline) twice
+    val deg = edges
+      .select(explode(array(col(srcCol), col(dstCol))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("degree"))
     val w = Window.partitionBy("cluster_id")
     clusters.join(deg, Seq("node_id"), "left")

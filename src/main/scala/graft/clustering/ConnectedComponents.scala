@@ -53,9 +53,16 @@ object ConnectedComponents {
     // One exchange does both: HashPartitioning(node_id) satisfies the
     // dedupe's clustered distribution (all copies of a pair share node_id),
     // so the distinct runs in-place on the role-partitioned frame.
-    val fwd = edges.select(col(srcCol).as("node_id"), col(dstCol).as("neighbour"))
-    val bwd = edges.select(col(dstCol).as("node_id"), col(srcCol).as("neighbour"))
-    val symmetric = fwd.unionByName(bwd)
+    // Both directions come from ONE explode over a single scan — a
+    // `fwd UNION ALL bwd` plan evaluates the upstream edge plan twice
+    // (Spark does not CSE across union branches), which doubles the cost
+    // of every caller whose edges are an unmaterialised join pipeline
+    // (minhash-LSH candidates, predict output).
+    val symmetric = edges
+      .select(explode(array(
+        struct(col(srcCol).as("node_id"), col(dstCol).as("neighbour")),
+        struct(col(dstCol).as("node_id"), col(srcCol).as("neighbour")))).as("e"))
+      .select(col("e.node_id"), col("e.neighbour"))
       .filter(col("node_id") =!= col("neighbour"))
     var neighbours = graft.operators.Repartition
       .byKeys(symmetric, graft.operators.Repartition.Neighbours, col("node_id"))
