@@ -8,7 +8,7 @@ import graft.model.{LevelLibrary => ll}
 import graft.operators._
 import graft.clustering.{ClusteringOps, ConnectedComponents}
 import graft.evaluation.Evaluation
-import graft.pipeline.{AnnOps, CorpusOps, DedupOps, MultimodalOps, TextOps}
+import graft.pipeline.{AnnOps, CorpusOps, DedupOps, MultimodalOps, TextOps, TimeOps}
 import graft.training.Training
 
 /**
@@ -639,6 +639,52 @@ object SparkEntry {
       s.createDataFrame(Seq((observed, c.count(),
         trained.probabilityTwoRandomRecordsMatch)))
         .toDF("observed_pairs", "n_records", "lambda")
+    }),
+
+    // corpus: SemDeDup-style semantic dedup over the embeddings table —
+    // deterministic seed cells (bottom-8 by portable id hash), within-cell
+    // cosine pairs >= 0.3, transitive closure, canonical keep flag
+    "q_semantic_dedup" -> ((s, dir) => {
+      DedupOps.semanticDedup(pq(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 8, threshold = 0.3)
+    }),
+
+    // similarity search: int8 scalar-quantised top-k — unit-normalise,
+    // quantise to the 127-grid, rank by EXACT integer dot product (the
+    // 4x-memory tier of a quantised-then-rerank retrieval stack)
+    "q_ann_int8" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      AnnOps.int8TopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+
+    // time-series: gap-based sessionization of the events stream (30-min
+    // inactivity closes a session); per-session bounds + integer-safe sums.
+    // ts arrives as nano-epoch longs; both engine and oracle work in
+    // microseconds (DuckDB reads TIMESTAMP_NS parquet at µs precision)
+    "q_sessions" -> ((s, dir) => {
+      val e = pq(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      TimeOps.sessionStats(e, "user_id", "ts_us",
+        gap = 1800L * 1000000L, tieCol = "event_id",
+        valueCol = "value")
+        .withColumnRenamed("start_ts", "start_us")
+        .withColumnRenamed("end_ts", "end_us")
+    }),
+
+    // time-series: as-of join — every click event picks the same user's
+    // most recent purchase at or before it (union-merge shape, one shuffle,
+    // never a range-join blow-up)
+    "q_asof" -> ((s, dir) => {
+      val e = pq(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+        .agg(max("event_id").as("purchase_id"),
+          max(floor(col("value") * 1000000).cast("bigint")).as("purchase_micros"))
+      TimeOps.asofJoin(clicks, purchases, "user_id", "p_user", "ts_us", "p_ts",
+        Seq("purchase_id", "purchase_micros"))
     })
   )
 
@@ -1601,7 +1647,80 @@ object SparkEntry {
          |                 (SELECT count(*) FROM customer) AS n)
          |SELECT observed AS observed_pairs, n AS n_records,
          |  greatest(least(1.0::DOUBLE, (observed::DOUBLE / 0.8::DOUBLE) / ((n::DOUBLE * (n::DOUBLE - 1)) / 2.0::DOUBLE)), 1e-32) AS lambda
-         |FROM stats""".stripMargin
+         |FROM stats""".stripMargin,
+
+    // SemDeDup replay: portable-hash bottom-8 seeds (rank = cell), argmax-
+    // cosine assignment (9dp-rounded, ties to lower cell), within-cell
+    // pairs >= 0.3, recursive min-label closure (same CTE as q_dedup_docs)
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE h AS (SELECT vec_id, embedding,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hh FROM embeddings),
+        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS cell,
+        |    embedding AS sv
+        |  FROM h ORDER BY hh, vec_id LIMIT 8),
+        |assign AS (SELECT v.vec_id, v.embedding,
+        |    (SELECT s.cell FROM seeds s
+        |     ORDER BY round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(s.sv AS DOUBLE[])), 9) DESC, s.cell
+        |     LIMIT 1) AS cell FROM h v),
+        |pairs AS (SELECT l.vec_id AS id_l, r.vec_id AS id_r
+        |  FROM assign l JOIN assign r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 9) >= 0.3),
+        |edges AS (SELECT id_l AS a, id_r AS b FROM pairs UNION ALL SELECT id_r, id_l FROM pairs),
+        |reach(n, m) AS (SELECT vec_id, vec_id FROM embeddings
+        |  UNION SELECT e.a, reach.m FROM edges e JOIN reach ON reach.n = e.b)
+        |SELECT n AS vec_id, min(m) AS canonical_id,
+        |  CAST(CASE WHEN n = min(m) THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM reach GROUP BY n""".stripMargin,
+
+    // int8 quantisation replay: unit-normalise in double, 9dp-round, then
+    // integer round — identical grid to the engine; dot products and ranks
+    // are exact integer math from there on
+    "q_ann_int8" ->
+      """WITH qn AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(round(x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 127.0, 9)) AS INT)) AS qv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, qv FROM qn WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbour_id, qv AS cv FROM qn),
+        |scored AS (SELECT query_id, neighbour_id,
+        |    CAST(round(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))) AS BIGINT) AS dot_i8
+        |  FROM c, q WHERE query_id <> neighbour_id),
+        |ranked AS (SELECT query_id, neighbour_id, dot_i8,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_i8 DESC, neighbour_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbour_id, dot_i8, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // sessionization replay: same (ts, event_id) order, 30-min gap rule,
+    // cumulative session counter, per-session integer-safe aggregates
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+        |m AS (SELECT user_id, event_id, t, value,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |          OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (SELECT user_id, t, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(t) AS start_us, max(t) AS end_us,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // as-of replay: DuckDB's native ASOF LEFT JOIN against the same
+    // (user, ts)-unique purchase frame — checks the union-merge plan's
+    // output, including same-instant inclusivity and no-match nulls
+    "q_asof" ->
+      """WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_ts,
+        |    max(event_id) AS purchase_id,
+        |    max(CAST(floor(value * 1000000) AS BIGINT)) AS purchase_micros
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, p.purchase_id, p.purchase_micros
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.p_user AND c.ts_us >= p.p_ts""".stripMargin
   )
 
   /** Word-token and 3-gram lists of every document (DuckDB): `g(doc_id, gs)`

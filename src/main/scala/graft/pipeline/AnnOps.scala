@@ -153,6 +153,47 @@ object AnnOps {
       .filter(col("rank") <= k)
   }
 
+  /** Unit-normalise then symmetric int8 scalar quantisation:
+    * `q_i = round(127 * x_i / ||x||)`. The scaled value is rounded to 9dp
+    * BEFORE the integer round so the grid is engine-portable (sub-ulp
+    * divergence between float stacks cannot flip a cell). At 100 TB this
+    * is the memory dial: a 64-dim float corpus shrinks 4x, and candidate
+    * scoring becomes exact integer math. */
+  def quantizeInt8(vec: Column): Column = {
+    val norm = sqrt(graft.functions.funcs.dot_product(vec, vec))
+    transform(vec,
+      x => round(round(x / norm * 127.0, 9), 0).cast("int"))
+  }
+
+  /**
+   * Top-k by integer dot product over int8-quantised vectors — the
+   * quantised tier of a two-stage retrieval (follow with an exact re-rank
+   * of the survivors when recall matters; see AnnSpec). Scores are exact
+   * integers (|dot| <= 127²·dim, lossless in any engine), so ranking is
+   * fully deterministic — no float comparison anywhere past quantisation.
+   */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      queryIdCol: String = "vec_id", corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      quantizeInt8(col(vecCol)).as("qq"))
+    val c = ensureMinParallel(
+      corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv")))
+      .select(col("neighbour_id"), quantizeInt8(col("cv")).as("cq"))
+    // int values are exact in the double kernel up to 2^53 — the sum is a
+    // lossless integer for any realistic dim
+    val dot = graft.functions.funcs
+      .dot_product(col("cq").cast("array<double>"), col("qq").cast("array<double>"))
+      .cast("bigint")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"), dot.as("dot_i8"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("dot_i8"), asc("neighbour_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /**
    * Multi-table hyperplane-LSH top-k: `tables` independent signatures of
    * `bits` bits each; a corpus vector is a candidate for a query if ANY

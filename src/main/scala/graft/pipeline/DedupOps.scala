@@ -246,6 +246,70 @@ object DedupOps {
   def cosine(l: Column, r: Column): Column =
     graft.functions.funcs.cosine_sim(l, r)
 
+  /** Deterministic seed centroids: the `k` corpus vectors with the
+    * smallest portable id hash, in hash order (rank = cell index). A
+    * hash-ranked bottom-k is a uniform deterministic sample over the WHOLE
+    * corpus (same shape as the IVF quantizer sample — never `limit(n)`,
+    * which reads one file's rows) that runs as a distributed top-k, and
+    * that any engine with md5 can replay exactly. */
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Double]] =
+    df.select(col(vecCol), TextOps.portableHash(col(idCol)).as("__h"),
+        col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case n: java.lang.Number => n.doubleValue
+      }.toArray)
+
+  /** Cell = index of the highest-cosine seed (9dp-rounded so the argmax is
+    * engine-portable; ties break to the lower cell index). */
+  private def cellByCosine(vec: Column, seeds: Array[Array[Double]]): Column = {
+    val pairs = array(seeds.zipWithIndex.map { case (sv, i) =>
+      struct((-round(cosine(vec, typedLit(sv.toSeq)), 9)).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    array_min(pairs).getField("i")
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (embedding-space near-dup
+   * removal; Abbas et al. 2023, arXiv:2303.09540): partition the embedding
+   * space into cells around deterministic seed centroids, emit within-cell
+   * pairs at cosine >= threshold, close transitively (same CC as every
+   * other dedupe), keep one canonical id (min) per semantic group.
+   *
+   * 100 TB shape: seeds are driver literals folded into one codegen'd
+   * assignment scan; the only shuffle keys on the cell id; pair expansion
+   * is quadratic ONLY within a cell, so `nCells` is the cost dial
+   * (SemDeDup's k in the paper) — size it so corpus/nCells rows fit a
+   * task. Transitive closure is the pointer-jumping CC.
+   *
+   * @return (idCol, canonical_id, keep) — keep = 1 on the retained row
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double): DataFrame = {
+    val seeds = seedCentroids(df, idCol, vecCol, nCells)
+    val base = widened(df, Seq(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"), cellByCosine(col("vec"), seeds).as("cell"))
+    val l = base.alias("l")
+    val r = base.alias("r")
+    // cosine filtered on the ROUNDED value (float math; see embeddingDupPairs)
+    val pairs = l.join(r,
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        round(cosine(col("l.vec"), col("r.vec")), 9).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val cc = graft.clustering.ConnectedComponents.run(pairs, "id_l", "id_r")
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("node_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("canonical_id"))
+      .withColumn("keep",
+        (col(idCol) === col("canonical_id")).cast("int"))
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, within blocking
     * buckets given by `bucket` (pass a constant to brute-force a subset). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -74,6 +74,20 @@ class AnnSpec extends SparkSpec {
       s"hot cell: $natural")
   }
 
+  test("int8 quantised top-k keeps high recall vs exact cosine") {
+    val approx = topkSets(AnnOps.int8TopK(queries, emb, 5))
+    val r = recall(approx)
+    info(f"int8 recall@5: $r%.2f")
+    // unit-normalised 127-grid quantisation perturbs cosines by ~1/127 —
+    // the top-5 set should survive almost everywhere
+    assert(r > 0.9)
+    // quantised values live on the int8 grid
+    val q = emb.select(AnnOps.quantizeInt8(col("embedding")).as("q"))
+      .select(explode(col("q")).as("v"))
+      .agg(min("v"), max("v")).collect()(0)
+    assert(q.getInt(0) >= -127 && q.getInt(1) <= 127)
+  }
+
   test("quantizer accepts array<double> embeddings") {
     val asDouble = emb.withColumn("embedding",
       expr("transform(embedding, x -> cast(x as double))"))

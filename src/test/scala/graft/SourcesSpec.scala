@@ -46,4 +46,23 @@ class SourcesSpec extends SparkSpec {
     assert(expected.nonEmpty)
     assert(scores(fromCsv) == expected)
   }
+
+  test("orc and json round-trips preserve frames byte-for-byte") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", df.columns.map(col): _*))
+        .as[String].collect().toSet
+    val expected = rows(docs)
+
+    val orcDir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    docs.write.mode("overwrite").orc(orcDir)
+    assert(rows(spark.read.orc(orcDir)) == expected)
+
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    docs.write.mode("overwrite").json(jsonDir)
+    // schema passed explicitly — JSON carries no types and schema
+    // inference is a second full scan (wrong default at scale)
+    assert(rows(spark.read.schema(docs.schema).json(jsonDir)) == expected)
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline.{DedupOps, TimeOps}
+
+/** Sessionization and as-of join semantics, checked against hand-counted
+  * fixtures and a naive range-join reference implementation. */
+class TimeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gap strictly greater than the threshold") {
+    // user 1: gaps 10, 100 (== gap keeps), 101 (> gap splits)
+    val e = Seq(
+      (1L, 0L, 1L), (1L, 10L, 2L), (1L, 110L, 3L), (1L, 211L, 4L),
+      (2L, 5L, 5L)).toDF("user_id", "ts", "event_id")
+    val out = TimeOps.sessionize(e, "user_id", "ts", gap = 100L, "event_id")
+      .select("user_id", "ts", "session_seq").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 0L, 1L), (1L, 10L, 1L), (1L, 110L, 1L), (1L, 211L, 2L),
+      (2L, 5L, 1L)))
+  }
+
+  test("sessionize ties on same timestamp break by tie column, one pass") {
+    val e = Seq((1L, 100L, 2L), (1L, 100L, 1L), (1L, 301L, 3L))
+      .toDF("user_id", "ts", "event_id")
+    val stats = TimeOps.sessionStats(e, "user_id", "ts", gap = 200L,
+      "event_id", valueCol = "ts")
+    val rows = stats.orderBy("session_seq")
+      .select("session_seq", "n_events").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("asofJoin equals the naive range-join reference, incl. edge cases") {
+    // right rows: same-instant (40), null payload field (t=20), dup keys
+    val left = Seq((1L, 10L, "a"), (1L, 40L, "b"), (1L, 5L, "c"),
+      (2L, 100L, "d"), (3L, 7L, "e")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 8L, Some(80L)), (1L, 20L, None), (1L, 40L, Some(77L)),
+      (2L, 100L, Some(55L)), (2L, 101L, Some(56L)))
+      .toDF("rk", "rt", "payload")
+    val fast = TimeOps.asofJoin(left, right, "k", "rk", "t", "rt",
+      Seq("payload"))
+      .select("k", "t", "tag", "payload")
+      .as[(Long, Long, String, Option[Long])].collect().toSet
+    // naive reference: max-rt right row with rt <= t per left row
+    val w = Window.partitionBy("k", "t", "tag").orderBy(desc("rt"))
+    val naive = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("k", "t", "tag", "payload")
+      .as[(Long, Long, String, Option[Long])].collect().toSet
+    assert(fast == naive)
+    // spot-checks: same-instant right row included; a right row whose
+    // payload FIELD is null must not resurrect the older value; no-match
+    // rows stay null
+    val byTag = fast.map(r => r._3 -> r._4).toMap
+    assert(byTag("b").contains(77L)) // t=40 sees the same-instant rt=40
+    assert(byTag("a").contains(80L)) // t=10 sees rt=8
+    assert(byTag("c").isEmpty)       // t=5, earliest right is rt=8
+    assert(byTag("e").isEmpty)       // key 3 has no right rows
+    // null payload field: a left row between rt=20 (null) and rt=40 must
+    // see the rt=20 row's null, not resurrect rt=8's 80
+    val mid = TimeOps.asofJoin(Seq((1L, 30L)).toDF("k", "t"), right,
+      "k", "rk", "t", "rt", Seq("payload"))
+      .select("payload").as[Option[Long]].collect()
+    assert(mid.toSeq == Seq(None))
+  }
+
+  test("semanticDedup: nCells=1 equals brute-force transitive closure") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+    val got = DedupOps.semanticDedup(emb, "vec_id", "embedding",
+      nCells = 1, threshold = 0.3)
+      .select("vec_id", "canonical_id").as[(Long, Long)].collect().toMap
+    // brute-force pairs + driver union-find
+    val pairs = DedupOps.embeddingDupPairs(emb, "vec_id", "embedding",
+      lit(0), 0.3).select("id_l", "id_r").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = emb.select("vec_id").as[Long].collect()
+    ids.foreach { id => assert(got(id) == find(id), s"vec $id") }
+    // keep flag is 1 exactly on canonical rows
+    val keeps = DedupOps.semanticDedup(emb, "vec_id", "embedding", 1, 0.3)
+      .filter(col("keep") === 1).select("vec_id").as[Long].collect().toSet
+    assert(keeps == ids.map(find).toSet)
+  }
+
+  test("semanticDedup cells only ever merge subsets of the true closure") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = DedupOps.semanticDedup(emb, "vec_id", "embedding", 8, 0.3)
+      .select("vec_id", "canonical_id").as[(Long, Long)].collect()
+    val brute = DedupOps.semanticDedup(emb, "vec_id", "embedding", 1, 0.3)
+      .select("vec_id", "canonical_id").as[(Long, Long)].collect().toMap
+    // cell partitioning can only DROP cross-cell pairs: every celled group
+    // must sit inside one brute-force group
+    cells.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(g => brute(g._1)).toSet.size == 1)
+    }
+  }
+}
