@@ -20,6 +20,13 @@ case class BandObs(docId: String, band: Int, bandVal: Long,
 case class BandVerdict(docId: String, band: Int, firstInBucket: Boolean)
 /** Streaming state per band bucket. */
 case class BucketState(seen: Boolean)
+/** One event on the sessionization stream. */
+case class SessEvent(entity: Long, eventTime: java.sql.Timestamp, value: Double)
+/** Open-session state per entity (epoch millis bounds). */
+case class SessState(startMs: Long, lastMs: Long, n: Long, sumMicros: Long)
+/** A closed session emitted by the stateful op. */
+case class SessionOut(entity: Long, startMs: Long, endMs: Long,
+    nEvents: Long, sumValueMicros: Long)
 
 object StreamingLink {
 
@@ -112,6 +119,72 @@ object StreamingLink {
             state.setTimeoutTimestamp(
               batch.map(_.eventTime.getTime).max, watermarkDelay)
             verdicts.iterator
+          }
+      }
+  }
+
+  /**
+   * Stateful streaming sessionization — the streaming twin of
+   * [[graft.pipeline.TimeOps.sessionize]]: per entity, an open session
+   * lives in state and closes when the event-time watermark passes
+   * `last event + gap` (or earlier, when a later in-stream event opens the
+   * next session). Emits one [[SessionOut]] row per CLOSED session; state
+   * per entity is one fixed-size record with an event-time timeout —
+   * long-running-stream safe.
+   *
+   * Events are processed in event-time order within each micro-batch;
+   * cross-batch late events within the watermark extend the open session
+   * only at its tail (a late event older than the open session's start is
+   * counted into that session rather than re-opening history — the
+   * standard state-store trade-off, documented rather than hidden).
+   */
+  def sessionizeStream(events: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, gapMs: Long,
+      watermarkDelay: String = "1 hour")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(entityCol).cast("long").as("entity"),
+        col(tsCol).as("eventTime"), col(valueCol).cast("double").as("value"))
+      .as[SessEvent]
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (entity, rows, state: GroupState[SessState]) =>
+          def close(s: SessState) =
+            SessionOut(entity, s.startMs, s.lastMs, s.n, s.sumMicros)
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(close)
+            state.remove()
+            closed.iterator
+          } else {
+            val batch = rows.toSeq.sortBy(_.eventTime.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            batch.foreach { e =>
+              val t = e.eventTime.getTime
+              val micros = math.floor(e.value * 1000000).toLong
+              cur match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  out += close(s)
+                  cur = Some(SessState(t, t, 1, micros))
+                case Some(s) =>
+                  cur = Some(SessState(s.startMs, math.max(s.lastMs, t),
+                    s.n + 1, s.sumMicros + micros))
+                case None =>
+                  cur = Some(SessState(t, t, 1, micros))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.iterator
           }
       }
   }

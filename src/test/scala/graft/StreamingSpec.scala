@@ -108,4 +108,40 @@ class StreamingSpec extends SparkSpec {
     assert(!perDoc("3"))
     assert(perDoc("4"))
   }
+
+  test("stateful streaming sessionization closes sessions on gap + watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val sessions = StreamingLink.sessionizeStream(
+      stream.toDF.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "0 seconds")
+    val query = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then a 2h gap opens a
+    // second session IN the same batch -> first session closes inline
+    stream.addData((1L, ts(10, 0), 1.5), (1L, ts(10, 10), 2.5),
+      (1L, ts(12, 30), 4.0), (2L, ts(10, 0), 9.0))
+    query.processAllAvailable()
+    val inline = spark.table("sess_out").as[(Long, Long, Long, Long, Long)]
+      .collect().toSet
+    // user 1's first session closes INLINE (the 12:30 event is past its
+    // gap); user 2's closes on timeout as the watermark reaches 12:30;
+    // user 1's open 12:30 session must NOT have been emitted yet
+    assert(inline == Set(
+      (1L, ts(10, 0).getTime, ts(10, 10).getTime, 2L, 1500000L + 2500000L),
+      (2L, ts(10, 0).getTime, ts(10, 0).getTime, 1L, 9000000L)))
+    // advancing event time far enough moves the watermark past every open
+    // session's gap horizon -> both remaining sessions close on timeout
+    stream.addData((3L, ts(20, 0), 0.0))
+    query.processAllAvailable()
+    stream.addData((3L, ts(21, 0), 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val all = spark.table("sess_out").as[(Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(all.contains((1L, ts(12, 30).getTime, ts(12, 30).getTime, 1L, 4000000L)))
+    assert(all.contains((2L, ts(10, 0).getTime, ts(10, 0).getTime, 1L, 9000000L)))
+  }
 }
