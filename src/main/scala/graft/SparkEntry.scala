@@ -685,6 +685,28 @@ object SparkEntry {
           max(floor(col("value") * 1000000).cast("bigint")).as("purchase_micros"))
       TimeOps.asofJoin(clicks, purchases, "user_id", "p_user", "ts_us", "p_ts",
         Seq("purchase_id", "purchase_micros"))
+    }),
+
+    // corpus: deterministic train/val/test assignment — portable-hash
+    // ladder, integer thresholds folded in once on the driver
+    "q_splits" -> ((s, dir) => {
+      CorpusOps.assignSplits(pq(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }),
+
+    // §2.12 evaluation: match-weight histogram chart data over the full
+    // predict output (half-unit bins; tiny result no matter the pair count)
+    "q_mw_histogram" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      Evaluation.matchWeightHistogram(linker.predict())
+    }),
+
+    // blocking: sorted-neighbourhood candidates — distributed global rank
+    // by (segment, balance), pairs within 3 positions (Hernández & Stolfo)
+    "q_snm_pairs" -> ((s, dir) => {
+      SortedNeighbourhood.pairs(pq(s, dir, "customer"), "c_custkey",
+        struct(col("c_mktsegment"), col("c_acctbal")), window = 3)
     })
   )
 
@@ -1720,7 +1742,46 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.event_id, c.user_id, c.ts_us, p.purchase_id, p.purchase_micros
         |FROM clicks c ASOF LEFT JOIN p
-        |  ON c.user_id = p.p_user AND c.ts_us >= p.p_ts""".stripMargin
+        |  ON c.user_id = p.p_user AND c.ts_us >= p.p_ts""".stripMargin,
+
+    // split-ladder replay: same md5-prefix hash, same integer thresholds
+    "q_splits" -> {
+      val t1 = (0.8 * 4294967296.0).toLong
+      val t2 = (0.9 * 4294967296.0).toLong
+      s"""SELECT doc_id,
+         |  CASE WHEN h < $t1 THEN 'train'
+         |       WHEN h < $t2 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM documents)""".stripMargin
+    },
+
+    // histogram replay: full predict mw (same CTEs as q_predict), 6dp
+    // rounding, half-unit bins
+    "q_mw_histogram" ->
+      s"""$oraclePairsCte,
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r,
+         |    $oracleGammaName AS g_name,
+         |    $oracleGammaBal AS g_bal
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey),
+         |mw AS (SELECT round($oracleCustomerMw, 6) AS mwr FROM cv)
+         |SELECT CAST(floor(mwr * 2) AS BIGINT) AS bin,
+         |  CAST(floor(mwr * 2) AS DOUBLE) / 2 AS bin_start,
+         |  count(*) AS n_pairs
+         |FROM mw GROUP BY 1, 2""".stripMargin,
+
+    // sorted-neighbourhood replay: one global row_number (fine at sf0.01;
+    // the ENGINE does the two-pass distributed rank instead), rank-window
+    // self-join
+    "q_snm_pairs" ->
+      """WITH ranked AS (SELECT c_custkey AS id,
+        |    row_number() OVER (ORDER BY c_mktsegment, c_acctbal, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT l.id AS id_l, r.id AS id_r, CAST(r.rn - l.rn AS INT) AS rank_distance
+        |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin
   )
 
   /** Word-token and 3-gram lists of every document (DuckDB): `g(doc_id, gs)`

@@ -360,6 +360,23 @@ object Evaluation {
         col("w.bar_sort_order"), col("w.log2_bayes_factor"))
   }
 
+  /** Match-weight histogram chart data (`match_weight_histogram.py` /
+    * `linker.visualisations.match_weights_histogram`): pair counts per
+    * half-unit match-weight bin. The weight is rounded to 6dp first (the
+    * same grid predict emits) so bin edges are engine-portable; the
+    * histogram is one groupBy over |bins| rows — at 100 TB the chart data
+    * stays tiny no matter the pair count. */
+  def matchWeightHistogram(scored: DataFrame, binWidth: Double = 0.5): DataFrame = {
+    val perUnit = math.round(1.0 / binWidth)
+    scored
+      .select(floor(round(col(Cols.MatchWeight), 6) * perUnit)
+        .cast("bigint").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("bin_start", col("bin").cast("double") / perUnit)
+      .select("bin", "bin_start", "n_pairs")
+  }
+
   /** False positives / false negatives at a threshold against a label
     * column (`linker_components/evaluation.py:37-351`). */
   def predictionErrors(scored: DataFrame, labelCol: String,

@@ -265,4 +265,32 @@ object CorpusOps {
     df.filter(TextOps.portableHash(col(idCol)) <
       (rateCol * 4294967296.0).cast("bigint"))
   }
+
+  /**
+   * Deterministic train/val/test split assignment: the portable id hash
+   * lands each row in one bucket of the cumulative fraction ladder. Same
+   * row -> same split on every run, every engine, any partitioning — and
+   * the split is a pure scan (no shuffle, no sample()).
+   *
+   * Thresholds are computed ONCE on the driver and folded in as integer
+   * literals, so external replays compare against the identical integers.
+   *
+   * For leakage-safe splits of near-duplicate corpora, split on the dedup
+   * CANONICAL id (`DedupOps.dedupeByMinhash` / `semanticDedup` output)
+   * instead of the row id: every member of a dup cluster then lands in
+   * the same split (asserted in CorpusOpsSpec).
+   */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.min((c * 4294967296.0).toLong, 4294967296L))
+    val h = TextOps.portableHash(col(idCol))
+    val assigned = splits.init.zip(thresholds.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), thr), acc) => when(h < thr, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.CorpusOps
+import graft.pipeline.{CorpusOps, DedupOps}
 
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -156,5 +156,33 @@ class CorpusOpsSpec extends SparkSpec {
     val again = CorpusOps.weightedSample(df, "doc_id", "grp",
       Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
     assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
+
+  test("assignSplits: exhaustive, deterministic, fractions near-target") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = CorpusOps.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val bySplit = out.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") / total > 0.7 && bySplit("train") / total < 0.9)
+    // repartitioning must not move any row between splits
+    val again = CorpusOps.assignSplits(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.select("doc_id", "split")
+      .except(again.select("doc_id", "split")).count() == 0)
+  }
+
+  test("assignSplits on the dedup canonical id is leakage-safe") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val canon = DedupOps.dedupeByMinhash(docs, "doc_id", "text")
+    val split = CorpusOps.assignSplits(canon, "canonical_id",
+      Seq("train" -> 0.5, "val" -> 0.5))
+    // every member of a near-dup cluster lands in ONE split: a val doc can
+    // never have a train near-duplicate (train/test contamination)
+    val splitsPerCluster = split.groupBy("canonical_id")
+      .agg(countDistinct("split").as("k")).agg(max("k")).collect()(0).getLong(0)
+    assert(splitsPerCluster == 1L)
   }
 }
