@@ -34,6 +34,11 @@ class PlanSpec extends SparkSpec {
     plan.toString
   }
 
+  /** Executed-plan text without AQE's echoed "Initial Plan" section (it
+    * duplicates every node and would double-count exchanges). */
+  def finalPlanString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
   test("TF lookup joins are broadcast hash joins") {
     val tfJoined = TermFrequency.joinAll(people, Seq("city"))
     val s = planString(tfJoined)
@@ -80,5 +85,40 @@ class PlanSpec extends SparkSpec {
     // with the prior); no runtime m/u lookup structures exist
     assert(s.contains("CASE WHEN"))
     assert(!s.toLowerCase.contains("udf"))
+  }
+
+  test("asofJoin plan shuffles exactly once (union-merge, no range join)") {
+    val left = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
+    val right = left.select(col("user_id").as("rk"), col("t").as("rt"),
+      col("event_id").as("payload"))
+    val joined = graft.pipeline.TimeOps.asofJoin(left, right,
+      "user_id", "rk", "t", "rt", Seq("payload"))
+    joined.collect()
+    val s = finalPlanString(joined)
+    val exchanges = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
+  }
+
+  test("assignSplits is a pure scan: zero exchanges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = graft.pipeline.CorpusOps.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+  }
+
+  test("int8 top-k broadcasts the query side; corpus never shuffles before scoring") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.pipeline.AnnOps.int8TopK(
+      emb.filter(col("vec_id") < 5), emb, 3)
+    df.collect()
+    val s = finalPlanString(df)
+    assert(s.contains("BroadcastExchange"), s)
+    // the only hash exchange is the final per-query top-k window
+    val hashExchanges = s.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s)
   }
 }
