@@ -209,4 +209,35 @@ class OpsSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
     assert(hamming(sh(1L), sh(2L)) <= 8)
   }
+
+  test("unicode text (accents, CJK, emoji surrogate pairs) through the kernels") {
+    val base = "Ḏé jà vu — 你好世界 🌍🌍 çafé naïve 日本語テキスト íñtërnâtiônàl"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                              // exact dup
+      (3L, base.replace("naïve", "naive")),    // near dup
+      (4L, "🦄" * 40),                          // surrogate-pair run
+      (5L, "plain ascii text entirely different here"))
+      .toDF("doc_id", "text")
+    // one-pass kernels must not crash, and must be deterministic
+    val stats = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("tok"),
+      DedupOps.simhash(DedupOps.shingles(col("text"), 8)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(stats(1) == stats(2)) // identical text -> identical signature
+    // exact dedup groups 1 and 2 together
+    val exact = DedupOps.exactDedup(docs, "doc_id", "text")
+    assert(exact.count() == 4)
+    // minhash finds the unicode near-dup pair (1,3) or (2,3) and the
+    // exact pair (1,2); jaccard of identical shingle sets is exactly 1
+    val pairs = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+      .select("id_l", "id_r", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+    assert(pairSet.exists(p => p._2 == 3L))
+    assert(!pairSet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }

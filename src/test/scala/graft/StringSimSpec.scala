@@ -60,4 +60,5 @@ class StringSimSpec extends AnyFunSuite {
     assert(Phonetics.soundex("Tymczak") == "T522")
     assert(Phonetics.soundex("Honeyman") == "H555")
   }
+
 }
