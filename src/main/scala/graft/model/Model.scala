@@ -227,6 +227,34 @@ case class Comparison(outputColumnName: String, levels: Seq[ComparisonLevel]) {
   def hasTfLevels: Boolean = levels.exists(_.tfColumn.isDefined)
   def tfColumns: Seq[String] = levels.flatMap(_.tfColumn).distinct
 
+  /** log2 of the effective term frequency at this row's TF level — the
+    * data-dependent half of the TF adjustment (`tfAdjustmentColumn` =
+    * weight * (log2(u_level) - THIS)). NaN when the row is not at a TF
+    * level or both tf values are null. TF-aware EM groups patterns on it
+    * and recombines with the iteration's current u. */
+  def tfTermColumn: Column = {
+    val g = col(gammaColumnName)
+    val tfLevels = activeLevelsWithGamma.filter(_._1.tfColumn.isDefined)
+    if (tfLevels.isEmpty) return lit(Double.NaN)
+    tfLevels.foldLeft(null: Column) { case (acc, (lv, gv)) =>
+      val c = lv.tfColumn.get
+      val tfL = col(Cols.l(Cols.tf(c)))
+      val tfR = col(Cols.r(Cols.tf(c)))
+      val tfVal = greatest(coalesce(tfL, tfR), coalesce(tfR, tfL),
+        lit(lv.tfMinimumUValue))
+      val term = when(coalesce(tfL, tfR).isNull, lit(Double.NaN))
+        .otherwise(log(2.0, tfVal))
+      if (acc == null) when(g === gv, term)
+      else acc.when(g === gv, term)
+    }.otherwise(lit(Double.NaN))
+  }
+
+  /** Per-TF-level adjustment weights keyed by gamma (for TF-aware EM). */
+  def tfWeightsByGamma: Map[Int, Double] =
+    activeLevelsWithGamma.collect {
+      case (lv, g) if lv.tfColumn.isDefined => g -> lv.tfAdjustmentWeight
+    }.toMap
+
   /** Base input columns referenced by any level (suffix stripped). Used for
     * the `_l`/`_r` projection (reference `settings.py:366-378`). */
   def inputColumns: Seq[String] = {

@@ -223,12 +223,33 @@ object Training {
 
   // ------------------------------------------------------------------ EM
 
-  /** One gamma pattern and its pair count. */
-  case class Pattern(gammas: Array[Int], count: Long)
+  /** One gamma pattern and its pair count. `tfTerms(j)` is the j-th active
+    * TF comparison's `log2(effective term frequency)` for this pattern
+    * (NaN when the pattern is not at that comparison's TF level or the
+    * value is null); TF-aware EM groups by (gammas, tf terms) so the
+    * agreement-pattern shrink survives — cardinality is bounded by the TF
+    * column's vocabulary, never the pair count (the reference's
+    * `estimate_without_term_frequencies=False` default re-predicts every
+    * PAIR per iteration instead, `expectation_maximisation.py:49-63`).
+    * The E-step recombines each term with the CURRENT u of its level, so
+    * free-u runs stay faithful to the reference's per-iteration re-predict. */
+  case class Pattern(gammas: Array[Int], count: Long,
+      tfTerms: Array[Double] = Array.empty)
+
+  /** Driver-side constants of one active TF comparison inside EM: its
+    * index in the active array and adjustment weight per TF-level gamma.
+    * The j-th spec pairs with `Pattern.tfTerms(j)`. */
+  case class TfSpec(activeIdx: Int, weightByGamma: Map[Int, Double])
 
   /** Converged driver-side EM state. */
   case class EMCore(m: Array[Map[Int, Double]], u: Array[Map[Int, Double]],
-      lambda: Double, iterations: Int, converged: Boolean, history: Seq[Double])
+      lambda: Double, iterations: Int, converged: Boolean, history: Seq[Double],
+      // per-iteration trajectories, index 0 = initial values — the same
+      // records the reference keeps (`em_training_session.py`
+      // `_lambda_history_records` / `_iteration_history_records`) and
+      // asserts against splink2's published traces
+      lambdaHistory: Seq[Double] = Nil,
+      mHistory: Seq[Array[Map[Int, Double]]] = Nil)
 
   /**
    * The EM fixed-point iteration over agreement patterns (pure driver math;
@@ -240,12 +261,15 @@ object Training {
    */
   def emCore(patterns: Seq[Pattern], mInit: Array[Map[Int, Double]],
       uInit: Array[Map[Int, Double]], lambdaInit: Double, fixU: Boolean,
-      maxIterations: Int, tolerance: Double): EMCore = {
+      maxIterations: Int, tolerance: Double,
+      tfSpecs: Seq[TfSpec] = Nil): EMCore = {
     val nComp = mInit.length
     var m = mInit
     var u = uInit
     var lambda = lambdaInit
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val lambdaHistory = scala.collection.mutable.ArrayBuffer(lambdaInit)
+    val mHistory = scala.collection.mutable.ArrayBuffer(mInit)
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
@@ -261,6 +285,24 @@ object Training {
             pu *= math.max(u(i).getOrElse(g, Model.UnobservedSentinel), Model.ProbFloor)
           }
           i += 1
+        }
+        // TF adjustment multiplies the match odds, recomputed from the
+        // CURRENT u of the level (reference re-predicts per iteration):
+        // adj = w * (log2(u_level) - log2(tf_effective))
+        var j = 0
+        while (j < tfSpecs.size) {
+          val spec = tfSpecs(j)
+          val g = p.gammas(spec.activeIdx)
+          if (j < p.tfTerms.length && !p.tfTerms(j).isNaN &&
+              spec.weightByGamma.contains(g)) {
+            val uCur = math.max(
+              u(spec.activeIdx).getOrElse(g, Model.UnobservedSentinel),
+              Model.ProbFloor)
+            val adj = spec.weightByGamma(g) *
+              (math.log(uCur) / math.log(2.0) - p.tfTerms(j))
+            pm *= math.pow(2.0, adj)
+          }
+          j += 1
         }
         (p, pm / (pm + pu))
       }
@@ -292,9 +334,12 @@ object Training {
       val maxDelta = deltas.max
       history += maxDelta
       m = newM; u = newU; lambda = newLambda
+      lambdaHistory += lambda
+      mHistory += m
       if (maxDelta < tolerance) converged = true
     }
-    EMCore(m, u, lambda, iter, converged, history.toSeq)
+    EMCore(m, u, lambda, iter, converged, history.toSeq,
+      lambdaHistory.toSeq, mHistory.toSeq)
   }
 
   /** Result of one EM training session.
@@ -305,7 +350,12 @@ object Training {
   case class EMResult(settings: LinkSettings, iterations: Int,
       converged: Boolean, history: Seq[Double],
       trainedLambda: Double, trainedLambdaGlobal: Double,
-      deactivated: Seq[String])
+      deactivated: Seq[String],
+      // session trajectories (index 0 = initial): λ per iteration, m per
+      // (active comparison, gamma) per iteration, active comparison names
+      lambdaHistory: Seq[Double] = Nil,
+      mHistory: Seq[Array[Map[Int, Double]]] = Nil,
+      activeComparisons: Seq[String] = Nil)
 
   private def prob2odds(p: Double): Double = {
     val c = math.min(math.max(p, 1e-12), 1 - 1e-12)
@@ -331,7 +381,8 @@ object Training {
   def expectationMaximisation(inputs: Seq[(String, DataFrame)],
       settings: LinkSettings, trainingRule: BlockingRule,
       fixU: Boolean = true, maxIterations: Int = 25,
-      tolerance: Double = 1e-4, maxPairs: Option[Long] = None): EMResult = {
+      tolerance: Double = 1e-4, maxPairs: Option[Long] = None,
+      withTermFrequencies: Boolean = false): EMResult = {
     val concatFull = VerticalConcat(inputs, settings)
     // pair-cap sampling (`em_sampling.py:64-236`): probe a record fraction
     // q, estimate total pairs p_hat = count/q^2; when above the cap keep
@@ -359,13 +410,28 @@ object Training {
     val cv = ComparisonVectors.compute(pairs,
       TermFrequency.joinAll(concat, settings.tfColumns), emSettings)
 
-    // agreement-pattern shrink: |pairs| rows -> |patterns| rows
+    // agreement-pattern shrink: |pairs| rows -> |patterns| rows. With term
+    // frequencies (reference default) the key extends by each TF
+    // comparison's log2(tf) term, so patterns stay a groupBy shrink
+    // (cardinality bounded by TF vocabulary) and the E-step can recombine
+    // the term with the iteration's current u — never a per-pair pull.
     val gammaCols = active.map(_.gammaColumnName)
-    val patternRows = cv.groupBy(gammaCols.map(col): _*)
+    val tfComparisons =
+      if (withTermFrequencies)
+        active.zipWithIndex.filter(_._1.hasTfLevels)
+      else Nil
+    val tfSpecs = tfComparisons.map { case (c, i) =>
+      TfSpec(i, c.tfWeightsByGamma) }
+    val keyCols = gammaCols.map(col) ++
+      tfComparisons.zipWithIndex.map { case ((c, _), j) =>
+        c.tfTermColumn.as(s"__tft$j") }
+    val patternRows = cv.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n")).collect()
     val patterns = patternRows.map { r =>
       Pattern(gammaCols.indices.map(i => r.getInt(i)).toArray,
-        r.getLong(gammaCols.size))
+        r.getLong(keyCols.size),
+        tfComparisons.indices.map(j =>
+          r.getDouble(gammaCols.size + j)).toArray)
     }
 
     // driver-side parameter tables
@@ -384,7 +450,7 @@ object Training {
       odds2prob(prob2odds(settings.probabilityTwoRandomRecordsMatch) * blockingBf),
       1e-8), 1 - 1e-8)
     val core = emCore(patterns.toSeq, mInit, uInit, lambdaInit, fixU,
-      maxIterations, tolerance)
+      maxIterations, tolerance, tfSpecs)
     val (m, u, lambda) = (core.m, core.u, core.lambda)
     val (iter, converged, history) = (core.iterations, core.converged, core.history)
 
@@ -420,6 +486,7 @@ object Training {
     }
     val lambdaGlobal = odds2prob(prob2odds(lambda) / blockingBf)
     EMResult(settings.copy(comparisons = trainedComparisons), iter, converged,
-      history.toSeq, lambda, lambdaGlobal, deactivated.map(_.outputColumnName))
+      history.toSeq, lambda, lambdaGlobal, deactivated.map(_.outputColumnName),
+      core.lambdaHistory, core.mHistory, active.map(_.outputColumnName))
   }
 }
