@@ -82,6 +82,48 @@ class SplinkParitySpec extends SparkSpec {
       r.mHistory.map(_(fn)(1)), "m[first_name lev<=2] fixed-u")
   }
 
+  test("EM recovers the known generating parameters from the reference's " +
+      "precomputed comparison vectors (test_correctness_of_convergence.py)") {
+    // tests/datasets/known_params_comparison_vectors.csv was generated from
+    // a KNOWN Fellegi-Sunter model (λ=0.5; col_1 m=[.3,.7] u=[.9,.1];
+    // col_2 m=[.1,.9] u=[.975,.025]; col_3 m=[.05,.95] u=[.8,.2]) — free
+    // EM from a generic init must converge back to it (the reference
+    // asserts λ and m to 1%, and per-pattern probabilities to rel 1%)
+    val cv = spark.read.option("header", "true")
+      .schema("gamma_col_1 INT, gamma_col_2 INT, gamma_col_3 INT, " +
+        "true_match_l INT, true_match_r INT, unique_id_l STRING, " +
+        "unique_id_r STRING, true_match_probability_l DOUBLE, " +
+        "true_match_probability_r DOUBLE, match_key STRING")
+      .csv(s"$ds/known_params_comparison_vectors.csv")
+    val rows = cv.groupBy("gamma_col_1", "gamma_col_2", "gamma_col_3")
+      .agg(count(lit(1)).as("n"), first("true_match_probability_l").as("p"))
+      .collect()
+    val patterns = rows.map(r => Training.Pattern(
+      Array(r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    val init = Array.fill(3)(Map(0 -> 0.4, 1 -> 0.6))
+    val uInitArr = Array.fill(3)(Map(0 -> 0.6, 1 -> 0.4))
+    val core = Training.emCore(patterns.toIndexedSeq, init, uInitArr,
+      lambdaInit = 0.1, fixU = false, maxIterations = 200, tolerance = 1e-5)
+    assert(core.converged)
+    assert(math.abs(core.lambda - 0.5) < 0.005, s"λ ${core.lambda}")
+    assert(math.abs(core.m(0)(1) - 0.7) < 0.01, s"m1 ${core.m(0)(1)}")
+    assert(math.abs(core.m(1)(1) - 0.9) < 0.01)
+    assert(math.abs(core.m(2)(1) - 0.95) < 0.01)
+    assert(math.abs(core.u(0)(1) - 0.1) < 0.01)
+    assert(math.abs(core.u(1)(1) - 0.025) < 0.01)
+    assert(math.abs(core.u(2)(1) - 0.2) < 0.01)
+    // converged model reproduces each pattern's TRUE match probability
+    rows.foreach { r =>
+      val gammas = Seq(r.getInt(0), r.getInt(1), r.getInt(2))
+      var pm = core.lambda; var pu = 1 - core.lambda
+      gammas.zipWithIndex.foreach { case (g, i) =>
+        pm *= core.m(i)(g); pu *= core.u(i)(g) }
+      val p = pm / (pm + pu)
+      assert(math.abs(p - r.getDouble(4)) <= 0.01 * r.getDouble(4),
+        s"pattern $gammas: $p vs ${r.getDouble(4)}")
+    }
+  }
+
   test("EM free-u blocked on surname reproduces splink2's λ and m paths") {
     val r = Training.expectationMaximisation(
       Seq("fake_1000" -> fake1000), settings, BlockingRule.blockOn("surname"),
