@@ -124,6 +124,44 @@ class SplinkParitySpec extends SparkSpec {
     }
   }
 
+  test("full workflow on fake_1000 recovers the ground-truth clusters") {
+    // the complete user journey on the reference's primary fixture:
+    // estimate u -> EM (m) under two blocking rules -> predict -> cluster,
+    // then score pairwise against the ground-truth `cluster` column
+    val trainedU = Training.estimateU(
+      Seq("fake_1000" -> fake1000), settings, maxPairs = 400000L)
+    val em1 = Training.expectationMaximisation(
+      Seq("fake_1000" -> fake1000), trainedU,
+      BlockingRule.blockOn("surname"), fixU = true)
+    val em2 = Training.expectationMaximisation(
+      Seq("fake_1000" -> fake1000), em1.settings,
+      BlockingRule.blockOn("dob"), fixU = true)
+    // predict under BOTH blocking rules so candidate recall isn't capped
+    // by surname typos alone
+    val predictSettings = em2.settings.copy(blockingRules = Seq(
+      BlockingRule.blockOn("surname"), BlockingRule.blockOn("dob")))
+    val linker = new Linker(fake1000, predictSettings)
+    val clusters = linker
+      .clusterPairwisePredictionsAtThreshold(linker.predict(), 0.9)
+      .select(col("unique_id").cast("long").as("uid"), col("cluster_id"))
+    val truth = fake1000.select(col("unique_id").as("uid"), col("cluster"))
+    val joined = clusters.join(truth, Seq("uid"))
+    // pairwise precision/recall via same-cluster pair counts:
+    // n*(n-1)/2 within predicted, within true, and within both
+    def pairCount(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Long =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("CAST(n * (n - 1) / 2 AS BIGINT)"))).collect()(0).getLong(0)
+    val predictedPairs = pairCount(joined, Seq("cluster_id"))
+    val truePairs = pairCount(joined, Seq("cluster"))
+    val bothPairs = pairCount(joined, Seq("cluster_id", "cluster"))
+    val precision = bothPairs.toDouble / predictedPairs
+    val recall = bothPairs.toDouble / truePairs
+    info(f"pairwise precision $precision%.3f recall $recall%.3f " +
+      f"($bothPairs/$predictedPairs/$truePairs)")
+    assert(precision > 0.95, s"precision $precision")
+    assert(recall > 0.5, s"recall $recall")
+  }
+
   test("EM free-u blocked on surname reproduces splink2's λ and m paths") {
     val r = Training.expectationMaximisation(
       Seq("fake_1000" -> fake1000), settings, BlockingRule.blockOn("surname"),
