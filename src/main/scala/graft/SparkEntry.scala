@@ -707,6 +707,15 @@ object SparkEntry {
     "q_snm_pairs" -> ((s, dir) => {
       SortedNeighbourhood.pairs(pq(s, dir, "customer"), "c_custkey",
         struct(col("c_mktsegment"), col("c_acctbal")), window = 3)
+    }),
+
+    // corpus: model-based quality filter — linear classifier over the
+    // one-pass text features, fixed term order, keep = raw score >= 0
+    "q_quality_classify" -> ((s, dir) => {
+      TextOps.qualityClassify(pq(s, dir, "documents"), "doc_id", "text",
+        Map("n_tokens" -> 0.01, "n_chars" -> -0.001,
+          "punct_ratio" -> -2.0, "stopword_ratio" -> 3.0),
+        bias = -0.25, threshold = 0.0)
     })
   )
 
@@ -1781,7 +1790,30 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY c_mktsegment, c_acctbal, c_custkey) AS rn
         |  FROM customer)
         |SELECT l.id AS id_l, r.id AS id_r, CAST(r.rn - l.rn AS INT) AS rank_distance
-        |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin
+        |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin,
+
+    // quality-classifier replay: same 9dp-rounded features, same fixed
+    // term order; keep thresholds the UNROUNDED score like the engine
+    "q_quality_classify" ->
+      """WITH f AS (SELECT doc_id,
+        |    (CASE WHEN trim(text) = '' THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens,
+        |    len(text) AS n_chars,
+        |    round(CASE WHEN len(text) = 0 THEN 0.0
+        |      ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |           / len(text) END, 9) AS punct_ratio,
+        |    round(CASE WHEN trim(text) = '' THEN 0.0
+        |      ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |             t -> list_contains(['the','a','an','of','to','and','in','is','it','that','or'], t))) AS DOUBLE)
+        |           / len(regexp_split_to_array(trim(lower(text)), '\s+')) END, 9) AS stopword_ratio
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |    (-0.25)::DOUBLE + n_tokens * (0.01)::DOUBLE + n_chars * (-0.001)::DOUBLE
+        |      + punct_ratio * (-2.0)::DOUBLE + stopword_ratio * (3.0)::DOUBLE AS zv
+        |  FROM f)
+        |SELECT doc_id, round(zv, 9) AS score,
+        |  CAST(CASE WHEN zv >= 0.0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM z""".stripMargin
   )
 
   /** Word-token and 3-gram lists of every document (DuckDB): `g(doc_id, gs)`

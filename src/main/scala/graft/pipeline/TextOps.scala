@@ -101,6 +101,30 @@ object TextOps {
     "lang_guess" -> langGuess(c),
     "fingerprint" -> fingerprint(c))
 
+  /** Model-based quality filtering — the classifier stage of a pretraining
+    * pipeline (a linear stand-in for the usual fastText/logreg scorer;
+    * weights come from the caller, e.g. distilled offline from labels).
+    * The score is a linear form over the 9dp-rounded one-pass features in
+    * a FIXED term order, so any engine reproduces the decision
+    * bit-for-bit; `keep` thresholds the raw score (logistic is monotone,
+    * so thresholding the linear score is thresholding the probability).
+    * One codegen'd scan, no shuffle — the right shape for a 100 TB corpus.
+    *
+    * @param weights per-feature weights over
+    *                n_tokens / n_chars / punct_ratio / stopword_ratio
+    */
+  def qualityClassify(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: Map[String, Double], bias: Double,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val feats = metricsFrame(df, textCol, Seq(idCol))
+    val order = Seq("n_tokens", "n_chars", "punct_ratio", "stopword_ratio")
+    val score = order.foldLeft(lit(bias)) { (acc, f) =>
+      acc + col(f) * lit(weights.getOrElse(f, 0.0)) }
+    feats.select(col(idCol), score.as("__z"))
+      .select(col(idCol), round(col("__z"), 9).as("score"),
+        (col("__z") >= threshold).cast("int").as("keep"))
+  }
+
   /** All seven metrics via the one-pass native kernel
     * ([[graft.functions.TextStats]]): the pure-Column formulation leans on
     * higher-order functions, which Spark evaluates interpreted — at 100TB
