@@ -360,6 +360,30 @@ object Evaluation {
         col("w.bar_sort_order"), col("w.log2_bayes_factor"))
   }
 
+  /** Match-weights chart data (`match_weights_chart` /
+    * `parameter_estimate_comparisons_chart`): one row per (comparison,
+    * level) with the live m/u/match-weight, PLUS one row per recorded
+    * training session so users can compare estimates across sessions —
+    * driver-side model state surfaced as a frame. */
+  def parameterEstimateChartData(settings: LinkSettings,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = settings.comparisons.flatMap { c =>
+      c.activeLevelsWithGamma.flatMap { case (lv, g) =>
+        val live = (c.outputColumnName, g, lv.label, "live",
+          lv.m.getOrElse(Double.NaN), lv.u.getOrElse(Double.NaN),
+          lv.matchWeight)
+        val sessions = lv.trainedM.map { tv =>
+          (c.outputColumnName, g, lv.label, tv.description,
+            tv.probability, lv.u.getOrElse(Double.NaN), Double.NaN)
+        }
+        live +: sessions
+      }
+    }
+    rows.toDF("comparison", "gamma", "label", "estimate_source",
+      "m", "u", "match_weight")
+  }
+
   /** Match-weight histogram chart data (`match_weight_histogram.py` /
     * `linker.visualisations.match_weights_histogram`): pair counts per
     * half-unit match-weight bin. The weight is rounded to 6dp first (the

@@ -122,4 +122,20 @@ class Eval2Spec extends SparkSpec {
     assert(got(2L) == ((1L, 5L, 5.0 / 7)))
     assert(got(1L) == ((2L, 7L, 1.0)))
   }
+  test("parameterEstimateChartData: live row per level + one per session") {
+    val lv = ll.exactMatch("x").withM(0.8).withU(0.05)
+      .addTrainedM(0.75, "EM, blocked on a")
+      .addTrainedM(0.85, "EM, blocked on b")
+    val s = LinkSettings(comparisons = Seq(Comparison("x", Seq(
+      ll.nullLevel("x"), lv, ll.elseLevel.withM(0.2).withU(0.95)))))
+    val chart = Evaluation.parameterEstimateChartData(s, spark)
+    val exact = chart.filter(col("gamma") === 1).collect()
+    assert(exact.count(_.getAs[String]("estimate_source") == "live") == 1)
+    val sessions = exact.filter(_.getAs[String]("estimate_source") != "live")
+    assert(sessions.map(_.getAs[Double]("m")).sorted.toSeq == Seq(0.75, 0.85))
+    // live match weight is log2(m/u)
+    val liveRow = exact.find(_.getAs[String]("estimate_source") == "live").get
+    assert(math.abs(liveRow.getAs[Double]("match_weight")
+      - math.log(0.8 / 0.05) / math.log(2.0)) < 1e-12)
+  }
 }
