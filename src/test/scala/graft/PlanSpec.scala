@@ -109,6 +109,24 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s)
   }
 
+  test("bucketed tables join with zero shuffle (co-located join)") {
+    // the bucketing path for repeatedly re-joined corpora: pay the
+    // exchange once at write time, then every equi-join on the bucket key
+    // is exchange-free — THE pattern for a 100 TB corpus joined every run
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    c.write.mode("overwrite").bucketBy(4, "c_custkey")
+      .sortBy("c_custkey").option("path", s"$wh/cust_bucketed")
+      .saveAsTable("cust_bucketed")
+    val t = spark.table("cust_bucketed")
+    val joined = t.alias("a").join(t.alias("b"), Seq("c_custkey"))
+      .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val s = finalPlanString(joined)
+    assert(!s.contains("Exchange hashpartitioning"), s)
+    spark.sql("DROP TABLE cust_bucketed")
+  }
+
   test("int8 top-k broadcasts the query side; corpus never shuffles before scoring") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = graft.pipeline.AnnOps.int8TopK(
