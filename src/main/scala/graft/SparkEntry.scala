@@ -709,6 +709,16 @@ object SparkEntry {
         struct(col("c_mktsegment"), col("c_acctbal")), window = 3)
     }),
 
+    // §2.12 ROC AUC scalar over the same truth space as q_truth_space
+    "q_auc" -> ((s, dir) => {
+      val settings = customerSettings.copy(
+        additionalColumnsToRetain = Seq("c_mktsegment"))
+      val linker = new Linker(customers(s, dir), settings)
+      val scored = Evaluation.withClericalFromLabelColumn(
+        linker.predict(), "c_mktsegment")
+      Evaluation.aucFromTruthSpace(Evaluation.truthSpaceTable(scored))
+    }),
+
     // corpus: model-based quality filter — linear classifier over the
     // one-pass text features, fixed term order, keep = raw score >= 0
     "q_quality_classify" -> ((s, dir) => {
@@ -1791,6 +1801,38 @@ object SparkEntry {
         |  FROM customer)
         |SELECT l.id AS id_l, r.id AS id_r, CAST(r.rn - l.rn AS INT) AS rank_distance
         |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin,
+
+    // AUC replay: same truth-space CTEs as q_truth_space, then the
+    // trapezoid over (FPR, TPR) ordered by descending threshold
+    "q_auc" ->
+      s"""$oraclePairsCte,
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r,
+         |    $oracleGammaName AS g_name, $oracleGammaBal AS g_bal,
+         |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS pos
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey),
+         |mw AS (
+         |  SELECT round($oracleCustomerMw, 6) AS truth_threshold, pos
+         |  FROM cv),
+         |tot AS (SELECT sum(pos) AS total_p, sum(1 - pos) AS total_n FROM mw),
+         |cum AS (SELECT truth_threshold,
+         |          sum(sum(pos)) OVER (ORDER BY truth_threshold DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |          sum(sum(1 - pos)) OVER (ORDER BY truth_threshold DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+         |        FROM mw GROUP BY truth_threshold),
+         |pts AS (SELECT truth_threshold,
+         |          CASE WHEN (SELECT total_n FROM tot) > 0
+         |               THEN fp::DOUBLE / (SELECT total_n FROM tot) ELSE 0.0 END AS fpr,
+         |          CASE WHEN (SELECT total_p FROM tot) > 0
+         |               THEN tp::DOUBLE / (SELECT total_p FROM tot) ELSE 0.0 END AS tpr
+         |        FROM cum),
+         |seg AS (SELECT (fpr - coalesce(lag(fpr) OVER (ORDER BY truth_threshold DESC), 0.0))
+         |          * (tpr + coalesce(lag(tpr) OVER (ORDER BY truth_threshold DESC), 0.0)) / 2 AS s
+         |        FROM pts)
+         |SELECT round(sum(s), 9) AS auc FROM seg""".stripMargin,
 
     // quality-classifier replay: same 9dp-rounded features, same fixed
     // term order; keep thresholds the UNROUNDED score like the engine

@@ -58,6 +58,27 @@ object Evaluation {
         "precision", "recall", "specificity", "f1")
   }
 
+  /** ROC AUC from a [[truthSpaceTable]] frame: trapezoidal area over the
+    * (FPR, TPR) curve traced by descending thresholds (the summary scalar
+    * of the reference's roc_chart). The window and sum run over the
+    * per-threshold aggregate — |distinct scores| rows, never the pairs. */
+  def aucFromTruthSpace(truthSpace: DataFrame): DataFrame = {
+    val pts = truthSpace.select(
+      col("truth_threshold"),
+      when(col("fp") + col("tn") > 0,
+        col("fp").cast("double") / (col("fp") + col("tn")))
+        .otherwise(0.0).as("fpr"),
+      when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")))
+        .otherwise(0.0).as("tpr"))
+    val w = Window.orderBy(desc("truth_threshold"))
+    pts
+      .withColumn("seg",
+        (col("fpr") - coalesce(lag("fpr", 1).over(w), lit(0.0))) *
+        (col("tpr") + coalesce(lag("tpr", 1).over(w), lit(0.0))) / 2)
+      .agg(round(sum("seg"), 9).as("auc"))
+  }
+
   /** Label pairs from a ground-truth label column: clerical_match = 1 iff
     * both sides share the label (`accuracy.py` labels_column path). */
   def withClericalFromLabelColumn(scored: DataFrame, labelCol: String): DataFrame =
