@@ -134,33 +134,37 @@ object DedupOps {
     // one giant quadratic bucket; shingles keep signatures diverse.
     // Signature is a single-pass native expression (shingle + hash + k
     // min-slots in one scan of the text).
-    // carry SORTED HASHED shingles (longs) into the join, not strings:
-    // smaller shuffle rows and a linear-merge set-intersection at verify
-    // time (native expression); jaccard over 64-bit hashes equals true
-    // jaccard up to ~1e-19 collision probability
+    // Shingle sets travel as SORTED HASHED longs, not strings (smaller
+    // rows, linear-merge intersection; jaccard over 64-bit hashes equals
+    // true jaccard up to ~1e-19 collision probability).
+    // One checkpointed scan feeds both phases — the banded frame carries
+    // ONLY scalars (id, band, hash), never the shingle arrays: exploding
+    // the arrays x(bands) through the bucket shuffle would move 8x the
+    // bytes of the whole corpus. Candidates dedupe as scalar pairs, then
+    // two id-keyed joins fetch the shingle sets once for verification.
     val raw = widened(df, Seq(col(idCol).as("id"), col(textCol).as("__text")))
     val base = raw.select(col("id"),
         sort_array(array_distinct(transform(shingles(col("__text"), shingleQ),
           t => xxhash64(t)))).as("toks"),
         graft.functions.funcs.minhash_sig(col("__text"), shingleQ, k).as("sig"))
       .filter(size(col("toks")) > 0)
+      .localCheckpoint(false)
     val banded = base
-      .select(col("id"), col("toks"),
-        explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
-      .select(col("id"), col("toks"), col("b.band"), col("b.band_hash"))
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    // jaccard verified inline, THEN distinct over scalar rows only — never
-    // shuffle the token arrays through a distinct.
-    val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
-    l.join(r,
+      .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band"), col("b.band_hash"))
+    val cands = banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.id") < col("r.id"))
-      .filter(jac >= threshold) // unrounded filter, rounded projection
-      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
-        round(jac, 9).as("jaccard"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
       .distinct()
+    val toks = base.select(col("id"), col("toks"))
+    val jac = graft.functions.funcs
+      .jaccard_sorted_longs(col("lt.toks"), col("rt.toks"))
+    cands.join(toks.alias("lt"), col("id_l") === col("lt.id"))
+      .join(toks.alias("rt"), col("id_r") === col("rt.id"))
+      .filter(jac >= threshold) // unrounded filter, rounded projection
+      .select(col("id_l"), col("id_r"), round(jac, 9).as("jaccard"))
   }
 
   /**
