@@ -103,12 +103,17 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     }
 
     /** m (and optionally u) via EM over a training blocking rule
-      * (`expectation_maximisation.py:225-311`). */
+      * (`expectation_maximisation.py:225-311`). `withTermFrequencies`
+      * mirrors the reference's `estimate_without_term_frequencies=False`
+      * default: the E-step includes per-pattern TF adjustments recombined
+      * with the iteration's current u. */
     def estimateParametersUsingExpectationMaximisation(
-        trainingRule: BlockingRule, fixU: Boolean = true)
+        trainingRule: BlockingRule, fixU: Boolean = true,
+        withTermFrequencies: Boolean = false)
         : Training.EMResult = {
       val result = Training.expectationMaximisation(inputs, settings,
-        trainingRule, fixU, settings.maxIterations, settings.emConvergence)
+        trainingRule, fixU, settings.maxIterations, settings.emConvergence,
+        withTermFrequencies = withTermFrequencies)
       settings = result.settings
       result
     }
