@@ -258,7 +258,8 @@ object DedupOps {
     * that any engine with md5 can replay exactly. */
   def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Array[Array[Double]] =
-    df.select(col(vecCol), TextOps.portableHash(col(idCol)).as("__h"),
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(vecCol), TextOps.portableHash(col(idCol)).as("__h"),
         col(idCol).as("__id"))
       .orderBy(col("__h"), col("__id")).limit(k)
       .select(col(vecCol)).collect()
@@ -295,7 +296,10 @@ object DedupOps {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double): DataFrame = {
     val seeds = seedCentroids(df, idCol, vecCol, nCells)
+    // null/empty vectors can't be assigned a cell — they fall out of the
+    // pair stage and come back as their own singleton via the final join
     val base = widened(df, Seq(col(idCol).as("id"), col(vecCol).as("vec")))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
       .select(col("id"), col("vec"), cellByCosine(col("vec"), seeds).as("cell"))
     val l = base.alias("l")
     val r = base.alias("r")

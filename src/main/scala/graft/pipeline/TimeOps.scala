@@ -70,10 +70,16 @@ object TimeOps {
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct(rightCols.map(col): _*)
-    val rSide = right.select(
-      (col(rightKey).as("__k") +: col(rightTime).as("__t") +:
-        lit(0).as("__side") +: payload.as("__rv") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // SQL-join null semantics: a null key or time never matches. The
+    // window would otherwise group null keys into one partition and sort
+    // null times first — right rows with null key/time are dropped, left
+    // rows with null key/time pass through unmatched.
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (col(rightKey).as("__k") +: col(rightTime).as("__t") +:
+          lit(0).as("__side") +: payload.as("__rv") +:
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val lSide = left.select(
       (col(leftKey).as("__k") +: col(leftTime).as("__t") +:
         lit(1).as("__side") +:
@@ -82,7 +88,9 @@ object TimeOps {
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rSide.unionByName(lSide)
-      .withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__carried",
+        when(col("__k").isNotNull && col("__t").isNotNull,
+          last(col("__rv"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightCols.map(c => col("__carried").getField(c).as(c)): _*)

@@ -67,6 +67,16 @@ class TimeOpsSpec extends SparkSpec {
       "k", "rk", "t", "rt", Seq("payload"))
       .select("payload").as[Option[Long]].collect()
     assert(mid.toSeq == Seq(None))
+    // SQL null semantics: null keys/times never match — a null-key left
+    // row stays unmatched even when a null-key right row exists
+    val nullish = TimeOps.asofJoin(
+      Seq((Option.empty[Long], Option(30L), "nk"),
+        (Option(1L), Option.empty[Long], "nt")).toDF("k", "t", "tag"),
+      right.unionByName(Seq((Option.empty[Long], Option(5L), Option(99L)))
+        .toDF("rk", "rt", "payload")),
+      "k", "rk", "t", "rt", Seq("payload"))
+      .select("tag", "payload").as[(String, Option[Long])].collect().toMap
+    assert(nullish("nk").isEmpty && nullish("nt").isEmpty)
   }
 
   test("semanticDedup: nCells=1 equals brute-force transitive closure") {
