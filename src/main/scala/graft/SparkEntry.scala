@@ -709,6 +709,15 @@ object SparkEntry {
         struct(col("c_mktsegment"), col("c_acctbal")), window = 3)
     }),
 
+    // corpus: incremental near-dup detection — the doc_id % 20 == 0 batch
+    // plays a new ingestion batch scored against the rest of the corpus
+    "q_near_dups" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      DedupOps.minhashNearDuplicates(
+        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
     // §2.12 ROC AUC scalar over the same truth space as q_truth_space
     "q_auc" -> ((s, dir) => {
       val settings = customerSettings.copy(
@@ -782,11 +791,11 @@ object SparkEntry {
   /** Unsigned decimal literal of a JVM long. */
   private def u64(v: Long): String = java.lang.Long.toUnsignedString(v)
 
-  /** Shared CTE chain replaying MinHash-LSH end to end (used by
-    * q_minhash_pairs and q_dedup_docs): FNV shingle hashes -> 32
-    * universal-hash slots -> 8 bands of 4 -> candidate join -> jaccard
-    * verify at threshold 0.5. Terminal CTE: `pairs(id_l, id_r, jaccard)`. */
-  private lazy val minhashPairCtes: String = {
+  /** CTE chain up to the banded signatures (`bands(doc_id, band, bkey)`
+    * plus `sets(doc_id, s)`): FNV shingle hashes -> 32 universal-hash
+    * slots -> 8 bands of 4 — the shared front half of every minhash
+    * oracle. */
+  private lazy val minhashBandCtes: String = {
     val params = graft.functions.ShingleKernel.hashParams(32)
     val slotExprs = (0 until 32).map { x =>
       val a = u64(params(2 * x)); val b = u64(params(2 * x + 1))
@@ -807,7 +816,15 @@ object SparkEntry {
        |slots AS (SELECT doc_id,
        |    $slotExprs
        |  FROM hsplit GROUP BY doc_id),
-       |bands AS ($bandSelects),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  /** Shared CTE chain replaying MinHash-LSH end to end (used by
+    * q_minhash_pairs and q_dedup_docs): banded signatures -> candidate
+    * join -> jaccard verify at threshold 0.5. Terminal CTE:
+    * `pairs(id_l, id_r, jaccard)`. */
+  private lazy val minhashPairCtes: String =
+    s"""$minhashBandCtes,
        |cands AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
@@ -817,7 +834,6 @@ object SparkEntry {
        |FROM cands c JOIN sets a ON c.id_l = a.doc_id JOIN sets b ON c.id_r = b.doc_id
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)""".stripMargin
-  }
   /** Normalisation identical to ShingleKernel: lower, collapse \s+, trim. */
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
   /** Distinct q-gram shingle list of the normalised text (q=8).
@@ -1801,6 +1817,22 @@ object SparkEntry {
         |  FROM customer)
         |SELECT l.id AS id_l, r.id AS id_r, CAST(r.rn - l.rn AS INT) AS rank_distance
         |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin,
+
+    // incremental near-dup replay: same banded signatures, candidates are
+    // probe x corpus bucket collisions (no id ordering constraint)
+    "q_near_dups" ->
+      s"""WITH $minhashBandCtes,
+         |cands AS (SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+         |  FROM bands p JOIN bands c
+         |    ON p.band = c.band AND p.bkey = c.bkey
+         |   AND p.doc_id % 20 = 0 AND c.doc_id % 20 <> 0)
+         |SELECT n.probe_id, n.corpus_id,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 9) AS jaccard
+         |FROM cands n JOIN sets a ON n.probe_id = a.doc_id
+         |             JOIN sets b ON n.corpus_id = b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
 
     // AUC replay: same truth-space CTEs as q_truth_space, then the
     // trapezoid over (FPR, TPR) ordered by descending threshold

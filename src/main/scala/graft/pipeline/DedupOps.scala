@@ -168,6 +168,49 @@ object DedupOps {
   }
 
   /**
+   * Incremental near-duplicate detection: every near-dup of a `probe`
+   * batch against an existing corpus (the ingestion-time shape — score a
+   * day's crawl against the accumulated corpus without re-pairing the
+   * corpus with itself). Both sides band their minhash signatures; only
+   * bucket collisions between a probe row and a corpus row become
+   * candidates, verified with exact jaccard over hashed shingle sets. The
+   * corpus banding is embarrassingly cacheable across batches; the
+   * streaming twin is `StreamingLink.simhashBandDedupStream`.
+   *
+   * @return (probe_id, corpus_id, jaccard), one row per verified near-dup
+   */
+  def minhashNearDuplicates(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, k: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.7, shingleQ: Int = 8): DataFrame = {
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val base = widened(df, Seq(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"),
+          sort_array(array_distinct(transform(shingles(col("__text"), shingleQ),
+            t => xxhash64(t)))).as("toks"),
+          graft.functions.funcs.minhash_sig(col("__text"), shingleQ, k).as("sig"))
+        .filter(size(col("toks")) > 0)
+        .localCheckpoint(false)
+      val banded = base
+        .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
+        .select(col("id"), col("b.band"), col("b.band_hash"))
+      (base.select(col("id"), col("toks")), banded)
+    }
+    val (corpusToks, corpusBands) = prep(corpus)
+    val (probeToks, probeBands) = prep(probe)
+    val cands = probeBands.alias("p").join(corpusBands.alias("c"),
+        col("p.band") === col("c.band") &&
+        col("p.band_hash") === col("c.band_hash"))
+      .select(col("p.id").as("probe_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    val jac = graft.functions.funcs
+      .jaccard_sorted_longs(col("pt.toks"), col("ct.toks"))
+    cands.join(probeToks.alias("pt"), col("probe_id") === col("pt.id"))
+      .join(corpusToks.alias("ct"), col("corpus_id") === col("ct.id"))
+      .filter(jac >= threshold)
+      .select(col("probe_id"), col("corpus_id"), round(jac, 9).as("jaccard"))
+  }
+
+  /**
    * End-to-end near-duplicate dedupe: MinHash-LSH candidate pairs ->
    * connected components -> one canonical document (min id) per near-dup
    * cluster. Documents with no near-duplicate map to themselves.
