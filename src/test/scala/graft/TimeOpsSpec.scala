@@ -106,6 +106,26 @@ class TimeOpsSpec extends SparkSpec {
     assert(keeps == ids.map(find).toSet)
   }
 
+  test("incremental near-dups agree with the full self-dedup pair set") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val probe = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val incr = DedupOps.minhashNearDuplicates(corpus, probe,
+      "doc_id", "text", threshold = 0.5)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val full = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    // every incremental hit appears in the full pair set (as an ordered
+    // pair) and every full cross-population pair is found incrementally
+    val fullCross = full.filter { case (a, b) =>
+      (a % 10 == 0) != (b % 10 == 0) }
+    val incrOrdered = incr.map { case (p, c) =>
+      (math.min(p, c), math.max(p, c)) }
+    assert(incrOrdered == fullCross)
+  }
+
   test("semanticDedup cells only ever merge subsets of the true closure") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
