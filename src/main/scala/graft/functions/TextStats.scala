@@ -166,3 +166,37 @@ case class TextStats(child: Expression) extends UnaryExpression with Serializabl
     defineCodeGen(ctx, ev, v => s"graft.functions.TextStatsKernel.eval($v)")
   override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)
 }
+
+/** DEFLATE kernel for [[CompressionRatio]]. */
+object CompressionKernel {
+  /** compressed_bytes / raw_bytes of the UTF-8 text at fixed level 6 —
+    * deterministic for a given zlib build; highly repetitive text
+    * compresses far below ~0.4, a standard pretraining junk signal
+    * (empty text -> 1.0). */
+  def eval(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total.toDouble / raw.length
+  }
+}
+
+/** compression_ratio(str) -> deflated/raw byte ratio (junk-text signal). */
+case class CompressionRatio(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "compression_ratio"
+  override def nullSafeEval(v: Any): Any =
+    CompressionKernel.eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.CompressionKernel.eval($v)")
+  override protected def withNewChildInternal(c: Expression): CompressionRatio =
+    copy(child = c)
+}

@@ -144,6 +144,7 @@ object funcs {
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
   def minhash_sig(c: Column, q: Int, k: Int): Column = expr(MinHashSig(ex(c), q, k))
   def cosine_sim(l: Column, r: Column): Column = expr(CosineSim(ex(l), ex(r)))
+  def compression_ratio(c: Column): Column = expr(CompressionRatio(ex(c)))
   def dot_product(l: Column, r: Column): Column = expr(DotProduct(ex(l), ex(r)))
   def l2_sq(l: Column, r: Column): Column = expr(SquaredL2(ex(l), ex(r)))
 
@@ -177,6 +178,7 @@ object funcs {
     reg("qgram_tokenise", es => QgramTokenise(es(0),
       es(1).eval(null).asInstanceOf[Int]))
     reg("cosine_sim", es => CosineSim(es(0), es(1)))
+    reg("compression_ratio", es => CompressionRatio(es(0)))
     reg("dot_product", es => DotProduct(es(0), es(1)))
     reg("l2_sq", es => SquaredL2(es(0), es(1)))
   }

@@ -189,6 +189,23 @@ object StreamingLink {
       }
   }
 
+  /** Streaming decontamination: each micro-batch of documents is scored
+    * for word-n-gram overlap against a static probe (benchmark) set —
+    * `foreachBatch` + [[graft.pipeline.CorpusOps.contaminationReport]].
+    * The probe gram set broadcasts once per batch; the batch itself never
+    * reshuffles, so ingestion-time contamination checks stay O(batch). */
+  def contaminationStream(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.pipeline.CorpusOps.contaminationReport(
+            batch, idCol, textCol, probes, probeTextCol, n), batchId)
+        }
+      }
+
   /** Convenience: run the stream into an in-memory accumulator (testing /
     * small sinks); returns the started query. */
   def startCollecting(linker: Linker, newRecords: DataFrame,

@@ -174,6 +174,24 @@ class CorpusOpsSpec extends SparkSpec {
       .except(again.select("doc_id", "split")).count() == 0)
   }
 
+  test("compression_ratio: repetitive text compresses far below prose") {
+    val df = Seq(
+      (1L, "ab" * 500),
+      (2L, "the study of distributed query execution involves partitioning, " +
+        "shuffles, codegen, statistics, and adaptive replanning at runtime"),
+      (3L, "")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      graft.functions.funcs.compression_ratio(col("text")).as("cr"))
+      .as[(Long, Double)].collect().toMap
+    assert(rows(1L) < 0.1, s"repetitive ${rows(1L)}")      // junk signal
+    assert(rows(2L) > 0.5 && rows(2L) <= 1.2, s"prose ${rows(2L)}")
+    assert(rows(3L) == 1.0)
+    // deterministic + codegen-friendly (no UDF node in the plan)
+    val plan = df.select(graft.functions.funcs.compression_ratio(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("assignSplits on the dedup canonical id is leakage-safe") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val canon = DedupOps.dedupeByMinhash(docs, "doc_id", "text")

@@ -109,6 +109,27 @@ class StreamingSpec extends SparkSpec {
     assert(perDoc("4"))
   }
 
+  test("streaming decontamination flags probe n-gram overlap per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val probes = Seq((1L, "the quick brown fox jumps over dogs"))
+      .toDF("pid", "ptext")
+    val stream = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    stream.addData((10L, "something with the quick brown fox inside it"),
+      (11L, "completely unrelated words only"))
+    val query = graft.streaming.StreamingLink.contaminationStream(
+      stream.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      probes, "ptext", n = 3) { (report, _) =>
+      out ++= report.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+    }.trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(60000)
+    val byDoc = out.toMap
+    assert(byDoc(10L) >= 2) // shares "the quick brown" + "quick brown fox"
+    assert(byDoc(11L) == 0)
+  }
+
   test("stateful streaming sessionization closes sessions on gap + watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
