@@ -106,6 +106,49 @@ class TimeOpsSpec extends SparkSpec {
     assert(keeps == ids.map(find).toSet)
   }
 
+  test("asofJoin equals the naive reference on randomized data (seeded)") {
+    val rng = new scala.util.Random(7)
+    val left = Seq.tabulate(300)(i =>
+      (rng.nextInt(20).toLong, rng.nextInt(100).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    // duplicate (key, time) rows collapsed so the match is well-defined
+    val right = Seq.tabulate(300)(i =>
+      (rng.nextInt(20).toLong, rng.nextInt(100).toLong, i.toLong))
+      .toDF("rk", "rt", "rv")
+      .groupBy("rk", "rt").agg(max("rv").as("rv"))
+    val fast = TimeOps.asofJoin(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .select("lid", "rv").as[(Long, Option[Long])].collect().toMap
+    val w = Window.partitionBy("lid").orderBy(desc("rt"))
+    val naive = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("lid", "rv").as[(Long, Option[Long])].collect().toMap
+    assert(fast == naive)
+    assert(fast.size == 300 && fast.values.exists(_.nonEmpty))
+  }
+
+  test("sessionize equals a two-pointer driver reference on random data") {
+    val rng = new scala.util.Random(11)
+    val events = Seq.tabulate(500)(i =>
+      (rng.nextInt(10).toLong, rng.nextInt(1000).toLong, i.toLong))
+    val df = events.toDF("user_id", "ts", "event_id")
+    val got = TimeOps.sessionize(df, "user_id", "ts", gap = 50L, "event_id")
+      .select("user_id", "ts", "event_id", "session_seq")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    // driver reference: sort per user by (ts, event_id), count gap breaks
+    events.groupBy(_._1).foreach { case (u, es) =>
+      var seq = 0L
+      var last = Long.MinValue
+      es.sortBy(e => (e._2, e._3)).foreach { e =>
+        if (last == Long.MinValue || e._2 - last > 50L) seq += 1
+        last = e._2
+        assert(got((u, e._2, e._3)) == seq, s"user $u ts ${e._2}")
+      }
+    }
+  }
+
   test("incremental near-dups agree with the full self-dedup pair set") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
