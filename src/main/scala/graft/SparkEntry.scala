@@ -709,6 +709,22 @@ object SparkEntry {
         struct(col("c_mktsegment"), col("c_acctbal")), window = 3)
     }),
 
+    // §2.3 two-dataset link_only end to end: even customers play dataset
+    // "a", odd play "b"; same model as q_predict but cross-dataset pairs
+    // only (sd_l < sd_r orientation), scored through the full pipeline
+    "q_link_only" -> ((s, dir) => {
+      val c = customers(s, dir)
+      val a = c.filter(col("unique_id") % 2 === 0)
+      val b = c.filter(col("unique_id") % 2 === 1)
+      val settings = customerSettings.copy(linkType = LinkType.LinkOnly)
+      val linker = new Linker(Seq("a" -> a, "b" -> b), settings)
+      linker.predict()
+        .select(col("source_dataset_l"), col("source_dataset_r"),
+          col("unique_id_l").cast("bigint").as("uid_l"),
+          col("unique_id_r").cast("bigint").as("uid_r"),
+          round(col("match_weight"), 6).as("match_weight"))
+    }),
+
     // corpus: incremental near-dup detection — the doc_id % 20 == 0 batch
     // plays a new ingestion batch scored against the rest of the corpus
     "q_near_dups" -> ((s, dir) => {
@@ -1817,6 +1833,34 @@ object SparkEntry {
         |  FROM customer)
         |SELECT l.id AS id_l, r.id AS id_r, CAST(r.rn - l.rn AS INT) AS rank_distance
         |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin,
+
+    // link_only replay: cross-dataset pairs (even = a, odd = b) under both
+    // rules with NOT-previous, scored with the q_predict weight CASE
+    "q_link_only" -> {
+      s"""WITH pairs AS (
+         |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
+         |  FROM customer l JOIN customer r
+         |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+         |   AND l.c_custkey % 2 = 0 AND r.c_custkey % 2 = 1
+         |  UNION ALL
+         |  SELECT l.c_custkey, r.c_custkey
+         |  FROM customer l JOIN customer r
+         |    ON l.c_nationkey = r.c_nationkey AND round(l.c_acctbal, -2) = round(r.c_acctbal, -2)
+         |   AND l.c_custkey % 2 = 0 AND r.c_custkey % 2 = 1
+         |   AND NOT coalesce(l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment, false)
+         |),
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r,
+         |    $oracleGammaName AS g_name,
+         |    $oracleGammaBal AS g_bal
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey),
+         |mw AS (SELECT uid_l, uid_r, $oracleCustomerMw AS mwv FROM cv)
+         |SELECT 'a' AS source_dataset_l, 'b' AS source_dataset_r,
+         |  uid_l, uid_r, round(mwv, 6) AS match_weight
+         |FROM mw""".stripMargin
+    },
 
     // incremental near-dup replay: same banded signatures, candidates are
     // probe x corpus bucket collisions (no id ordering constraint)
