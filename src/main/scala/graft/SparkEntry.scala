@@ -709,6 +709,24 @@ object SparkEntry {
         struct(col("c_mktsegment"), col("c_acctbal")), window = 3)
     }),
 
+    // §2.2 ColumnExpression transform chain end to end: lower+substr,
+    // NULLIF-wrapped regex extract, nullif, cast-to-string, try-parse-date
+    // (valid and invalid inputs) — the reference's column_expression.py
+    // surface as one oracled projection
+    "q_colexpr" -> ((s, dir) => {
+      import graft.model.ColExpr
+      val c = pq(s, dir, "customer").withColumn("date_str",
+        when(col("c_custkey") % 10 === 0, lit("not-a-date"))
+          .otherwise(concat(lit("2020-01-"),
+            lpad((col("c_custkey") % 28 + 1).cast("string"), 2, "0"))))
+      c.select(col("c_custkey"),
+        expr(ColExpr("c_name").lower.substr(1, 8).sql).as("name_lo"),
+        expr(ColExpr("c_name").regexExtract("[0-9]+").sql).as("digits"),
+        expr(ColExpr("c_mktsegment").nullif("BUILDING").sql).as("seg_nn"),
+        expr(ColExpr("c_nationkey").castToString.sql).as("nk_str"),
+        expr(ColExpr("date_str").tryParseDate().sql).as("parsed_date"))
+    }),
+
     // §2.3 two-dataset link_only end to end: even customers play dataset
     // "a", odd play "b"; same model as q_predict but cross-dataset pairs
     // only (sd_l < sd_r orientation), scored through the full pipeline
@@ -1833,6 +1851,21 @@ object SparkEntry {
         |  FROM customer)
         |SELECT l.id AS id_l, r.id AS id_r, CAST(r.rn - l.rn AS INT) AS rank_distance
         |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin,
+
+    // ColumnExpression replay: DuckDB equivalents of every transform;
+    // regexp_extract returns '' on no match in both engines, so the
+    // NULLIF('') wrap behaves identically
+    "q_colexpr" ->
+      """SELECT c_custkey,
+        |  substring(lower(c_name), 1, 8) AS name_lo,
+        |  nullif(regexp_extract(c_name, '[0-9]+', 0), '') AS digits,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_nn,
+        |  CAST(c_nationkey AS VARCHAR) AS nk_str,
+        |  CAST(try_strptime(
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'not-a-date'
+        |         ELSE '2020-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') END,
+        |    '%Y-%m-%d') AS DATE) AS parsed_date
+        |FROM customer""".stripMargin,
 
     // link_only replay: cross-dataset pairs (even = a, odd = b) under both
     // rules with NOT-previous, scored with the q_predict weight CASE
