@@ -709,6 +709,19 @@ object SparkEntry {
         struct(col("c_mktsegment"), col("c_acctbal")), window = 3)
     }),
 
+    // §3 flagship three-stage pipeline in ONE oracled query: predict ->
+    // cluster at probability 0.9 -> re-join onto every record (singletons
+    // keep their own id). Probability rounded to 6dp BEFORE thresholding
+    // so the edge set is engine-portable.
+    "q_cluster_records" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      val scored = linker.predict()
+        .withColumn("match_probability", round(col("match_probability"), 6))
+      linker.clusterPairwisePredictionsAtThreshold(scored, 0.9)
+        .select(col("unique_id").cast("bigint").as("uid"),
+          col("cluster_id").cast("bigint").as("cluster_id"))
+    }),
+
     // §2.2 ColumnExpression transform chain end to end: lower+substr,
     // NULLIF-wrapped regex extract, nullif, cast-to-string, try-parse-date
     // (valid and invalid inputs) — the reference's column_expression.py
@@ -1851,6 +1864,29 @@ object SparkEntry {
         |  FROM customer)
         |SELECT l.id AS id_l, r.id AS id_r, CAST(r.rn - l.rn AS INT) AS rank_distance
         |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin,
+
+    // flagship pipeline replay: q_predict's weight CASE -> overflow-safe
+    // sigmoid rounded to 6dp -> edges at >= 0.9 -> recursive min-label
+    // closure seeded with every customer (singletons keep themselves)
+    "q_cluster_records" ->
+      s"""WITH RECURSIVE pairs0 AS (
+         |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r,
+         |    $oracleGammaName AS g_name, $oracleGammaBal AS g_bal
+         |  FROM customer l JOIN customer r
+         |    ON ((l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment)
+         |        OR (l.c_nationkey = r.c_nationkey AND round(l.c_acctbal, -2) = round(r.c_acctbal, -2)))
+         |   AND l.c_custkey < r.c_custkey),
+         |mw AS (SELECT uid_l, uid_r, $oracleCustomerMw AS mwv FROM pairs0),
+         |strong AS (SELECT uid_l, uid_r FROM mw
+         |  WHERE round(CASE WHEN mwv >= 0 THEN 1.0/(1.0 + power(2.0, -mwv))
+         |        ELSE power(2.0, mwv)/(1.0 + power(2.0, mwv)) END, 6) >= 0.9),
+         |edges AS (SELECT uid_l AS a, uid_r AS b FROM strong
+         |          UNION ALL SELECT uid_r, uid_l FROM strong),
+         |reach(n, m) AS (SELECT c_custkey, c_custkey FROM customer
+         |  UNION
+         |  SELECT e.a, reach.m FROM edges e JOIN reach ON reach.n = e.b)
+         |SELECT n AS uid, CAST(min(m) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin,
 
     // ColumnExpression replay: DuckDB equivalents of every transform;
     // regexp_extract returns '' on no match in both engines, so the
