@@ -27,6 +27,31 @@ object ShingleKernel {
     new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
   }
 
+  /** Sorted distinct FNV-1a 64 hashes of the q-gram shingle set — the
+    * whole `sort_array(array_distinct(transform(shingles(s), hash)))`
+    * chain in ONE pass with no per-shingle string allocation (the
+    * Column-level chain evaluates its lambda interpreted, once per
+    * shingle). Jaccard over the hashes equals shingle-set jaccard up to
+    * ~1e-19 collision probability — the same contract the minhash slots
+    * already rely on. */
+  def hashedShingles(s: UTF8String, q: Int): ArrayData = {
+    val norm = s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val n = norm.length
+    val last = if (n <= q) 0 else n - q
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + q, n)
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < end) { h ^= norm.charAt(j); h *= 0x100000001b3L; j += 1 }
+      set.add(h)
+      i += 1
+    }
+    new GenericArrayData(set.toArray(new Array[AnyRef](set.size)))
+  }
+
   /** Pre-generated universal-hash params (fixed seed; odd multipliers). */
   def hashParams(k: Int): Array[Long] = {
     val rng = new scala.util.Random(0x5EEDL)
@@ -77,6 +102,19 @@ case class CharShingles(child: Expression, q: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.shingles($v, $q)")
   override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+}
+
+/** hashed_shingles(str, q) -> sorted distinct array<long> (FNV-1a 64). */
+case class HashedShingles(child: Expression, q: Int) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_shingles"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.hashedShingles(v.asInstanceOf[UTF8String], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.hashedShingles($v, $q)")
+  override protected def withNewChildInternal(c: Expression): HashedShingles = copy(child = c)
 }
 
 /** minhash_sig(str, q, k) -> array<long> of k MinHash slots. */

@@ -78,8 +78,7 @@ object DedupOps {
       blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") })
     val withTok = raw.select(
       (col("id") +:
-        sort_array(array_distinct(transform(shingles(col("__text"), q),
-          t => xxhash64(t)))).as("toks") +:
+        graft.functions.funcs.hashed_shingles(col("__text"), q).as("toks") +:
         blockKeys.indices.map(i => col(s"bk$i"))): _*)
     val keys = blockKeys.indices.map(i => s"bk$i")
     val l = withTok.alias("l")
@@ -144,8 +143,7 @@ object DedupOps {
     // two id-keyed joins fetch the shingle sets once for verification.
     val raw = widened(df, Seq(col(idCol).as("id"), col(textCol).as("__text")))
     val base = raw.select(col("id"),
-        sort_array(array_distinct(transform(shingles(col("__text"), shingleQ),
-          t => xxhash64(t)))).as("toks"),
+        graft.functions.funcs.hashed_shingles(col("__text"), shingleQ).as("toks"),
         graft.functions.funcs.minhash_sig(col("__text"), shingleQ, k).as("sig"))
       .filter(size(col("toks")) > 0)
       .localCheckpoint(false)
@@ -185,8 +183,7 @@ object DedupOps {
     def prep(df: DataFrame): (DataFrame, DataFrame) = {
       val base = widened(df, Seq(col(idCol).as("id"), col(textCol).as("__text")))
         .select(col("id"),
-          sort_array(array_distinct(transform(shingles(col("__text"), shingleQ),
-            t => xxhash64(t)))).as("toks"),
+          graft.functions.funcs.hashed_shingles(col("__text"), shingleQ).as("toks"),
           graft.functions.funcs.minhash_sig(col("__text"), shingleQ, k).as("sig"))
         .filter(size(col("toks")) > 0)
         .localCheckpoint(false)
