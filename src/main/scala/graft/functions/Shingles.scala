@@ -52,6 +52,36 @@ object ShingleKernel {
     new GenericArrayData(set.toArray(new Array[AnyRef](set.size)))
   }
 
+  /** Sorted distinct FNV-1a 64 hashes of the lowercased whitespace-token
+    * set — the token twin of [[hashedShingles]] (replaces the interpreted
+    * `transform(array_distinct(split(...)), hash)` chain with one pass).
+    * Token semantics match `TextOps.tokens(lower(c))`: trim, lowercase,
+    * split on whitespace runs. */
+  // exactly Java regex \s — the char class `split(c, "\\s+")` uses; NOT
+  // Character.isWhitespace, which also matches unicode separators and
+  // would tokenise differently from the Column chain it replaces
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def hashedTokens(s: UTF8String): ArrayData = {
+    val norm = s.toString.trim.toLowerCase
+    if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val n = norm.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isRegexSpace(norm.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L
+        while (i < n && !isRegexSpace(norm.charAt(i))) {
+          h ^= norm.charAt(i); h *= 0x100000001b3L; i += 1
+        }
+        set.add(h)
+      }
+    }
+    new GenericArrayData(set.toArray(new Array[AnyRef](set.size)))
+  }
+
   /** Pre-generated universal-hash params (fixed seed; odd multipliers). */
   def hashParams(k: Int): Array[Long] = {
     val rng = new scala.util.Random(0x5EEDL)
@@ -115,6 +145,19 @@ case class HashedShingles(child: Expression, q: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.hashedShingles($v, $q)")
   override protected def withNewChildInternal(c: Expression): HashedShingles = copy(child = c)
+}
+
+/** hashed_tokens(str) -> sorted distinct array<long> (FNV-1a 64). */
+case class HashedTokens(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_tokens"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.hashedTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.hashedTokens($v)")
+  override protected def withNewChildInternal(c: Expression): HashedTokens = copy(child = c)
 }
 
 /** minhash_sig(str, q, k) -> array<long> of k MinHash slots. */

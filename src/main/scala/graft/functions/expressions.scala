@@ -141,6 +141,7 @@ object funcs {
   def simhash64(c: Column): Column = expr(SimHash64(ex(c)))
   def char_shingles(c: Column, q: Int): Column = expr(CharShingles(ex(c), q))
   def hashed_shingles(c: Column, q: Int): Column = expr(HashedShingles(ex(c), q))
+  def hashed_tokens(c: Column): Column = expr(HashedTokens(ex(c)))
   def jaccard_sorted_longs(l: Column, r: Column): Column =
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
   def minhash_sig(c: Column, q: Int, k: Int): Column = expr(MinHashSig(ex(c), q, k))

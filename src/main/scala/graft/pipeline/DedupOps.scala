@@ -51,8 +51,7 @@ object DedupOps {
       blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") })
     val withTok = raw.select(
       (col("id") +:
-        sort_array(array_distinct(transform(tokenSet(col("__text")),
-          t => xxhash64(t)))).as("toks") +:
+        graft.functions.funcs.hashed_tokens(col("__text")).as("toks") +:
         blockKeys.indices.map(i => col(s"bk$i"))): _*)
     val keys = blockKeys.indices.map(i => s"bk$i")
     val l = withTok.alias("l")
