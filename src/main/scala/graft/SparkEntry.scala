@@ -709,6 +709,25 @@ object SparkEntry {
         struct(col("c_mktsegment"), col("c_acctbal")), window = 3)
     }),
 
+    // §2.6 cluster-studio sampling, deterministic variant: top clusters by
+    // size (node count desc, id asc) over the orders path graph
+    "q_top_clusters" -> ((s, dir) => {
+      val (edges, clusters) = ordersPathGraph(s, dir)
+      val metrics = ClusteringOps.clusterMetrics(clusters, edges)
+      Evaluation.sampleClusters(clusters, edges, "by_cluster_size", 15)
+        .join(metrics, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_nodes"), col("n_edges"))
+    }),
+
+    // corpus: token-count histogram (16-token bins) — the length
+    // distribution that drives packing budgets and truncation policy
+    "q_tokens_hist" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      d.select((floor(TextOps.tokenCount(col("text")) / 16)).cast("bigint").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_docs"))
+        .withColumn("bin_start", (col("bin") * 16).cast("bigint"))
+    }),
+
     // §3 flagship three-stage pipeline in ONE oracled query: predict ->
     // cluster at probability 0.9 -> re-join onto every record (singletons
     // keep their own id). Probability rounded to 6dp BEFORE thresholding
@@ -1864,6 +1883,23 @@ object SparkEntry {
         |  FROM customer)
         |SELECT l.id AS id_l, r.id AS id_r, CAST(r.rn - l.rn AS INT) AS rank_distance
         |FROM ranked l JOIN ranked r ON r.rn > l.rn AND r.rn <= l.rn + 3""".stripMargin,
+
+    // top-clusters replay: per-customer order paths ARE the components
+    // (cluster id = min orderkey; n-1 path edges), size-desc/id-asc top 15
+    "q_top_clusters" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n, min(o_orderkey) AS cid
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 2)
+        |SELECT cid AS cluster_id, n AS n_nodes, n - 1 AS n_edges
+        |FROM c ORDER BY n DESC, cid LIMIT 15""".stripMargin,
+
+    // token histogram replay: same whitespace token count, 16-wide bins
+    "q_tokens_hist" ->
+      """SELECT CAST(floor((CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 16.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(floor((CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 16.0) AS BIGINT) * 16 AS bin_start
+        |FROM documents GROUP BY 1, 3""".stripMargin,
 
     // flagship pipeline replay: q_predict's weight CASE -> overflow-safe
     // sigmoid rounded to 6dp -> edges at >= 0.9 -> recursive min-label
