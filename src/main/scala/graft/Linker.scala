@@ -292,4 +292,22 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     val pairs = left.alias("l").crossJoin(right.alias("r")).select(projection: _*)
     Predict.score(ComparisonVectors.addGammas(pairs, settings), settings)
   }
+
+  /** Persist the current (trained) model as reference-style settings JSON
+    * (`linker.misc.save_model_to_json`) — includes the per-session trained
+    * m/u history, so a reloaded model medians identically. */
+  def saveModelToJson(path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      graft.model.SettingsJson.toJson(settings))
+}
+
+object Linker {
+  /** Rebuild a linker from a saved model JSON
+    * (`Linker(..., settings_dict_path)` in the reference). */
+  def fromModelJson(inputs: Seq[(String, DataFrame)], path: String): Linker =
+    new Linker(inputs, graft.model.SettingsJson.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
+
+  def fromModelJson(df: DataFrame, path: String): Linker =
+    fromModelJson(Seq("df" -> df), path)
 }

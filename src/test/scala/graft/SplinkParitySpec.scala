@@ -162,6 +162,21 @@ class SplinkParitySpec extends SparkSpec {
     assert(recall > 0.5, s"recall $recall")
   }
 
+  test("save/load model JSON round-trips trained state and predictions") {
+    val linker = new Linker(fake1000, settings)
+    linker.training.estimateParametersUsingExpectationMaximisation(
+      BlockingRule.blockOn("surname"), withTermFrequencies = true)
+    val path = java.nio.file.Files
+      .createTempFile("graft-model", ".json").toString
+    linker.saveModelToJson(path)
+    val reloaded = Linker.fromModelJson(fake1000, path)
+    def score(l: Linker) = l.predict()
+      .select(col("unique_id_l"), col("unique_id_r"),
+        round(col("match_weight"), 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(score(reloaded) == score(linker))
+  }
+
   test("EM free-u blocked on surname reproduces splink2's λ and m paths") {
     val r = Training.expectationMaximisation(
       Seq("fake_1000" -> fake1000), settings, BlockingRule.blockOn("surname"),
