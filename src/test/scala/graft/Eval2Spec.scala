@@ -138,4 +138,23 @@ class Eval2Spec extends SparkSpec {
     assert(math.abs(liveRow.getAs[Double]("match_weight")
       - math.log(0.8 / 0.05) / math.log(2.0)) < 1e-12)
   }
+  test("truth space reproduces the reference's labels fp_rate case") {
+    // tests/test_accuracy.py:157-206 — three labelled pairs with
+    // precomputed match weights 0.0 / 0.4 / 1.0 and clerical scores
+    // 0.1 / 0.45 / 0.01 (>= 0.5 is a clerical match). At threshold 0.4:
+    // (1,11) TN, (2,12) FP, (3,13) FP -> fp_rate 2/3, precision 0
+    val scored = Seq((0.0, 0.1), (0.4, 0.45), (1.0, 0.01))
+      .toDF("match_weight", "clerical_score")
+      .withColumn("clerical_match",
+        (col("clerical_score") >= 0.5).cast("int"))
+    val ts = Evaluation.truthSpaceTable(scored)
+    val row = ts.filter(col("truth_threshold") > 0.39 &&
+        col("truth_threshold") < 0.41)
+      .select("tp", "fp", "tn", "fn", "precision").collect()(0)
+    assert(row.getLong(0) == 0 && row.getLong(1) == 2)
+    assert(row.getLong(2) == 1 && row.getLong(3) == 0)
+    val fpRate = row.getLong(1).toDouble / (row.getLong(1) + row.getLong(2))
+    assert(math.abs(fpRate - 2.0 / 3.0) < 1e-12)
+    assert(row.getDouble(4) == 0.0)
+  }
 }
