@@ -27,6 +27,42 @@ class OneToOneConstrainedSpec extends SparkSpec {
     assert(got(10L) != got(1L))
   }
 
+  test("reproduces the reference's published example 1 partitions " +
+      "(test_cluster_using_single_best_links.py)") {
+    // graphPlayground example 1: expected clusters {0,1,2} {3,4,5} {6,7}
+    val edges = Seq(
+      (0L, 1L, 0.90), (1L, 2L, 0.70), (3L, 5L, 0.85),
+      (4L, 5L, 0.90), (6L, 5L, 0.80), (6L, 7L, 0.70))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "a"), (4L, "b"),
+      (5L, "c"), (6L, "a"), (7L, "b"), (8L, "c"))
+      .toDF("node_id", "source_dataset")
+    val got = ClusteringOps.oneToOneConstrained(edges, ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val partitions = got.groupBy(_._2).values.map(_.keySet).toSet
+    assert(partitions == Set(Set(0L, 1L, 2L), Set(3L, 4L, 5L), Set(6L, 7L)),
+      s"got $partitions")
+    // node 8 has no edges -> stays out of the membership frame (singleton)
+    assert(!got.contains(8L))
+  }
+
+  test("reproduces the reference's published example 2 partitions") {
+    // graphPlayground example 2 (string ids, a cycle, a 'd' dataset):
+    // expected clusters {1,6} {3,4,7}; 2 and 5 stay singletons
+    val edges = Seq(
+      ("1", "2", 0.92), ("2", "3", 0.91), ("3", "4", 0.99), ("4", "5", 0.88),
+      ("5", "6", 0.90), ("6", "1", 0.96), ("4", "7", 0.91))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq(("1", "a"), ("2", "b"), ("3", "a"), ("4", "b"),
+      ("5", "a"), ("6", "b"), ("7", "d"))
+      .toDF("node_id", "source_dataset")
+    val got = ClusteringOps.oneToOneConstrained(edges, ds).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val partitions = got.groupBy(_._2).values.map(_.keySet).toSet
+    assert(partitions == Set(Set("1", "6"), Set("3", "4", "7"),
+      Set("2"), Set("5")), s"got $partitions")
+  }
+
   test("mutual-best tie resolution is deterministic") {
     // b1's best is a1 (0.9 > 0.8); a2 left unmatched with c1? c1-a2 mutual
     val edges = Seq((1L, 2L, 0.9), (2L, 10L, 0.8), (10L, 20L, 0.7))
