@@ -74,6 +74,12 @@ object CosineKernel {
 abstract class ArrayPairDoubleExpression extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // the kernel returns null on length mismatch / null elements even when
+  // both inputs are non-null, so the expression is ALWAYS nullable — with
+  // non-nullable children the default would make codegen emit the isNull
+  // slot as the literal `false`, and the assignment in doGenCode would be
+  // invalid Java (silent interpreted fallback for the whole stage)
+  override def nullable: Boolean = true
   /** Kernel entry point, e.g. "cosine" — static method on CosineKernel. */
   protected def kernel: String
 
@@ -94,14 +100,19 @@ abstract class ArrayPairDoubleExpression extends BinaryExpression with Serializa
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (fa, fb) = (isFloat(left), isFloat(right))
     // kernel may return null past the null-intolerant gate (length
-    // mismatch / null element), so route through a boxed local
+    // mismatch / null element), so route through a boxed local.
+    // freshName, NOT a fixed identifier: several instances of this
+    // expression can land in ONE generated function (e.g. the argmax over
+    // N seed cosines), and a fixed local name makes Janino reject the
+    // whole stage (silent interpreted fallback).
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val kr = ctx.freshName("kernelResult")
       s"""
-         |Object kr = graft.functions.CosineKernel.$kernel($a, $b, $fa, $fb);
-         |if (kr == null) {
+         |Object $kr = graft.functions.CosineKernel.$kernel($a, $b, $fa, $fb);
+         |if ($kr == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ((Double) kr).doubleValue();
+         |  ${ev.value} = ((Double) $kr).doubleValue();
          |}
        """.stripMargin
     })
