@@ -109,6 +109,22 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s)
   }
 
+  test("multi-instance kernel expressions compile under codegen (no fallback)") {
+    // regression guard: N cosine kernels in ONE generated function used to
+    // collide on a fixed local, and non-nullable inputs made the isNull
+    // slot a literal — both silently de-codegen'd the stage. With fallback
+    // disabled, any such break fails the query instead of hiding.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(col("vec_id") < 60)
+      val out = graft.pipeline.DedupOps.semanticDedup(
+        emb, "vec_id", "embedding", nCells = 4, threshold = 0.5)
+      assert(out.count() == 60)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("bucketed tables join with zero shuffle (co-located join)") {
     // the bucketing path for repeatedly re-joined corpora: pay the
     // exchange once at write time, then every equi-join on the bucket key
