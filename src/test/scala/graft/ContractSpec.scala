@@ -12,6 +12,25 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(o -- q == Set.empty, s"oracles without query: ${o -- q}")
   }
 
+  test("every query executes fully codegen'd (whole-stage fallback disabled)") {
+    // a silent Janino failure runs the stage interpreted with correct
+    // results — this sweep turns any such regression into a hard failure
+    val spark = SparkSpec.session
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try {
+          val n = fn(spark, "/root/testdata/sf0.001").count()
+          assert(n >= 0)
+        } catch {
+          case e: Throwable =>
+            fail(s"$name failed with codegen fallback disabled: " +
+              e.getMessage.take(300))
+        }
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("oracle SQL references only driver-registered tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
