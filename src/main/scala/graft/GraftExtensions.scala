@@ -2,8 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions._
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /**
  * Spark-native extension entry point: register the engine's functions via
@@ -11,24 +10,19 @@ import graft.functions._
  * third-party Catalyst expressions — the reference instead calls
  * `spark.udf.registerJavaFunction` per session,
  * `spark/database_api.py:175-199`). `funcs.registerAll(spark)` remains the
- * programmatic equivalent.
+ * programmatic equivalent; both paths register the SAME
+ * `funcs.sqlFunctions` table, so they cannot drift.
+ *
+ * No custom `Rule`/`SparkStrategy` is injected by design: every operator
+ * the engine needs is expressible with built-in logical operators plus
+ * codegen'd scalar expressions, which is the preferred extension depth —
+ * a custom physical operator would add maintenance surface without a plan
+ * Catalyst cannot already produce.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.funcs.sqlFunctions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
-    reg("jaro_sim", es => JaroSim(es(0), es(1)))
-    reg("jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
-    reg("damerau_levenshtein", es => DamerauLevenshtein(es(0), es(1)))
-    reg("jaccard_sim", es => JaccardSim(es(0), es(1)))
-    reg("dmetaphone", es => DMetaphone(es(0)))
-    reg("dmetaphone_alt", es => DMetaphoneAlt(es(0)))
-    reg("qgram_tokenise", es => QgramTokenise(es(0),
-      es(1).eval(null).asInstanceOf[Int]))
-    reg("simhash64", es => SimHash64(es(0)))
-    reg("char_shingles", es => CharShingles(es(0),
-      es(1).eval(null).asInstanceOf[Int]))
-    reg("text_stats", es => TextStats(es(0)))
-  }
+    }
 }

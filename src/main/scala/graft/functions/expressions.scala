@@ -161,6 +161,30 @@ object funcs {
     dot / (n1 * n2)
   }
 
+  /** The single SQL-name -> expression-builder table shared by
+    * [[registerAll]] and `graft.GraftExtensions` — one list, no drift. */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "jaro_sim" -> (es => JaroSim(es(0), es(1))),
+    "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
+    "damerau_levenshtein" -> (es => DamerauLevenshtein(es(0), es(1))),
+    "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
+    "dmetaphone" -> (es => DMetaphone(es(0))),
+    "dmetaphone_alt" -> (es => DMetaphoneAlt(es(0))),
+    "qgram_tokenise" -> (es => QgramTokenise(es(0),
+      es(1).eval(null).asInstanceOf[Int])),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "char_shingles" -> (es => CharShingles(es(0),
+      es(1).eval(null).asInstanceOf[Int])),
+    "hashed_shingles" -> (es => HashedShingles(es(0),
+      es(1).eval(null).asInstanceOf[Int])),
+    "hashed_tokens" -> (es => HashedTokens(es(0))),
+    "jaccard_sorted_longs" -> (es => SortedLongArrayJaccard(es(0), es(1))),
+    "text_stats" -> (es => TextStats(es(0))),
+    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "compression_ratio" -> (es => CompressionRatio(es(0))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "l2_sq" -> (es => SquaredL2(es(0), es(1))))
+
   /** Register SQL-callable names (used by CustomLevel/CustomRule raw-SQL
     * passthrough, mirroring the reference's
     * `spark.udf.registerJavaFunction` setup, `spark/database_api.py:175-199`). */
@@ -168,20 +192,9 @@ object funcs {
     val r = spark.sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
       r.registerFunction(FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder)
-    reg("jaro_sim", es => JaroSim(es(0), es(1)))
-    reg("jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
-    reg("damerau_levenshtein", es => DamerauLevenshtein(es(0), es(1)))
-    reg("jaccard_sim", es => JaccardSim(es(0), es(1)))
-    reg("dmetaphone", es => DMetaphone(es(0)))
-    reg("dmetaphone_alt", es => DMetaphoneAlt(es(0)))
-    reg("qgram_tokenise", es => QgramTokenise(es(0),
-      es(1).eval(null).asInstanceOf[Int]))
-    reg("cosine_sim", es => CosineSim(es(0), es(1)))
-    reg("compression_ratio", es => CompressionRatio(es(0)))
-    reg("dot_product", es => DotProduct(es(0), es(1)))
-    reg("l2_sq", es => SquaredL2(es(0), es(1)))
+    }
   }
 }

@@ -31,6 +31,39 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("every registered SQL function evaluates through the SQL surface") {
+    val spark = SparkSpec.session
+    graft.functions.funcs.registerAll(spark)
+    val probes = Map(
+      "jaro_sim" -> "jaro_sim('martha', 'marhta')",
+      "jaro_winkler" -> "jaro_winkler('martha', 'marhta')",
+      "damerau_levenshtein" -> "damerau_levenshtein('ab', 'ba')",
+      "jaccard_sim" -> "jaccard_sim('abc', 'abd')",
+      "dmetaphone" -> "dmetaphone('smith')",
+      "dmetaphone_alt" -> "dmetaphone_alt('smith')",
+      "qgram_tokenise" -> "qgram_tokenise('abcd', 2)",
+      "simhash64" -> "simhash64(array('ab', 'cd'))",
+      "char_shingles" -> "char_shingles('abcdef', 3)",
+      "hashed_shingles" -> "hashed_shingles('abcdef', 3)",
+      "hashed_tokens" -> "hashed_tokens('a b c')",
+      "jaccard_sorted_longs" ->
+        "jaccard_sorted_longs(array(1L, 2L), array(2L, 3L))",
+      "text_stats" -> "text_stats('the quick brown fox')",
+      "cosine_sim" ->
+        "cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))",
+      "compression_ratio" -> "compression_ratio('aaaaaaaaaaaaaaaa')",
+      "dot_product" -> "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))",
+      "l2_sq" -> "l2_sq(array(0.0D, 0.0D), array(3.0D, 4.0D))")
+    // the probe map must cover the shared table exactly — a new kernel
+    // without a probe (or vice versa) fails here
+    assert(probes.keySet ==
+      graft.functions.funcs.sqlFunctions.map(_._1).toSet)
+    probes.foreach { case (name, sql) =>
+      val row = spark.sql(s"SELECT $sql").collect()
+      assert(row.length == 1 && !row(0).isNullAt(0), s"$name returned null")
+    }
+  }
+
   test("oracle SQL references only driver-registered tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
