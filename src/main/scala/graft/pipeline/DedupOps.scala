@@ -234,6 +234,23 @@ object DedupOps {
         (col("doc_id") === col("canonical_id")).cast("int"))
   }
 
+  /** End-to-end SimHash dedupe — the simhash twin of [[dedupeByMinhash]]:
+    * band-blocked hamming pairs -> CC closure -> canonical (min id) keep
+    * flag per near-dup cluster. */
+  def dedupeBySimhash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleQ: Int = 8,
+      blockKeys: Seq[Column] = Nil): DataFrame = {
+    val pairs = simhashDedupPairs(df, idCol, textCol, maxHamming, shingleQ,
+      blockKeys)
+    val cc = graft.clustering.ConnectedComponents.run(pairs, "id_l", "id_r")
+    df.select(col(idCol).as("doc_id"))
+      .join(cc.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep",
+        (col("doc_id") === col("canonical_id")).cast("int"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash from a token array (native expression, see

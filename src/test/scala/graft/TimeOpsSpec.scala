@@ -169,6 +169,30 @@ class TimeOpsSpec extends SparkSpec {
     assert(incrOrdered == fullCross)
   }
 
+  test("dedupeBySimhash equals the union-find closure of its own pairs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = DedupOps.simhashDedupPairs(docs, "doc_id", "text")
+      .select("id_l", "id_r").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = DedupOps.dedupeBySimhash(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "keep")
+      .as[(Long, Long, Int)].collect()
+    got.foreach { case (id, canon, keep) =>
+      assert(canon == find(id), s"doc $id")
+      assert(keep == (if (id == canon) 1 else 0))
+    }
+    assert(got.length == docs.count())
+  }
+
   test("semanticDedup cells only ever merge subsets of the true closure") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
