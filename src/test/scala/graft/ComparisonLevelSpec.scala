@@ -101,6 +101,49 @@ class ComparisonLevelSpec extends SparkSpec {
     assert(inLevel(either, df) == Seq(true, true, true))
   }
 
+  private def gammas(c: Comparison, df: DataFrame): Seq[Int] =
+    df.select(c.gammaColumn).collect().map(_.getInt(0)).toSeq
+
+  test("email template reproduces the reference's literal gammas " +
+      "(test_comparison_template_lib.py:7-49)") {
+    val df = Seq(
+      ("john@smith.com", "john@smith.com"),            // exact -> 4
+      ("rebecca@company.com", "rebecca@smith.com"),    // username -> 3
+      ("rebecca@company.com", "rebbecca@company.com"), // jw email -> 2
+      ("rebecca@company.com", "rebbecca@xyz.com"),     // jw username -> 1
+      ("john@smith.com", "rebbecca@xyz.com"))          // else -> 0
+      .toDF("email_l", "email_r")
+    assert(gammas(ComparisonLibrary.email("email"), df) == Seq(4, 3, 2, 1, 0))
+  }
+
+  test("date-of-birth template reproduces the reference's literal gammas " +
+      "(test_comparison_template_lib.py:53-105)") {
+    val df = Seq(
+      ("1990-05-20", "1990-05-20"), // exact -> 5
+      ("1990-05-01", "1990-05-11"), // damerau-levenshtein <= 1 -> 4
+      ("1990-05-20", "1990-06-19"), // <= 1 month -> 3
+      ("1990-05-20", "1991-04-21"), // <= 1 year -> 2
+      ("1990-05-20", "1999-02-20"), // <= 10 years -> 1
+      ("1990-05-20", "2010-01-17")) // else -> 0
+      .toDF("s_l", "s_r")
+      .select(to_date(col("s_l")).as("dob_l"), to_date(col("s_r")).as("dob_r"))
+    assert(gammas(ComparisonLibrary.dateOfBirth("dob"), df) ==
+      Seq(5, 4, 3, 2, 1, 0))
+  }
+
+  test("postcode template reproduces the reference's literal gammas " +
+      "(test_comparison_template_lib.py:109-151)") {
+    val df = Seq(
+      ("SW1A 1AA", "SW1A 1AA"), // full -> 4
+      ("SW1A 1AA", "SW1A 1AB"), // sector -> 3
+      ("SW1A 1AA", "SW1A 2AA"), // district -> 2
+      ("SW1A 1AA", "SW2A 1AA"), // area -> 1
+      ("SW1A 1AA", "NW1A 1AA")) // else -> 0
+      .toDF("postcode_l", "postcode_r")
+    assert(gammas(ComparisonLibrary.postcode("postcode"), df) ==
+      Seq(4, 3, 2, 1, 0))
+  }
+
   test("comparison templates expand to expected level counts") {
     assert(ComparisonLibrary.exactMatch("x").levels.size == 3)
     assert(ComparisonLibrary.levenshteinAtThresholds("x", Seq(1, 2)).levels.size == 5)
