@@ -214,16 +214,23 @@ object ComparisonLibrary {
 
   /** `NameComparison` (`:1005`): exact (TF-able), jaro-winkler bands,
     * dmetaphone, else. */
-  def name(c: String, tfAdjustment: Boolean = false): Comparison =
+  /** `NameComparison` (`:1005`): default levels exact / jw .92 / .88 / .7;
+    * the dmetaphone level is OPT-IN, matching the reference's
+    * `dmeta_col_name=None` default. */
+  def name(c: String, tfAdjustment: Boolean = false,
+      dmetaphone: Boolean = false): Comparison = {
+    val dmeta = if (dmetaphone)
+      Seq(custom(s"dmetaphone match on $c",
+        s"dmetaphone(${Cols.l(c)}) = dmetaphone(${Cols.r(c)})"))
+    else Nil
     Comparison(c, Seq(
       nullLevel(c),
       LevelLibrary.exactMatch(c, tfAdjustment),
       jaroWinkler(c, 0.92),
-      jaroWinkler(c, 0.88),
-      custom(s"dmetaphone match on $c",
-        s"dmetaphone(${Cols.l(c)}) = dmetaphone(${Cols.r(c)})"),
+      jaroWinkler(c, 0.88)) ++ dmeta ++ Seq(
       jaroWinkler(c, 0.7),
       elseLevel))
+  }
 
   /** `ForenameSurnameComparison` (`:1090`). */
   def forenameSurname(forename: String, surname: String,
@@ -236,6 +243,9 @@ object ComparisonLibrary {
       custom(s"JW >= 0.92 on both",
         s"jaro_winkler(${Cols.l(forename)}, ${Cols.r(forename)}) >= 0.92 AND " +
           s"jaro_winkler(${Cols.l(surname)}, ${Cols.r(surname)}) >= 0.92"),
+      custom(s"JW >= 0.88 on both",
+        s"jaro_winkler(${Cols.l(forename)}, ${Cols.r(forename)}) >= 0.88 AND " +
+          s"jaro_winkler(${Cols.l(surname)}, ${Cols.r(surname)}) >= 0.88"),
       custom(s"Exact on $surname", s"${Cols.l(surname)} = ${Cols.r(surname)}"),
       custom(s"Exact on $forename", s"${Cols.l(forename)} = ${Cols.r(forename)}"),
       elseLevel))

@@ -144,14 +144,41 @@ class ComparisonLevelSpec extends SparkSpec {
       Seq(4, 3, 2, 1, 0))
   }
 
+  test("name template reproduces the reference's literal gammas " +
+      "(test_comparison_template_lib.py:156-199)") {
+    val df = Seq(
+      ("John", "John"),       // exact -> 4
+      ("Stephen", "Stephan"), // jw >= 0.92 -> 3
+      ("Stephen", "Steven"),  // jw >= 0.88 -> 2
+      ("Stephen", "Steve"),   // jw >= 0.70 -> 1
+      ("Alice", "Bob"))       // else -> 0
+      .toDF("name_l", "name_r")
+    assert(gammas(ComparisonLibrary.name("name"), df) == Seq(4, 3, 2, 1, 0))
+  }
+
+  test("forename-surname template reproduces the reference's literal " +
+      "gammas (test_comparison_template_lib.py:202-260)") {
+    val df = Seq(
+      ("John", "John", "Smith", "Smith"),       // exact both -> 6
+      ("James", "Smith", "Smith", "James"),     // reversed -> 5
+      ("Stephen", "Stephan", "Smith", "Smith"), // jw .92 both -> 4
+      ("Stephen", "Steven", "Smith", "Smith"),  // jw .88 both -> 3
+      ("John", "John", "Doe", "Smith"),         // exact forename -> 1
+      ("Alice", "Bob", "Jones", "Smith"))       // else -> 0
+      .toDF("forename_l", "forename_r", "surname_l", "surname_r")
+    assert(gammas(ComparisonLibrary.forenameSurname("forename", "surname"), df)
+      == Seq(6, 5, 4, 3, 1, 0))
+  }
+
   test("comparison templates expand to expected level counts") {
     assert(ComparisonLibrary.exactMatch("x").levels.size == 3)
     assert(ComparisonLibrary.levenshteinAtThresholds("x", Seq(1, 2)).levels.size == 5)
-    assert(ComparisonLibrary.name("x").levels.size == 7)
+    assert(ComparisonLibrary.name("x").levels.size == 6)
+    assert(ComparisonLibrary.name("x", dmetaphone = true).levels.size == 7)
     assert(ComparisonLibrary.email("x").levels.size == 6)
     assert(ComparisonLibrary.postcode("x").levels.size == 6)
     assert(ComparisonLibrary.dateOfBirth("x").levels.size == 7)
-    assert(ComparisonLibrary.forenameSurname("fn", "sn").levels.size == 7)
+    assert(ComparisonLibrary.forenameSurname("fn", "sn").levels.size == 8)
     // gamma ordering: most similar level has highest gamma
     val c = ComparisonLibrary.levenshteinAtThresholds("x", Seq(1, 2))
     val gammas = c.activeLevelsWithGamma.map(_._2)
