@@ -170,6 +170,21 @@ class ComparisonLevelSpec extends SparkSpec {
       == Seq(6, 5, 4, 3, 1, 0))
   }
 
+  test("array-intersect template reproduces the reference's literal " +
+      "gammas (test_array_columns.py:10-65)") {
+    val df = Seq(
+      (Seq("A", "B", "C", "D"), Seq("A", "B", "C", "D")), // >=4 -> 4
+      (Seq("A", "B", "C", "D"), Seq("A", "B", "C", "Z")), // >=3 -> 3
+      (Seq("A", "B"), Seq("A", "B", "C", "D")),           // >=2 -> 2
+      (Seq("A", "B", "C", "D"), Seq("X", "Y", "Z")))      // else -> 0
+      .toDF("arr_l", "arr_r")
+    assert(gammas(ComparisonLibrary.arrayIntersectAtSizes("arr",
+      Seq(4, 3, 2, 1)), df) == Seq(4, 3, 2, 0))
+    // second reference case: sizes [4, 1] -> gammas 2 / 1 / 1
+    assert(gammas(ComparisonLibrary.arrayIntersectAtSizes("arr",
+      Seq(4, 1)), df) == Seq(2, 1, 1, 0))
+  }
+
   test("comparison templates expand to expected level counts") {
     assert(ComparisonLibrary.exactMatch("x").levels.size == 3)
     assert(ComparisonLibrary.levenshteinAtThresholds("x", Seq(1, 2)).levels.size == 5)
