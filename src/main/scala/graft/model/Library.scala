@@ -197,6 +197,19 @@ object ComparisonLibrary {
     Comparison(c, nullLevel(c) +:
       sizes.sorted.reverse.map(arrayIntersect(c, _)) :+ elseLevel)
 
+  /** `PairwiseStringDistanceFunctionAtThresholds` (`:350`): top level is
+    * array intersection >= 1 (any exact shared element), then best-pair
+    * distance/similarity thresholds in tightening-to-loosening order. */
+  def pairwiseStringDistanceAtThresholds(c: String, fn: String,
+      thresholds: Seq[Double],
+      higherIsMoreSimilar: Boolean = false): Comparison = {
+    val ordered =
+      if (higherIsMoreSimilar) thresholds.sorted.reverse else thresholds.sorted
+    Comparison(c, nullLevel(c) +: arrayIntersect(c, 1) +:
+      ordered.map(t =>
+        pairwiseStringDistance(c, fn, t, higherIsMoreSimilar)) :+ elseLevel)
+  }
+
   /** `DistanceInKMAtThresholds` (`:596`). */
   def distanceInKMAtThresholds(lat: String, lon: String, kms: Seq[Double],
       name: String = "latlon"): Comparison =

@@ -185,6 +185,21 @@ class ComparisonLevelSpec extends SparkSpec {
       Seq(4, 1)), df) == Seq(2, 1, 1, 0))
   }
 
+  test("pairwise-string-distance template reproduces the reference's " +
+      "literal gammas (test_comparison_lib.py:69-121)") {
+    val df = Seq(
+      (Seq("Cally", "Sally"), Seq("Cally")),             // shared elem -> 3
+      (Seq("Geof"), Seq("Geoff")),                       // min dl <= 1 -> 2
+      (Seq("Saly", "Barey"), Seq("Sally", "Barry")),     // min dl <= 1 -> 2
+      (Seq("Carry", "Different"), Seq("Barry", "Completely")), // -> 2
+      (Seq("Carry", "Sabby"), Seq("Cally")),             // min dl <= 2 -> 1
+      (Seq("Completely", "Different"), Seq("Something", "Else"))) // else -> 0
+      .toDF("forename_l", "forename_r")
+    assert(gammas(ComparisonLibrary.pairwiseStringDistanceAtThresholds(
+      "forename", "damerau_levenshtein", Seq(1.0, 2.0)), df) ==
+      Seq(3, 2, 2, 2, 1, 0))
+  }
+
   test("comparison templates expand to expected level counts") {
     assert(ComparisonLibrary.exactMatch("x").levels.size == 3)
     assert(ComparisonLibrary.levenshteinAtThresholds("x", Seq(1, 2)).levels.size == 5)
