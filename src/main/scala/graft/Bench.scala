@@ -41,7 +41,14 @@ object Bench {
       grouped.withColumn("r", row_number().over(win))
         .agg(bit_xor(xxhash64(struct(col("c"), col("r"))))).collect()
     }
-    def onePass(): Map[String, Double] = SparkEntry.queries.map {
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the suite (profiling aid)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    def onePass(): Map[String, Double] = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {

@@ -149,6 +149,8 @@ object funcs {
   def compression_ratio(c: Column): Column = expr(CompressionRatio(ex(c)))
   def dot_product(l: Column, r: Column): Column = expr(DotProduct(ex(l), ex(r)))
   def l2_sq(l: Column, r: Column): Column = expr(SquaredL2(ex(l), ex(r)))
+  def hyperplane_sigs(c: Column, planes: Array[Array[Array[Double]]]): Column =
+    expr(HyperplaneSignatures(ex(c), planes))
 
   /** Cosine similarity of two float/double array columns via higher-order
     * built-ins — exactly the formula the reference emits for Spark

@@ -71,13 +71,21 @@ object Repartition {
     * parquet file otherwise serialises quadratic pair work onto one core.
     * At scale the scan already has >= target splits and this is a no-op.
     *
-    * Only call on scan/projection-level frames: the partition-count probe
-    * plans the physical query, which is cheap for a scan but would eagerly
-    * kick off broadcast futures if a join were already in the tree.
+    * The probe is the OPTIMIZER'S size estimate (logical-plan stats), not
+    * `df.rdd.getNumPartitions`: converting to an RDD forces full physical
+    * planning of the subtree on every call (measurable per-query overhead,
+    * and it would eagerly kick off broadcast futures if a join were in the
+    * tree). A frame at least `target x maxPartitionBytes` is already split
+    * into >= target scan tasks by the file source, so only smaller frames
+    * get the widening exchange — tiny at exactly the times it fires.
     */
   def ensureMinParallel(df: DataFrame): DataFrame = {
-    val target =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val conf = df.sparkSession.conf
+    val target = conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size >= BigInt(target) * maxPartitionBytes) df
+    else df.repartition(target)
   }
 }

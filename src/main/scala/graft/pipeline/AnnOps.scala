@@ -208,19 +208,18 @@ object AnnOps {
       seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val tablePlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
-    def sigs(vec: Column): Column = array(tablePlanes.zipWithIndex.map {
-      case (planes, t) =>
-        struct(lit(t).as("t"), signature(vec, planes).as("sig"))
-    }: _*)
+    // all `tables` signatures from ONE fused kernel pass over the vector
+    // (bit-identical to per-plane dot_product folds; see HyperplaneKernel)
+    val planeTensor = tablePlanes.toArray
+    def sigs(vec: Column): Column =
+      graft.functions.funcs.hyperplane_sigs(vec, planeTensor)
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
-      explode(sigs(col(vecCol))).as("b"))
-      .select(col("query_id"), col("qv"), col("b.t"), col("b.sig"))
+      posexplode(sigs(col(vecCol))).as(Seq("t", "sig")))
     // widen BEFORE the signature explode so the kernel scan parallelises
     val craw = ensureMinParallel(
       corpus.select(col(corpusIdCol).as("neighbour_id"), col(vecCol).as("cv")))
     val c = craw.select(col("neighbour_id"), col("cv"),
-      explode(sigs(col("cv"))).as("b"))
-      .select(col("neighbour_id"), col("cv"), col("b.t"), col("b.sig"))
+      posexplode(sigs(col("cv"))).as(Seq("t", "sig")))
     val scored = c.join(broadcast(q), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),

@@ -79,9 +79,13 @@ object CorpusOps {
    * reproducible across engines; the reported score is the standard
    * smoothed tf-idf `tf * (ln((N+1)/(df+1)) + 1)`.
    *
-   * Two shuffles total: (doc, term) aggregation, then term-keyed document
-   * frequencies joined back (broadcast when small). The per-doc top-k
-   * window partitions on the doc id — no global sort.
+   * The (doc, term) aggregate feeds both the document-frequency rollup and
+   * the final join, so it is materialised once (eager localCheckpoint) —
+   * without that Spark re-runs the tokenize+explode+aggregate, doubling the
+   * heaviest stage. Document frequencies are vocabulary-sized; when the
+   * vocabulary is small enough they are broadcast so the big (doc, term)
+   * relation never reshuffles on the term key. The per-doc top-k window
+   * partitions on the doc id — no global sort.
    */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -89,8 +93,13 @@ object CorpusOps {
       .select(col(idCol), explode(TextOps.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = docTerms.groupBy("term")
+      .localCheckpoint()
+    val docFreqRaw = docTerms.groupBy("term")
       .agg(count(lit(1)).as("doc_freq"))
+      .localCheckpoint()
+    // 8M terms ≈ a few hundred MB broadcast — the cutover to a shuffled join
+    val docFreq =
+      if (docFreqRaw.count() <= 8000000L) broadcast(docFreqRaw) else docFreqRaw
     val total = df.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tf").desc, col("doc_freq").asc, col("term").asc)
