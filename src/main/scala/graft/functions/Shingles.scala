@@ -12,7 +12,7 @@ object ShingleKernel {
     * equivalent is O(n^2) per document because UTF8String.substring scans
     * for codepoint boundaries on every call. */
   def shingles(s: UTF8String, q: Int): ArrayData = {
-    val norm = s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
     if (norm.length <= q) {
@@ -35,7 +35,7 @@ object ShingleKernel {
     * ~1e-19 collision probability — the same contract the minhash slots
     * already rely on. */
   def hashedShingles(s: UTF8String, q: Int): ArrayData = {
-    val norm = s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.TreeSet[java.lang.Long]()
     val n = norm.length
@@ -64,7 +64,7 @@ object ShingleKernel {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def hashedTokens(s: UTF8String): ArrayData = {
-    val norm = s.toString.trim.toLowerCase
+    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT)
     if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.TreeSet[java.lang.Long]()
     val n = norm.length
@@ -93,7 +93,7 @@ object ShingleKernel {
     * per shingle, k slots via wrap-around universal hashing (JVM semantics
     * — deliberately NOT Column arithmetic, which throws under ANSI). */
   def minhash(s: UTF8String, q: Int, params: Array[Long]): ArrayData = {
-    val norm = s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val k = params.length / 2
     val mins = Array.fill(k)(Long.MaxValue)
     if (norm.nonEmpty) {

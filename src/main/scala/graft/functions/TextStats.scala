@@ -33,7 +33,7 @@ object TextStatsKernel {
   def eval(s0: UTF8String): InternalRow = {
     val text = s0.toString
     val trimmed = text.trim
-    val lower = trimmed.toLowerCase
+    val lower = trimmed.toLowerCase(java.util.Locale.ROOT)
     // tokens of lower == tokens of trimmed, lowercased
     val toks: Array[String] =
       if (lower.isEmpty) Array.empty else lower.split("\\s+")
@@ -119,7 +119,7 @@ object RepetitionStatsKernel {
     while (i < n) {
       val raw = rawToks(i)
       if (raw.length > maxLen) maxLen = raw.length
-      val t = raw.toLowerCase
+      val t = raw.toLowerCase(java.util.Locale.ROOT)
       if (!seen.add(t)) dupTok += 1
       if (prev != null && !seenBi.add(prev + " " + t)) dupBi += 1
       prev = t

@@ -199,16 +199,16 @@ object ComparisonLibrary {
 
   /** `PairwiseStringDistanceFunctionAtThresholds` (`:350`): top level is
     * array intersection >= 1 (any exact shared element), then best-pair
-    * distance/similarity thresholds in tightening-to-loosening order. */
+    * distance/similarity thresholds in CALLER order — the reference builds
+    * levels exactly as given (comparison_library.py:350), so unsorted
+    * thresholds produce the same (loose-first) gamma assignment there and
+    * here. */
   def pairwiseStringDistanceAtThresholds(c: String, fn: String,
       thresholds: Seq[Double],
-      higherIsMoreSimilar: Boolean = false): Comparison = {
-    val ordered =
-      if (higherIsMoreSimilar) thresholds.sorted.reverse else thresholds.sorted
+      higherIsMoreSimilar: Boolean = false): Comparison =
     Comparison(c, nullLevel(c) +: arrayIntersect(c, 1) +:
-      ordered.map(t =>
+      thresholds.map(t =>
         pairwiseStringDistance(c, fn, t, higherIsMoreSimilar)) :+ elseLevel)
-  }
 
   /** `DistanceInKMAtThresholds` (`:596`). */
   def distanceInKMAtThresholds(lat: String, lon: String, kms: Seq[Double],

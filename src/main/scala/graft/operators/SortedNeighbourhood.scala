@@ -27,6 +27,8 @@ object SortedNeighbourhood {
    */
   def globalRank(df: DataFrame, idCol: String, sortKey: Column,
       partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("__sk"),
+      "globalRank reserves the column name __sk; rename the input column")
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val keyed = df.withColumn("__sk", sortKey)
@@ -43,7 +45,7 @@ object SortedNeighbourhood {
       case (acc, (pid, off)) => when(col("__pid") === pid, lit(off)).otherwise(acc)
     }
     local.withColumn("rn", col("__lrn") + offsetCol)
-      .drop("__pid", "__lrn")
+      .drop("__pid", "__lrn", "__sk") // no internal helpers leak to callers
   }
 
   /**

@@ -314,7 +314,11 @@ object DedupOps {
     * that any engine with md5 can replay exactly. */
   def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Array[Array[Double]] =
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    // a vector containing a null ELEMENT can never win a cosine (the
+    // kernel nulls out), so it must not become a centroid either — and the
+    // driver-side Number match below would throw on it
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        !exists(col(vecCol), _.isNull))
       .select(col(vecCol), TextOps.portableHash(col(idCol)).as("__h"),
         col(idCol).as("__id"))
       .orderBy(col("__h"), col("__id")).limit(k)

@@ -85,7 +85,17 @@ object TimeOps {
         lit(1).as("__side") +:
         lit(null).cast(rSide.schema("__rv").dataType).as("__rv") +:
         leftCols.map(col)): _*)
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    // deterministic tie-break among right rows sharing (key, time): order
+    // by the payload struct itself when its type is orderable, so the
+    // carried row is the max payload — otherwise output would depend on
+    // shuffle arrival order for non-unique right frames. Non-orderable
+    // payloads (maps) keep the documented (key,time)-uniqueness requirement.
+    val rvOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(rSide.schema("__rv").dataType)
+    val ordering =
+      if (rvOrderable) Seq(col("__t"), col("__side"), col("__rv"))
+      else Seq(col("__t"), col("__side"))
+    val w = Window.partitionBy("__k").orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rSide.unionByName(lSide)
       .withColumn("__carried",

@@ -200,6 +200,19 @@ class ComparisonLevelSpec extends SparkSpec {
       Seq(3, 2, 2, 2, 1, 0))
   }
 
+  test("pairwise-string-distance thresholds keep caller order " +
+      "(comparison_library.py:350 builds levels as given)") {
+    val sorted = ComparisonLibrary.pairwiseStringDistanceAtThresholds(
+      "x", "damerau_levenshtein", Seq(1.0, 2.0))
+    val unsorted = ComparisonLibrary.pairwiseStringDistanceAtThresholds(
+      "x", "damerau_levenshtein", Seq(2.0, 1.0))
+    def thresholdsOf(c: graft.model.Comparison): Seq[String] =
+      c.levels.map(_.label)
+    // same level multiset, but caller order preserved — NOT re-sorted
+    assert(thresholdsOf(unsorted) == thresholdsOf(sorted).take(2) ++
+      thresholdsOf(sorted).slice(2, 4).reverse ++ thresholdsOf(sorted).drop(4))
+  }
+
   test("comparison templates expand to expected level counts") {
     assert(ComparisonLibrary.exactMatch("x").levels.size == 3)
     assert(ComparisonLibrary.levenshteinAtThresholds("x", Seq(1, 2)).levels.size == 5)

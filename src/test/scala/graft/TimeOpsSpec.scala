@@ -79,6 +79,20 @@ class TimeOpsSpec extends SparkSpec {
     assert(nullish("nk").isEmpty && nullish("nt").isEmpty)
   }
 
+  test("asofJoin is deterministic on duplicate (key, time) right rows") {
+    // two right rows share (k=1, rt=10); the carried payload must be the
+    // max payload struct, not shuffle-arrival order
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 5L), (1L, 10L, 9L), (1L, 10L, 2L))
+      .toDF("rk", "rt", "payload")
+    (1 to 5).foreach { i =>
+      val got = TimeOps.asofJoin(
+        left, right.repartition(i), "k", "rk", "t", "rt", Seq("payload"))
+        .select("payload").as[Long].collect().toSeq
+      assert(got == Seq(9L), s"layout $i")
+    }
+  }
+
   test("semanticDedup: nCells=1 equals brute-force transitive closure") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
