@@ -1,0 +1,100 @@
+package graft.model
+
+/**
+ * Translation of DuckDB-dialect SQL fragments — as found in model.json
+ * files the reference writes with `sql_dialect: "duckdb"`
+ * (`settings.py:568-595`; conditions are stored pre-dialected, e.g.
+ * `jaro_winkler_similarity("first_name_l", "first_name_r") >= 0.92`) —
+ * into Spark SQL against this engine's registered function surface, so a
+ * model trained in the reference loads and predicts here unchanged.
+ *
+ * Scope: the constructs the reference's own comparison/blocking libraries
+ * emit for DuckDB (identifier quoting, similarity function names,
+ * TEXT casts, try_strptime/EPOCH date arithmetic). Anything else passes
+ * through verbatim and fails loudly at Spark parse time, never silently.
+ */
+object DialectSql {
+
+  /** Function/keyword rewrites applied OUTSIDE string literals. Word
+    * boundaries are enforced by the regex so e.g. a column named
+    * `my_levenshtein_x` is untouched. */
+  private val tokenRewrites: Seq[(scala.util.matching.Regex, String)] = Seq(
+    ("(?i)\\bjaro_winkler_similarity\\b".r, "jaro_winkler"),
+    ("(?i)\\bjaro_similarity\\b".r, "jaro_sim"),
+    // our damerau_levenshtein / levenshtein / regexp_extract match already
+    ("(?i)\\bas\\s+text\\b".r, "AS STRING"),
+    ("(?i)\\bepoch\\s*\\(".r, "unix_timestamp("),
+    ("(?i)\\btry_strptime\\s*\\(".r, "try_to_timestamp("))
+
+  /** strptime -> java.time format tokens (only the tokens the reference's
+    * date-comparison templates emit). */
+  private val strptimeTokens = Seq(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
+
+  /** DuckDB SQL fragment -> Spark SQL fragment. */
+  def duckdbToSpark(sql: String): String = {
+    // one pass splitting the text into literal / non-literal segments so
+    // rewrites never touch the inside of a '...' string; "ident" becomes
+    // `ident` ("" escape -> a literal " inside the name)
+    val out = new StringBuilder
+    val code = new StringBuilder // current non-literal run, rewritten on flush
+    def flushCode(): Unit = {
+      var s = code.toString
+      tokenRewrites.foreach { case (re, repl) => s = re.replaceAllIn(s, repl) }
+      out.append(s)
+      code.clear()
+    }
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' => // single-quoted literal, '' escapes
+          flushCode()
+          val end = {
+            var j = i + 1
+            while (j < n && !(sql.charAt(j) == '\'' &&
+              (j + 1 >= n || sql.charAt(j + 1) != '\''))) {
+              if (sql.charAt(j) == '\'') j += 2 else j += 1
+            }
+            math.min(j, n - 1)
+          }
+          out.append(sql.substring(i, end + 1))
+          i = end + 1
+        case '"' => // quoted identifier -> backticks
+          flushCode()
+          val body = new StringBuilder
+          var j = i + 1
+          var closed = false
+          while (j < n && !closed) {
+            if (sql.charAt(j) == '"') {
+              if (j + 1 < n && sql.charAt(j + 1) == '"') { body.append('"'); j += 2 }
+              else { closed = true; j += 1 }
+            } else { body.append(sql.charAt(j)); j += 1 }
+          }
+          out.append('`').append(body).append('`')
+          i = j
+        case c =>
+          code.append(c)
+          i += 1
+      }
+    }
+    flushCode()
+    // try_strptime's %-format literal (now the 2nd arg of
+    // try_to_timestamp) must become a java.time pattern
+    "(?i)try_to_timestamp\\(([^,()]*(?:\\([^()]*\\))?[^,()]*),\\s*'([^']*)'\\)".r
+      .replaceAllIn(out.toString, m => {
+        val fmt = strptimeTokens.foldLeft(m.group(2)) {
+          case (acc, (from, to)) => acc.replace(from, to)
+        }
+        scala.util.matching.Regex.quoteReplacement(
+          s"try_to_timestamp(${m.group(1)}, '$fmt')")
+      })
+  }
+
+  /** Apply the dialect named in a model.json (`sql_dialect` field) to a
+    * stored SQL fragment. Spark-dialect and unknown-dialect fragments pass
+    * through untouched. */
+  def toSpark(sql: String, dialect: String): String =
+    if (dialect.equalsIgnoreCase("duckdb")) duckdbToSpark(sql) else sql
+}

@@ -80,6 +80,14 @@ object SettingsJson {
       case _ => Nil
     }
 
+    // dialect of the stored SQL fragments: a model.json written by the
+    // reference carries `sql_dialect` (settings.py:568-595) and its
+    // conditions/rules are pre-dialected strings; duckdb fragments are
+    // translated to Spark SQL on load (DialectSql) so reference-trained
+    // models predict here unchanged
+    val dialect = str(j \ "sql_dialect", "spark")
+    def tr(sql: String, d: String = dialect): String = DialectSql.toSpark(sql, d)
+
     val rules = (j \ "blocking_rules_to_generate_predictions") match {
       case JArray(vs) => vs.map { rv =>
         val explode = strSeq(rv \ "arrays_to_explode")
@@ -90,9 +98,10 @@ object SettingsJson {
                 case JInt(v) => v.toInt; case _ => 1
               }, explode)
           case _ => rv match {
-            case JString(sql) => BlockingRule.CustomBlockingRule(sql)
+            case JString(sql) => BlockingRule.CustomBlockingRule(tr(sql))
             case _ => BlockingRule.CustomBlockingRule(
-              str(rv \ "blocking_rule", "1=1"), explode)
+              tr(str(rv \ "blocking_rule", "1=1"),
+                str(rv \ "sql_dialect", dialect)), explode)
           }
         }
       }
@@ -109,9 +118,12 @@ object SettingsJson {
       case JArray(vs) => vs.map { cv =>
         val levels = (cv \ "comparison_levels") match {
           case JArray(ls) => ls.map { lv =>
+            val rawCond = str(lv \ "sql_condition", "ELSE")
             ComparisonLevel(
               label = str(lv \ "label_for_charts", ""),
-              sqlCondition = str(lv \ "sql_condition", "ELSE"),
+              sqlCondition =
+                if (rawCond.trim.equalsIgnoreCase("ELSE")) rawCond
+                else tr(rawCond),
               isNull = bool(lv \ "is_null_level", default = false),
               m = optDbl(lv \ "m_probability"),
               u = optDbl(lv \ "u_probability"),

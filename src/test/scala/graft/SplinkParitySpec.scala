@@ -177,6 +177,78 @@ class SplinkParitySpec extends SparkSpec {
     assert(score(reloaded) == score(linker))
   }
 
+  test("a model.json WRITTEN BY THE REFERENCE (duckdb dialect) loads and " +
+      "predicts — docs/demos/demo_settings/saved_model_from_demo.json") {
+    val loaded = SettingsJson.load(
+      "/root/reference/docs/demos/demo_settings/saved_model_from_demo.json")
+    // structural + literal anchors straight from the file
+    assert(loaded.linkType == LinkType.DedupeOnly)
+    assert(math.abs(loaded.probabilityTwoRandomRecordsMatch -
+      0.00298012298012298) < 1e-18)
+    assert(loaded.blockingRules.size == 3)
+    assert(loaded.comparisons.map(_.levels.size) == Seq(6, 6, 4, 3, 6))
+    val fnExact = loaded.comparisons.head.levels(1)
+    assert(fnExact.m.contains(0.49092153055564214) &&
+      fnExact.u.contains(0.006187690390473553) &&
+      fnExact.tfColumn.contains("first_name"))
+    assert(loaded.comparisons.head.levels.head.isNull)
+
+    // Spark-SQL twin of every stored duckdb condition, written BY HAND
+    // (independent of DialectSql); every numeric parameter copied by
+    // level index, so any prediction difference isolates the translation
+    def jw(c: String, t: Double) = s"jaro_winkler(${c}_l, ${c}_r) >= $t"
+    def user(s: String) = s"NULLIF(regexp_extract($s, '^[^@]+', 0), '')"
+    val twinConds = Seq(
+      Seq("first_name_l IS NULL OR first_name_r IS NULL",
+        "first_name_l = first_name_r", jw("first_name", 0.92),
+        jw("first_name", 0.88), jw("first_name", 0.7), "ELSE"),
+      Seq("surname_l IS NULL OR surname_r IS NULL",
+        "surname_l = surname_r", jw("surname", 0.92),
+        jw("surname", 0.88), jw("surname", 0.7), "ELSE"),
+      Seq("CAST(dob_l AS STRING) IS NULL OR CAST(dob_r AS STRING) IS NULL",
+        "CAST(dob_l AS STRING) = CAST(dob_r AS STRING)",
+        "levenshtein(CAST(dob_l AS STRING), CAST(dob_r AS STRING)) <= 1",
+        "ELSE"),
+      Seq("city_l IS NULL OR city_r IS NULL", "city_l = city_r", "ELSE"),
+      Seq("email_l IS NULL OR email_r IS NULL", "email_l = email_r",
+        s"${user("email_l")} = ${user("email_r")}", jw("email", 0.88),
+        s"jaro_winkler(${user("email_l")}, ${user("email_r")}) >= 0.88",
+        "ELSE"))
+    val twin = loaded.copy(
+      comparisons = loaded.comparisons.zip(twinConds).map { case (c, conds) =>
+        c.copy(levels = c.levels.zip(conds).map { case (lv, sql) =>
+          lv.copy(sqlCondition = sql) })
+      },
+      blockingRules = Seq(
+        BlockingRule.BlockOnRule(Seq("first_name", "city")),
+        BlockingRule.blockOn("surname"), BlockingRule.blockOn("dob")))
+
+    def score(s: LinkSettings) = new Linker(fake1000, s).predict()
+      .select(col("unique_id_l"), col("unique_id_r"),
+        round(col("match_weight"), 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = score(loaded)
+    assert(got.nonEmpty)
+    assert(got == score(twin))
+  }
+
+  test("duckdb date arithmetic from a reference model (model_h50k.json " +
+      "dob levels) translates and evaluates") {
+    val dk = """ABS(EPOCH(try_strptime("dob_l", '%Y-%m-%d')) - """ +
+      """EPOCH(try_strptime("dob_r", '%Y-%m-%d'))) <= 2629800.0"""
+    val translated = DialectSql.duckdbToSpark(dk)
+    assert(translated == "ABS(unix_timestamp(try_to_timestamp(`dob_l`, " +
+      "'yyyy-MM-dd')) - unix_timestamp(try_to_timestamp(`dob_r`, " +
+      "'yyyy-MM-dd'))) <= 2629800.0")
+    import spark.implicits._
+    val got = Seq(("2001-01-05", "2001-01-20"), ("2001-01-05", "2003-06-01"),
+      ("bad", "2001-01-01"))
+      .toDF("dob_l", "dob_r")
+      .selectExpr(s"coalesce($translated, false) AS hit")
+      .as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, false))
+  }
+
   test("EM free-u blocked on surname reproduces splink2's λ and m paths") {
     val r = Training.expectationMaximisation(
       Seq("fake_1000" -> fake1000), settings, BlockingRule.blockOn("surname"),
