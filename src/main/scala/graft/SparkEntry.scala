@@ -719,6 +719,20 @@ object SparkEntry {
         .select(col("cluster_id"), col("n_nodes"), col("n_edges"))
     }),
 
+    // §2.6 cluster-studio sampling, remaining strategies
+    // (`cluster_studio.py:157-296`): seeded portable-hash "random" and
+    // lowest-density-by-size — both deterministic and engine-replayable
+    "q_cluster_sample" -> ((s, dir) => {
+      val (edges, clusters) = ordersPathGraph(s, dir)
+      Evaluation.sampleClusters(clusters, edges, "random", 5)
+        .withColumn("method", lit("random"))
+        .unionByName(
+          Evaluation.sampleClusters(clusters, edges,
+            "lowest_density_clusters_by_size", 5)
+            .withColumn("method", lit("lowest_density")))
+        .select(col("method"), col("cluster_id"))
+    }),
+
     // corpus: token-count histogram (16-token bins) — the length
     // distribution that drives packing budgets and truncation policy
     "q_tokens_hist" -> ((s, dir) => {
@@ -1891,6 +1905,24 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey HAVING count(*) >= 2)
         |SELECT cid AS cluster_id, n AS n_nodes, n - 1 AS n_edges
         |FROM c ORDER BY n DESC, cid LIMIT 15""".stripMargin,
+
+    // cluster-sampling replay: per-customer order paths are the
+    // components (cid = min orderkey, n nodes, n-1 edges); "random" ranks
+    // by the same seeded md5-prefix portable hash, lowest-density by
+    // 2E/(n(n-1)) with the n>2 filter and cid tie-break
+    "q_cluster_sample" ->
+      """WITH c AS (SELECT count(*) AS n, min(o_orderkey) AS cid
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 2),
+        |m AS (SELECT cid, n,
+        |  (n - 1)::DOUBLE * 2 / (n * (n - 1)) AS density FROM c)
+        |SELECT * FROM (
+        |  SELECT 'random' AS method, cid AS cluster_id FROM m
+        |  ORDER BY ('0x' || substr(md5('42-' || CAST(cid AS VARCHAR)), 1, 8))::BIGINT,
+        |           cid LIMIT 5)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'lowest_density' AS method, cid AS cluster_id FROM m
+        |  WHERE n > 2 ORDER BY density, cid LIMIT 5)""".stripMargin,
 
     // token histogram replay: same whitespace token count, 16-wide bins
     "q_tokens_hist" ->

@@ -223,14 +223,20 @@ object ClusteringOps {
   /**
    * Bridge edges (`edge_metrics.py:28-60`): an edge is a bridge when its
    * removal disconnects the cluster. The reference shells out to igraph on
-   * the driver (optional dependency); here clusters up to
-   * `maxClusterSize` are collected per-cluster and bridges found with the
-   * linear-time DFS algorithm; larger clusters are skipped (flagged null),
-   * matching the reference's "basic fallback" posture.
+   * the driver (optional dependency, no size guard); here each cluster's
+   * edges are processed as ONE TASK-SIDE unit (a per-cluster linear-time
+   * DFS inside flatMap — parallel across clusters, never a driver
+   * collect), guarded by `maxClusterSize` so a mega-cluster cannot OOM a
+   * task.
+   *
+   * A cluster above the cap is never silently dropped: by default the
+   * call FAILS with the offending cluster ids/sizes; with
+   * `skipOversize = true` its edges are kept with `is_bridge = NULL`
+   * (explicitly unknown) so downstream aggregation sees every edge.
    */
   def edgeBridges(clusters: DataFrame, edges: DataFrame,
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
-      maxClusterSize: Int = 10000): DataFrame = {
+      maxClusterSize: Int = 10000, skipOversize: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val withCluster = edges.alias("e")
@@ -238,6 +244,20 @@ object ClusteringOps {
       .select(col("c.cluster_id").as("cluster_id"),
         col(s"e.$srcCol").cast("long").as("a"), col(s"e.$dstCol").cast("long").as("b"))
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val oversizedIds = sizes.filter(col("n") > maxClusterSize)
+    if (!skipOversize) {
+      // |clusters|-sized aggregate, limit-pruned: the guard costs one scan
+      // of the (small) cluster-assignment frame, not of the edges
+      val oversized = oversizedIds.orderBy(desc("n")).limit(5).collect()
+      if (oversized.nonEmpty) {
+        val desc = oversized.map(r => s"${r.get(0)} (${r.get(1)} nodes)")
+          .mkString(", ")
+        throw new IllegalArgumentException(
+          s"edgeBridges: cluster(s) exceed maxClusterSize=$maxClusterSize: " +
+            s"$desc. Raise maxClusterSize (per-task memory permitting) or " +
+            "pass skipOversize=true to keep their edges with is_bridge=NULL.")
+      }
+    }
     val small = withCluster.join(sizes.filter(col("n") <= maxClusterSize),
       Seq("cluster_id"), "left_semi")
     val perCluster = small.groupBy("cluster_id")
@@ -248,10 +268,15 @@ object ClusteringOps {
         .map(r => (r.getLong(0), r.getLong(1)))
       val bridges = findBridges(es)
       es.map { case (a, b) =>
-        (cid.toString, a, b, bridges.contains((a, b)) || bridges.contains((b, a)))
+        (cid.toString, a, b,
+          Option(bridges.contains((a, b)) || bridges.contains((b, a))))
       }
     }.toDF("cluster_id", srcCol, dstCol, "is_bridge")
-    bridged
+    if (!skipOversize) bridged
+    else bridged.unionByName(withCluster
+      .join(oversizedIds, Seq("cluster_id"), "left_semi")
+      .select(col("cluster_id").cast("string"), col("a").as(srcCol),
+        col("b").as(dstCol), lit(null).cast("boolean").as("is_bridge")))
   }
 
   /** Tarjan DFS bridge finding over an undirected edge list (driver-side). */

@@ -344,7 +344,17 @@ object Evaluation {
     val metrics = ClusteringOps.clusterMetrics(clusters, edges, srcCol, dstCol)
     method match {
       case "random" =>
-        metrics.orderBy(rand(seed)).limit(n).select("cluster_id")
+        // seeded PORTABLE hash order, not rand(): rand(seed) depends on the
+        // physical partition layout (same seed, different partitioning,
+        // different sample), while the md5-based rank is layout-independent,
+        // identical at any scale, and replayable by external engines —
+        // the reference pins its sample for the same reason
+        // (`cluster_studio.py:157-186` / `dialects.py:177-206`)
+        metrics.orderBy(
+            graft.pipeline.TextOps.portableHash(
+              concat_ws("-", lit(seed), col("cluster_id"))),
+            col("cluster_id"))
+          .limit(n).select("cluster_id")
       case "by_cluster_size" =>
         metrics.orderBy(desc("n_nodes"), asc("cluster_id")).limit(n)
           .select("cluster_id")

@@ -29,6 +29,31 @@ class Ops2Spec extends SparkSpec {
     assert(!got((1L, 2L)) && !got((2L, 3L)))
   }
 
+  test("edgeBridges above the cluster-size cap: hard error by default, " +
+      "NULL-flagged edges with skipOversize") {
+    // one 6-node path (oversize at cap 4) + one triangle-with-tail (size 4)
+    val big = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val smallC = Seq((10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L))
+    val edges = (big ++ smallC).toDF("unique_id_l", "unique_id_r")
+    val clusters = ConnectedComponents.run(edges)
+    val e = intercept[IllegalArgumentException] {
+      ClusteringOps.edgeBridges(clusters, edges, maxClusterSize = 4)
+    }
+    assert(e.getMessage.contains("maxClusterSize=4") &&
+      e.getMessage.contains("6 nodes") &&
+      e.getMessage.contains("skipOversize"))
+    // skipOversize: oversize edges PRESENT with is_bridge null; the small
+    // cluster still gets true labels
+    val got = ClusteringOps.edgeBridges(clusters, edges, maxClusterSize = 4,
+      skipOversize = true).collect()
+      .map(r => (r.getAs[Long]("unique_id_l"), r.getAs[Long]("unique_id_r")) ->
+        Option(r.getAs[java.lang.Boolean]("is_bridge")).map(_.booleanValue))
+      .toMap
+    assert(got.size == big.size + smallC.size)
+    big.foreach(e => assert(got(e).isEmpty, s"oversize edge $e not null"))
+    assert(got((12L, 13L)).contains(true) && got((10L, 11L)).contains(false))
+  }
+
   test("default m/u heuristic fills untrained levels monotonically") {
     val s = LinkSettings(comparisons = Seq(
       Comparison("x", Seq(ll.nullLevel("x"), ll.exactMatch("x"),
