@@ -123,6 +123,21 @@ object SparkEntry {
           col("join_key_r").cast("bigint").as("uid_r"))
     }),
 
+    // §2.8 salted blocking on a deliberately hot key (c_mktsegment: 5
+    // values): salts=4 splits each rule join into 4 bucketed sub-joins so
+    // no single task carries a whole hot block. The oracle is the PLAIN
+    // unsalted join — salting must not change the pair set
+    "q_salted_pairs" -> ((s, dir) => {
+      val c = pq(s, dir, "customer").filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey").as("unique_id"), col("c_mktsegment"))
+      val settings = LinkSettings(linkType = LinkType.DedupeOnly,
+        blockingRules = Seq(
+          BlockingRule.BlockOnRule(Seq("c_mktsegment"), salts = 4)))
+      Blocking.blockedIdPairs(c, settings)
+        .select(col("join_key_l").cast("bigint").as("uid_l"),
+          col("join_key_r").cast("bigint").as("uid_r"))
+    }),
+
     // §2.3 multi-rule dedupe with match_key
     "q_multi_rule_pairs" -> ((s, dir) => {
       Blocking.blockedIdPairs(customers(s, dir), customerSettings)
@@ -994,6 +1009,14 @@ object SparkEntry {
         |FROM customer l JOIN customer r
         |  ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
         | AND l.c_custkey < r.c_custkey""".stripMargin,
+
+    // salted-blocking replay: salting is a physical rewrite only, so the
+    // oracle is simply the unsalted hot-key join
+    "q_salted_pairs" ->
+      """SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
+        |FROM customer l JOIN customer r
+        |  ON l.c_mktsegment = r.c_mktsegment AND l.c_custkey < r.c_custkey
+        |WHERE l.c_custkey % 20 = 0 AND r.c_custkey % 20 = 0""".stripMargin,
 
     "q_multi_rule_pairs" ->
       s"""$oraclePairsCte SELECT match_key, uid_l, uid_r FROM pairs""",

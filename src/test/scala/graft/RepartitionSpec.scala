@@ -48,6 +48,34 @@ class RepartitionSpec extends SparkSpec {
     linker.concatWithTf.unpersist()
   }
 
+  test("salted hot-key blocking: identical pair set, smaller max task") {
+    withShufflePartitions(8) {
+      // one pathologically hot key: 400 of 480 rows share segment 'HOT',
+      // so the unsalted join puts ~80k pairs in ONE shuffle partition
+      val rows = (1L to 480L).map(i =>
+        (i, if (i <= 400) "HOT" else s"cold${i % 8}"))
+      val df = rows.toDF("unique_id", "seg")
+      def pairs(salts: Int) = graft.operators.Blocking.blockedIdPairs(df,
+        LinkSettings(linkType = LinkType.DedupeOnly,
+          blockingRules = Seq(BlockingRule.BlockOnRule(Seq("seg"), salts))))
+      val unsalted = pairs(1)
+      val salted = pairs(4)
+      // correctness: the salted union is the SAME pair set
+      val u = unsalted.select("join_key_l", "join_key_r")
+        .as[(String, String)].collect().sorted.toSeq
+      val s4 = salted.select("join_key_l", "join_key_r")
+        .as[(String, String)].collect().sorted.toSeq
+      assert(s4 == u && u.nonEmpty)
+      // scale shape: per-task output spread shrinks ~x salts — each salted
+      // sub-join carries 1/salts of the hot key's left rows
+      def maxTaskRows(d: org.apache.spark.sql.DataFrame): Long =
+        d.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+      val mu = maxTaskRows(unsalted)
+      val ms = maxTaskRows(salted)
+      assert(ms * 2 <= mu, s"salted max task $ms vs unsalted $mu")
+    }
+  }
+
   test("keyed role exchange satisfies a downstream dedupe without a second shuffle") {
     withShufflePartitions(32) {
       val edges = (1 to 100).flatMap(i => Seq((i.toLong, (i + 1).toLong)))
