@@ -119,6 +119,44 @@ object ShingleKernel {
     }
     new GenericArrayData(mins.map(v => v: java.lang.Long).toArray[AnyRef])
   }
+
+  /** [[hashedShingles]] and [[minhash]] FUSED into one pass: the two are
+    * always consumed together by the LSH dedupe (shingle set for the exact
+    * jaccard verify, signature for banding), and separately they each
+    * normalise + re-shingle the full text — the heaviest per-document scan
+    * in the dedupe pipeline, paid twice. Values are bit-identical to the
+    * unfused kernels (same FNV stream feeds both outputs).
+    * @return struct(toks: sorted distinct hashes, sig: k minhash slots) */
+  def shinglesAndMinhash(s: UTF8String, q: Int,
+      params: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val k = params.length / 2
+    val mins = Array.fill(k)(Long.MaxValue)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (norm.nonEmpty) {
+      val n = norm.length
+      val last = if (n <= q) 0 else n - q
+      var i = 0
+      while (i <= last) {
+        val end = math.min(i + q, n)
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < end) { h ^= norm.charAt(j); h *= 0x100000001b3L; j += 1 }
+        if (set.add(h)) {
+          var x = 0
+          while (x < k) {
+            val v = params(2 * x) * h + params(2 * x + 1)
+            if (v < mins(x)) mins(x) = v
+            x += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(set.toArray(new Array[AnyRef](set.size))),
+      new GenericArrayData(mins.map(v => v: java.lang.Long).toArray[AnyRef])))
+  }
 }
 
 /** char_shingles(str, q) -> array<string> (distinct, normalised). */
@@ -158,6 +196,26 @@ case class HashedTokens(child: Expression) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.hashedTokens($v)")
   override protected def withNewChildInternal(c: Expression): HashedTokens = copy(child = c)
+}
+
+/** shingles_minhash(str, q, k) -> struct(toks array<long>, sig array<long>):
+  * the hashed shingle set and the MinHash signature from ONE text pass. */
+case class ShinglesMinhash(child: Expression, q: Int, k: Int)
+    extends UnaryExpression with Serializable {
+  @transient private lazy val params = ShingleKernel.hashParams(k)
+  override def dataType: DataType = StructType(Seq(
+    StructField("toks", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles_minhash"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.shinglesAndMinhash(v.asInstanceOf[UTF8String], q, params)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("smParams", params, "long[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.ShingleKernel.shinglesAndMinhash($v, $q, $p)")
+  }
+  override protected def withNewChildInternal(c: Expression): ShinglesMinhash = copy(child = c)
 }
 
 /** minhash_sig(str, q, k) -> array<long> of k MinHash slots. */

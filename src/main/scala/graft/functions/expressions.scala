@@ -145,6 +145,8 @@ object funcs {
   def jaccard_sorted_longs(l: Column, r: Column): Column =
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
   def minhash_sig(c: Column, q: Int, k: Int): Column = expr(MinHashSig(ex(c), q, k))
+  def shingles_minhash(c: Column, q: Int, k: Int): Column =
+    expr(ShinglesMinhash(ex(c), q, k))
   def cosine_sim(l: Column, r: Column): Column = expr(CosineSim(ex(l), ex(r)))
   def compression_ratio(c: Column): Column = expr(CompressionRatio(ex(c)))
   def dot_product(l: Column, r: Column): Column = expr(DotProduct(ex(l), ex(r)))

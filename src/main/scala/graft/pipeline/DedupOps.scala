@@ -141,9 +141,11 @@ object DedupOps {
     // bytes of the whole corpus. Candidates dedupe as scalar pairs, then
     // two id-keyed joins fetch the shingle sets once for verification.
     val raw = widened(df, Seq(col(idCol).as("id"), col(textCol).as("__text")))
+    // shingle set + signature from ONE fused text pass (bit-identical to
+    // the separate hashed_shingles / minhash_sig kernels)
     val base = raw.select(col("id"),
-        graft.functions.funcs.hashed_shingles(col("__text"), shingleQ).as("toks"),
-        graft.functions.funcs.minhash_sig(col("__text"), shingleQ, k).as("sig"))
+        graft.functions.funcs.shingles_minhash(col("__text"), shingleQ, k).as("sm"))
+      .select(col("id"), col("sm.toks").as("toks"), col("sm.sig").as("sig"))
       .filter(size(col("toks")) > 0)
       .localCheckpoint(false)
     val banded = base
@@ -182,8 +184,8 @@ object DedupOps {
     def prep(df: DataFrame): (DataFrame, DataFrame) = {
       val base = widened(df, Seq(col(idCol).as("id"), col(textCol).as("__text")))
         .select(col("id"),
-          graft.functions.funcs.hashed_shingles(col("__text"), shingleQ).as("toks"),
-          graft.functions.funcs.minhash_sig(col("__text"), shingleQ, k).as("sig"))
+          graft.functions.funcs.shingles_minhash(col("__text"), shingleQ, k).as("sm"))
+        .select(col("id"), col("sm.toks").as("toks"), col("sm.sig").as("sig"))
         .filter(size(col("toks")) > 0)
         .localCheckpoint(false)
       val banded = base

@@ -78,4 +78,23 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }
   }
+
+  test("fused shingles_minhash equals the separate kernels, value for value") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("The quick  brown fox", "", "ab", "aaaaaaaaaa",
+      "MiXeD Case  WITH   runs of space", "exactly8ch").toDF("t")
+    val got = texts.select(
+        graft.functions.funcs.shingles_minhash(col("t"), 8, 32).as("sm"),
+        graft.functions.funcs.hashed_shingles(col("t"), 8).as("toks"),
+        graft.functions.funcs.minhash_sig(col("t"), 8, 32).as("sig"))
+      .select(col("sm.toks").as("ft"), col("sm.sig").as("fs"),
+        col("toks"), col("sig"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2))
+      assert(r.getSeq[Long](1) == r.getSeq[Long](3))
+    }
+  }
 }
