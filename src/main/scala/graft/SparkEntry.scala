@@ -729,7 +729,8 @@ object SparkEntry {
     "q_top_clusters" -> ((s, dir) => {
       val (edges, clusters) = ordersPathGraph(s, dir)
       val metrics = ClusteringOps.clusterMetrics(clusters, edges)
-      Evaluation.sampleClusters(clusters, edges, "by_cluster_size", 15)
+        .localCheckpoint(false) // sample + re-join read one metrics pass
+      Evaluation.sampleClustersFromMetrics(metrics, "by_cluster_size", 15)
         .join(metrics, Seq("cluster_id"))
         .select(col("cluster_id"), col("n_nodes"), col("n_edges"))
     }),
@@ -739,10 +740,13 @@ object SparkEntry {
     // lowest-density-by-size — both deterministic and engine-replayable
     "q_cluster_sample" -> ((s, dir) => {
       val (edges, clusters) = ordersPathGraph(s, dir)
-      Evaluation.sampleClusters(clusters, edges, "random", 5)
+      // one metrics pass feeds both strategies
+      val metrics = ClusteringOps.clusterMetrics(clusters, edges)
+        .localCheckpoint(false)
+      Evaluation.sampleClustersFromMetrics(metrics, "random", 5)
         .withColumn("method", lit("random"))
         .unionByName(
-          Evaluation.sampleClusters(clusters, edges,
+          Evaluation.sampleClustersFromMetrics(metrics,
             "lowest_density_clusters_by_size", 5)
             .withColumn("method", lit("lowest_density")))
         .select(col("method"), col("cluster_id"))

@@ -341,7 +341,15 @@ object Evaluation {
       method: String, n: Int, seed: Long = 42L,
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r"): DataFrame = {
     import graft.clustering.ClusteringOps
-    val metrics = ClusteringOps.clusterMetrics(clusters, edges, srcCol, dstCol)
+    sampleClustersFromMetrics(
+      ClusteringOps.clusterMetrics(clusters, edges, srcCol, dstCol),
+      method, n, seed)
+  }
+
+  /** [[sampleClusters]] over precomputed cluster metrics — callers drawing
+    * several samples compute (and persist) the metrics frame once. */
+  def sampleClustersFromMetrics(metrics: DataFrame, method: String, n: Int,
+      seed: Long = 42L): DataFrame = {
     method match {
       case "random" =>
         // seeded PORTABLE hash order, not rand(): rand(seed) depends on the
