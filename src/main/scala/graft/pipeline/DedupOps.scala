@@ -108,13 +108,19 @@ object DedupOps {
 
   /** LSH band signatures: k minhashes split into bands of `rowsPerBand`,
     * each band hashed to one value. Returns array of (bandIdx, bandHash)
-    * structs for exploding. */
+    * structs for exploding.
+    *
+    * The band key hashes the slot LONGS directly — two signatures share a
+    * band iff their slots agree, identical collision classes to hashing a
+    * string rendering of the slots, without allocating per-row strings in
+    * the hottest dedupe scan (the external replay joins on slot equality,
+    * so the key representation is free to change). */
   def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column = {
     val bands = k / rowsPerBand
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws("-",
-          (0 until rowsPerBand).map(j => element_at(sig, b * rowsPerBand + j + 1).cast("string")): _*))
+        xxhash64((0 until rowsPerBand)
+          .map(j => element_at(sig, b * rowsPerBand + j + 1)): _*)
           .as("band_hash"))
     }: _*)
   }
