@@ -534,6 +534,15 @@ object SparkEntry {
       Evaluation.cumulativeComparisonsPerRule(customers(s, dir), customerSettings)
     }),
 
+    // §2.4 blocking-analysis chart records, the reference's FULL layout
+    // (`blocking_analysis.py:284-294`) including the deterministic-sample
+    // estimation path (threshold ceil(p·10000)/10000, counts scaled 1/f²;
+    // `em_sampling.py:64-84`). p=0.37 exercises the ceil+scale math
+    "q_count_comparisons" -> ((s, dir) => {
+      Evaluation.countComparisonsFromRules(customers(s, dir),
+        customerSettings, recordSampleProportion = 0.37)
+    }),
+
     // §2.11 node-level graph metrics (`graph_metrics.py:28-113`): degree,
     // cluster size, size-adjusted centrality over the orders path graph
     "q_node_metrics" -> ((s, dir) => {
@@ -1348,6 +1357,49 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_rows,
          |  (SELECT CAST(cnt * (cnt - 1) / 2 AS BIGINT) FROM n) AS cartesian
          |FROM rules r LEFT JOIN counts c USING (match_key)""".stripMargin,
+
+    // chart-record replay: portable-hash 37% sample on both sides
+    // (threshold 3700/10000), NOT-previous marginal counts scaled by
+    // 1/0.37², exact cartesian from the unsampled table
+    "q_count_comparisons" ->
+      """WITH s AS (SELECT * FROM customer
+        |  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 10000 < 3700),
+        |pairs AS (
+        |  SELECT '0' AS match_key FROM s l JOIN s r
+        |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+        |   AND l.c_custkey < r.c_custkey
+        |  UNION ALL
+        |  SELECT '1' FROM s l JOIN s r
+        |    ON l.c_nationkey = r.c_nationkey
+        |   AND round(l.c_acctbal, -2) = round(r.c_acctbal, -2)
+        |   AND l.c_custkey < r.c_custkey
+        |   AND NOT coalesce(l.c_nationkey = r.c_nationkey
+        |                    AND l.c_mktsegment = r.c_mktsegment, false)),
+        |counts AS (SELECT match_key, count(*) AS sampled FROM pairs GROUP BY 1),
+        |rules AS (
+        |  SELECT '0' AS match_key,
+        |    'block_on(c_nationkey, c_mktsegment)' AS blocking_rule,
+        |    'l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment'
+        |      AS equi_join_conditions
+        |  UNION ALL
+        |  SELECT '1', 'block_on(c_nationkey, round(c_acctbal, -2))',
+        |    'l.c_nationkey = r.c_nationkey AND l.round(c_acctbal, -2) = r.round(c_acctbal, -2)'),
+        |n AS (SELECT count(*) AS cnt FROM customer),
+        |est AS (SELECT r.match_key, r.blocking_rule, r.equi_join_conditions,
+        |  CAST(round(coalesce(c.sampled, 0) / (0.37 * 0.37)) AS BIGINT)
+        |    AS marginal_comparison_count
+        |  FROM rules r LEFT JOIN counts c USING (match_key))
+        |SELECT blocking_rule, equi_join_conditions, '' AS filter_conditions,
+        |  'l.unique_id < r.unique_id' AS link_type_join_condition,
+        |  marginal_comparison_count,
+        |  CAST(sum(marginal_comparison_count) OVER (ORDER BY CAST(match_key AS INT)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_comparison_count,
+        |  (SELECT CAST(cnt * (cnt - 1) / 2 AS BIGINT) FROM n)
+        |    AS total_possible_comparison_count,
+        |  match_key, 0.37::DOUBLE AS record_sample_proportion,
+        |  true AS is_estimate
+        |FROM est""".stripMargin,
 
     "q_node_metrics" ->
       """WITH e AS (

@@ -233,6 +233,76 @@ object Evaluation {
           .select((col("__n") * (col("__n") - 1) / 2).cast("bigint").as("cartesian"))
     }
 
+  /** `count_comparisons_from_blocking_rules` with the reference's FULL
+    * chart-record layout (`blocking_analysis.py:284-294,601-676`):
+    * one row per rule with descriptive join/filter strings, marginal and
+    * cumulative counts, the exact cartesian, and the sampling metadata.
+    *
+    * `recordSampleProportion < 1` estimates counts from a deterministic
+    * hash sample of records on each side of the blocking join, scaled by
+    * 1/fraction² with the reference's threshold math
+    * (`em_sampling.py:64-84`: threshold = ceil(p·10000) over modulus
+    * 10000). The hash is the engine's PORTABLE md5 bucket rather than a
+    * backend-native hash() — the reference's bucket values differ per
+    * backend anyway, and the portable hash makes the sample replayable by
+    * external engines. The cartesian is exact (never sampled).
+    */
+  def countComparisonsFromRules(concat: DataFrame, settings: LinkSettings,
+      recordSampleProportion: Double = 1.0): DataFrame = {
+    import graft.operators.Blocking
+    require(recordSampleProportion > 0 && recordSampleProportion <= 1,
+      s"record_sample_proportion must be in (0, 1]; got $recordSampleProportion")
+    val modulus = 10000L
+    val threshold = math.min(modulus,
+      math.max(1L, math.ceil(recordSampleProportion * modulus).toLong))
+    val actualFraction = threshold.toDouble / modulus
+    val sampled =
+      if (threshold >= modulus) concat
+      else concat.filter(
+        graft.pipeline.TextOps.portableHash(
+          Blocking.joinKeyCol(settings).cast("string")) % modulus < threshold)
+    val scale = 1.0 / (actualFraction * actualFraction)
+    val counts = Blocking.blockedIdPairs(sampled, settings)
+      .groupBy(col(Cols.MatchKey)).agg(count(lit(1)).as("__sampled"))
+    def describe(r: graft.model.BlockingRule): (String, String) = r match {
+      case graft.model.BlockingRule.BlockOnRule(exprs, _, _) =>
+        (exprs.map(e => s"l.$e = r.$e").mkString(" AND "), "")
+      // custom SQL is reported whole as the filter condition; the
+      // reference splits equi vs filter with a SQL parser — a descriptive
+      // nicety only (tooltips), never used in computation
+      case c: graft.model.BlockingRule.CustomBlockingRule => ("", c.sql)
+      case other => ("", other.describe)
+    }
+    val linkTypeCond = settings.linkType match {
+      case graft.model.LinkType.LinkOnly =>
+        s"l.${settings.sourceDatasetColumn} < r.${settings.sourceDatasetColumn}"
+      case _ => s"l.${settings.uniqueIdColumn} < r.${settings.uniqueIdColumn}"
+    }
+    val ruleFrame = concat.sparkSession.createDataFrame(
+      settings.blockingRules.zipWithIndex.map { case (r, i) =>
+        val (equi, filt) = describe(r)
+        (i.toString, r.describe, equi, filt)
+      }).toDF(Cols.MatchKey, "blocking_rule", "equi_join_conditions",
+        "filter_conditions")
+    val w = Window.orderBy(col(Cols.MatchKey).cast("int"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    broadcast(ruleFrame).join(counts, Seq(Cols.MatchKey), "left")
+      .na.fill(0L, Seq("__sampled"))
+      .withColumn("marginal_comparison_count",
+        round(col("__sampled") * scale).cast("bigint"))
+      .withColumn("cumulative_comparison_count",
+        sum("marginal_comparison_count").over(w))
+      .crossJoin(broadcast(totalPossiblePairs(concat, settings)))
+      .select(col("blocking_rule"), col("equi_join_conditions"),
+        col("filter_conditions"),
+        lit(linkTypeCond).as("link_type_join_condition"),
+        col("marginal_comparison_count"), col("cumulative_comparison_count"),
+        col("cartesian").as("total_possible_comparison_count"),
+        col(Cols.MatchKey).as("match_key"),
+        lit(recordSampleProportion).as("record_sample_proportion"),
+        lit(recordSampleProportion < 1).as("is_estimate"))
+  }
+
   /** Marginal and cumulative comparison counts per blocking rule under
     * NOT-previous semantics (`blocking_analysis.py:601-724`): the chart
     * data behind `cumulative_comparisons_to_be_scored_from_blocking_rules`.
