@@ -65,4 +65,19 @@ class SourcesSpec extends SparkSpec {
     // inference is a second full scan (wrong default at scale)
     assert(rows(spark.read.schema(docs.schema).json(jsonDir)) == expected)
   }
+
+  test("GraftDatasets facade: named load, memoisation, catalogue error") {
+    val ds = graft.operators.GraftDatasets(spark,
+      "/root/reference/tests/datasets")
+    val fake = ds.fake1000
+    assert(fake.count() == 1000)
+    assert(fake.columns.toSeq == Seq("unique_id", "first_name", "surname",
+      "dob", "city", "email", "cluster"))
+    // memoised: same DataFrame instance on repeat access
+    assert(ds.fake1000 eq fake)
+    // empty CSV strings come back as real nulls (strings_can_be_null)
+    assert(fake.filter(col("email").isNull).count() > 0)
+    val err = intercept[IllegalArgumentException](ds.get("no_such_dataset"))
+    assert(err.getMessage.contains("fake_1000_from_splink_demos"))
+  }
 }
