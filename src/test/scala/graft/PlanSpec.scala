@@ -155,4 +155,20 @@ class PlanSpec extends SparkSpec {
       .count(_.contains("Exchange hashpartitioning"))
     assert(hashExchanges == 1, s)
   }
+
+  test("tfidfTopK materialises doc terms once and broadcasts doc frequencies") {
+    val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a e f b"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.CorpusOps.tfidfTopK(docs, "doc_id", "text", 2)
+    val s = finalPlanString(out)
+    // vocabulary-sized doc frequencies broadcast: the big (doc, term)
+    // relation never reshuffles on the term key
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the tokenize+explode+aggregate stage is cut by the checkpoint — the
+    // final plan reads the materialised blocks, it cannot re-run the
+    // explode (that double evaluation was 21% of the r4 bench)
+    assert(!s.contains("Generate explode"), s)
+    assert(s.contains("ExistingRDD"), s)
+    assert(out.collect().nonEmpty)
+  }
 }
