@@ -187,7 +187,14 @@ object funcs {
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "compression_ratio" -> (es => CompressionRatio(es(0))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "l2_sq" -> (es => SquaredL2(es(0), es(1))))
+    "l2_sq" -> (es => SquaredL2(es(0), es(1))),
+    // aliases matching the names the reference's Spark jar registers
+    // (`spark/jar_location.py:41-61`) so a model.json saved from the
+    // reference's SPARK backend resolves unchanged. Spark lowercases
+    // function lookups, hence "dmetaphonealt" for `DmetaphoneAlt(...)`;
+    // `Dmetaphone(...)` already resolves to "dmetaphone" above.
+    "jaccard" -> (es => JaccardSim(es(0), es(1))),
+    "dmetaphonealt" -> (es => DMetaphoneAlt(es(0))))
 
   /** Register SQL-callable names (used by CustomLevel/CustomRule raw-SQL
     * passthrough, mirroring the reference's

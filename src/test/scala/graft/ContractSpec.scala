@@ -53,7 +53,10 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
         "cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))",
       "compression_ratio" -> "compression_ratio('aaaaaaaaaaaaaaaa')",
       "dot_product" -> "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))",
-      "l2_sq" -> "l2_sq(array(0.0D, 0.0D), array(3.0D, 4.0D))")
+      "l2_sq" -> "l2_sq(array(0.0D, 0.0D), array(3.0D, 4.0D))",
+      // reference Spark-jar alias names (case-insensitive lookup)
+      "jaccard" -> "jaccard('night', 'nacht')",
+      "dmetaphonealt" -> "DmetaphoneAlt('smith')")
     // the probe map must cover the shared table exactly — a new kernel
     // without a probe (or vice versa) fails here
     assert(probes.keySet ==
