@@ -77,6 +77,22 @@ case class JaccardSim(left: Expression, right: Expression) extends StringPairExp
     copy(left = l, right = r)
 }
 
+/** Character-SET Jaccard (q=1), matching DuckDB's built-in `jaccard` —
+  * the function duckdb-dialect model.json conditions reference. One
+  * deviation: DuckDB errors on empty input; a distributed scan must not
+  * throw, so empty-vs-nonempty is 0.0 (both-empty 1.0). */
+case class JaccardChars(left: Expression, right: Expression) extends StringPairExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_chars"
+  protected def staticMethod = "graft.functions.StringSim.jaccardQgram1"
+  protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.jaccardQgram(a.toString, b.toString, 1)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.StringSim.jaccardQgram($a.toString(), $b.toString(), 1)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardChars =
+    copy(left = l, right = r)
+}
+
 abstract class StringUnaryExpression extends UnaryExpression with Serializable {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -194,7 +210,10 @@ object funcs {
     // function lookups, hence "dmetaphonealt" for `DmetaphoneAlt(...)`;
     // `Dmetaphone(...)` already resolves to "dmetaphone" above.
     "jaccard" -> (es => JaccardSim(es(0), es(1))),
-    "dmetaphonealt" -> (es => DMetaphoneAlt(es(0))))
+    "dmetaphonealt" -> (es => DMetaphoneAlt(es(0))),
+    // DuckDB's jaccard is character-SET based (q=1), unlike the jar's
+    // bigram jaccard — duckdb model.json conditions translate to this
+    "jaccard_chars" -> (es => JaccardChars(es(0), es(1))))
 
   /** Register SQL-callable names (used by CustomLevel/CustomRule raw-SQL
     * passthrough, mirroring the reference's

@@ -21,6 +21,10 @@ object DialectSql {
   private val tokenRewrites: Seq[(scala.util.matching.Regex, String)] = Seq(
     ("(?i)\\bjaro_winkler_similarity\\b".r, "jaro_winkler"),
     ("(?i)\\bjaro_similarity\\b".r, "jaro_sim"),
+    // DuckDB's jaccard is char-SET jaccard; the engine's `jaccard` alias
+    // keeps the reference Spark jar's BIGRAM semantics, so duckdb
+    // fragments must target the q=1 kernel explicitly
+    ("(?i)\\bjaccard\\s*\\(".r, "jaccard_chars("),
     // our damerau_levenshtein / levenshtein / regexp_extract match already
     ("(?i)\\bas\\s+text\\b".r, "AS STRING"),
     ("(?i)\\bepoch\\s*\\(".r, "unix_timestamp("),

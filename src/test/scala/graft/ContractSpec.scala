@@ -56,7 +56,8 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       "l2_sq" -> "l2_sq(array(0.0D, 0.0D), array(3.0D, 4.0D))",
       // reference Spark-jar alias names (case-insensitive lookup)
       "jaccard" -> "jaccard('night', 'nacht')",
-      "dmetaphonealt" -> "DmetaphoneAlt('smith')")
+      "dmetaphonealt" -> "DmetaphoneAlt('smith')",
+      "jaccard_chars" -> "jaccard_chars('night', 'nacht')")
     // the probe map must cover the shared table exactly — a new kernel
     // without a probe (or vice versa) fails here
     assert(probes.keySet ==

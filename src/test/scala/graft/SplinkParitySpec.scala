@@ -247,6 +247,11 @@ class SplinkParitySpec extends SparkSpec {
       .selectExpr(s"coalesce($translated, false) AS hit")
       .as[Boolean].collect().toSeq
     assert(got == Seq(true, false, false))
+    // duckdb's jaccard is char-SET jaccard -> the q=1 kernel, never the
+    // jar-named bigram alias
+    assert(DialectSql.duckdbToSpark(
+      """jaccard("email_l", "email_r") >= 0.9""") ==
+      "jaccard_chars(`email_l`, `email_r`) >= 0.9")
   }
 
   test("EM free-u blocked on surname reproduces splink2's λ and m paths") {

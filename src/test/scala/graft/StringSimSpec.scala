@@ -54,6 +54,17 @@ class StringSimSpec extends AnyFunSuite {
     assert(Phonetics.doubleMetaphone("PHONE") == Phonetics.doubleMetaphone("FONE"))
   }
 
+  test("char-set jaccard (q=1) matches DuckDB's built-in jaccard") {
+    // anchors computed with duckdb: SELECT jaccard(a, b)
+    assert(StringSim.jaccardQgram("night", "nacht", 1) == 0.42857142857142855)
+    assert(StringSim.jaccardQgram("DIXON", "DICKSONX", 1) == 0.625)
+    assert(StringSim.jaccardQgram("sm", "smith", 1) == 0.4)
+    assert(StringSim.jaccardQgram("night", "NIGHT", 1) == 0.0) // case-sensitive
+    // deviation: duckdb ERRORS on empty input; a distributed scan returns
+    assert(StringSim.jaccardQgram("", "x", 1) == 0.0)
+    assert(StringSim.jaccardQgram("", "", 1) == 1.0)
+  }
+
   test("soundex") {
     assert(Phonetics.soundex("Robert") == "R163")
     assert(Phonetics.soundex("Rupert") == "R163")
