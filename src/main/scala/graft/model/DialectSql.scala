@@ -28,13 +28,45 @@ object DialectSql {
     // our damerau_levenshtein / levenshtein / regexp_extract match already
     ("(?i)\\bas\\s+text\\b".r, "AS STRING"),
     ("(?i)\\bepoch\\s*\\(".r, "unix_timestamp("),
-    ("(?i)\\btry_strptime\\s*\\(".r, "try_to_timestamp("))
+    ("(?i)\\btry_strptime\\s*\\(".r, "try_to_timestamp("),
+    // array level surface (`dialects.py:296-360`): list_* -> Spark names;
+    // array_length(list_intersect(..)) is ArrayIntersectLevel's rendering
+    ("(?i)\\blist_intersect\\s*\\(".r, "array_intersect("),
+    ("(?i)\\barray_length\\s*\\(".r, "size("),
+    ("(?i)\\blist_max\\s*\\(".r, "array_max("),
+    ("(?i)\\blist_min\\s*\\(".r, "array_min("),
+    ("(?i)\\blist_transform\\s*\\(".r, "transform("),
+    ("(?i)\\barray_cosine_similarity\\s*\\(".r, "cosine_sim("))
 
   /** strptime -> java.time format tokens (only the tokens the reference's
     * date-comparison templates emit). */
   private val strptimeTokens = Seq(
     "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
+
+  /** DuckDB strptime format -> java.time pattern: translate %-tokens and
+    * single-quote any literal letters (e.g. the T/Z in the reference's
+    * default timestamp format '%Y-%m-%dT%H:%M:%SZ' — bare letters are
+    * reserved in java.time patterns). */
+  private def strptimeToJavaTime(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val tok = fmt.substring(i, i + 2)
+        strptimeTokens.find(_._1 == tok) match {
+          case Some((_, repl)) => out.append(repl); i += 2
+          case None => out.append(tok); i += 2 // unknown token: verbatim
+        }
+      } else {
+        val c = fmt.charAt(i)
+        if (c.isLetter) out.append('\'').append(c).append('\'')
+        else out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
 
   /** DuckDB SQL fragment -> Spark SQL fragment. */
   def duckdbToSpark(sql: String): String = {
@@ -84,13 +116,19 @@ object DialectSql {
       }
     }
     flushCode()
+    // DuckDB 1-based bracket indexing (array_first_index=1; `x[-1]` =
+    // last, `dialects.py:362-372`) -> element_at, which is 1-based and
+    // negative-index-aware in Spark, unlike Spark's 0-based `[]`
+    val indexed = "(`[^`]+`)\\[(-?\\d+)\\]".r
+      .replaceAllIn(out.toString,
+        m => scala.util.matching.Regex.quoteReplacement(
+          s"element_at(${m.group(1)}, ${m.group(2)})"))
     // try_strptime's %-format literal (now the 2nd arg of
-    // try_to_timestamp) must become a java.time pattern
+    // try_to_timestamp) must become a java.time pattern; the pattern's
+    // own quote chars double up inside the SQL string literal
     "(?i)try_to_timestamp\\(([^,()]*(?:\\([^()]*\\))?[^,()]*),\\s*'([^']*)'\\)".r
-      .replaceAllIn(out.toString, m => {
-        val fmt = strptimeTokens.foldLeft(m.group(2)) {
-          case (acc, (from, to)) => acc.replace(from, to)
-        }
+      .replaceAllIn(indexed, m => {
+        val fmt = strptimeToJavaTime(m.group(2)).replace("'", "''")
         scala.util.matching.Regex.quoteReplacement(
           s"try_to_timestamp(${m.group(1)}, '$fmt')")
       })

@@ -252,6 +252,30 @@ class SplinkParitySpec extends SparkSpec {
     assert(DialectSql.duckdbToSpark(
       """jaccard("email_l", "email_r") >= 0.9""") ==
       "jaccard_chars(`email_l`, `email_r`) >= 0.9")
+    // ArrayIntersectLevel rendering (dialects.py:351-355)
+    assert(DialectSql.duckdbToSpark(
+      """array_length(list_intersect("a_l", "a_r")) >= 2""") ==
+      "size(array_intersect(`a_l`, `a_r`)) >= 2")
+    // 1-based / negative bracket indexing -> element_at (dialects.py:362)
+    assert(DialectSql.duckdbToSpark(""""names_l"[1] = "names_r"[-1]""") ==
+      "element_at(`names_l`, 1) = element_at(`names_r`, -1)")
+    // default timestamp format: literal T/Z must be quoted for java.time
+    // (and the quotes themselves doubled inside the SQL string literal)
+    assert(DialectSql.duckdbToSpark(
+      """try_strptime("ts_l", '%Y-%m-%dT%H:%M:%SZ')""") ==
+      "try_to_timestamp(`ts_l`, 'yyyy-MM-dd''T''HH:mm:ss''Z''')")
+    val parsed = Seq(Tuple1("2021-03-04T05:06:07Z")).toDF("ts_l")
+      .selectExpr(DialectSql.duckdbToSpark(
+        """try_strptime("ts_l", '%Y-%m-%dT%H:%M:%SZ')""") + " AS t")
+      .collect()(0).getTimestamp(0)
+    assert(parsed != null && parsed.toString.startsWith("2021-03-04 05:06:07"))
+    // element access evaluates 1-based like duckdb
+    val firstLast = Seq(Tuple1(Seq("x", "y", "z"))).toDF("names_l")
+      .selectExpr(
+        DialectSql.duckdbToSpark(""""names_l"[1]""") + " AS f",
+        DialectSql.duckdbToSpark(""""names_l"[-1]""") + " AS l")
+      .collect()(0)
+    assert(firstLast.getString(0) == "x" && firstLast.getString(1) == "z")
   }
 
   test("EM free-u blocked on surname reproduces splink2's λ and m paths") {
