@@ -27,6 +27,8 @@ object DialectSql {
     ("(?i)\\bjaccard\\s*\\(".r, "jaccard_chars("),
     // our damerau_levenshtein / levenshtein / regexp_extract match already
     ("(?i)\\bas\\s+text\\b".r, "AS STRING"),
+    ("(?i)::\\s*varchar\\b".r, "::STRING"),
+    ("(?i)::\\s*text\\b".r, "::STRING"),
     ("(?i)\\bepoch\\s*\\(".r, "unix_timestamp("),
     ("(?i)\\btry_strptime\\s*\\(".r, "try_to_timestamp("),
     // array level surface (`dialects.py:296-360`): list_* -> Spark names;
@@ -136,7 +138,11 @@ object DialectSql {
 
   /** Apply the dialect named in a model.json (`sql_dialect` field) to a
     * stored SQL fragment. Spark-dialect and unknown-dialect fragments pass
-    * through untouched. */
+    * through nearly untouched — only `::VARCHAR`/`::TEXT` casts are
+    * normalised to `::STRING`, because older reference settings files
+    * (pre-`sql_dialect`, e.g. real_time_settings.json) carry them and the
+    * tokens are never valid Spark SQL, so the rewrite cannot collide. */
   def toSpark(sql: String, dialect: String): String =
-    if (dialect.equalsIgnoreCase("duckdb")) duckdbToSpark(sql) else sql
+    if (dialect.equalsIgnoreCase("duckdb")) duckdbToSpark(sql)
+    else "(?i)::\\s*(varchar|text)\\b".r.replaceAllIn(sql, "::STRING")
 }

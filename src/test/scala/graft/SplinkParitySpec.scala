@@ -278,6 +278,40 @@ class SplinkParitySpec extends SparkSpec {
     assert(firstLast.getString(0) == "x" && firstLast.getString(1) == "z")
   }
 
+  test("model_h50k.json (10 bare-SQL rules, 31 levels incl. date " +
+      "arithmetic and postcode regexes) loads and scores end to end") {
+    val loaded = SettingsJson.load(
+      "/root/reference/docs/demos/demo_settings/model_h50k.json")
+    assert(loaded.blockingRules.size == 10)
+    assert(loaded.comparisons.map(_.outputColumnName) == Seq("first_name",
+      "surname", "dob", "postcode_fake", "birth_place", "occupation"))
+    import spark.implicits._
+    // tiny h50k-shaped frame: one true-ish duplicate pair (typo'd surname,
+    // dob off by a few days), one unrelated record, a null-heavy record
+    val df = Seq(
+      (1L, "thomas", "wright", "1837-03-04", "SE1 7PB", "london", "carpenter"),
+      (2L, "thomas", "wrigth", "1837-03-11", "SE1 7PB", "london", "carpenter"),
+      (3L, "amelia", "jones", "1851-09-30", "M1 1AE", "manchester", "weaver"),
+      (4L, "thomas", null, null, null, "london", null))
+      .toDF("unique_id", "first_name", "surname", "dob", "postcode_fake",
+        "birth_place", "occupation")
+    val scored = new Linker(df, loaded).predict()
+    val pair = scored.filter(col("unique_id_l") === 1 && col("unique_id_r") === 2)
+      .select("match_probability").collect()
+    assert(pair.length == 1 && pair(0).getDouble(0) > 0.99,
+      s"duplicate pair should score high: ${pair.toSeq}")
+    // every gamma column evaluated (no level failed to parse/evaluate)
+    val gammas = scored.columns.filter(_.startsWith("gamma_"))
+    assert(gammas.length == 6, gammas.toSeq.toString)
+  }
+
+  test("real_time_settings.json (no sql_dialect field) loads and scores") {
+    val loaded = SettingsJson.load(
+      "/root/reference/docs/demos/demo_settings/real_time_settings.json")
+    val scored = new Linker(fake1000, loaded).predict()
+    assert(scored.count() > 0)
+  }
+
   test("EM free-u blocked on surname reproduces splink2's λ and m paths") {
     val r = Training.expectationMaximisation(
       Seq("fake_1000" -> fake1000), settings, BlockingRule.blockOn("surname"),
