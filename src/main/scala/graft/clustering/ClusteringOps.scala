@@ -232,11 +232,16 @@ object ClusteringOps {
    * A cluster above the cap is never silently dropped: by default the
    * call FAILS with the offending cluster ids/sizes; with
    * `skipOversize = true` its edges are kept with `is_bridge = NULL`
-   * (explicitly unknown) so downstream aggregation sees every edge.
+   * (explicitly unknown); with `distributeOversize = true` (wins over
+   * `skipOversize`) oversized clusters are solved exactly by the fully
+   * distributed [[DistributedBridges]] cycle-space algorithm, so there is
+   * no size ceiling at all — small clusters still take the cheaper
+   * task-side Tarjan.
    */
   def edgeBridges(clusters: DataFrame, edges: DataFrame,
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
-      maxClusterSize: Int = 10000, skipOversize: Boolean = false): DataFrame = {
+      maxClusterSize: Int = 10000, skipOversize: Boolean = false,
+      distributeOversize: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val withCluster = edges.alias("e")
@@ -245,7 +250,7 @@ object ClusteringOps {
         col(s"e.$srcCol").cast("long").as("a"), col(s"e.$dstCol").cast("long").as("b"))
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n"))
     val oversizedIds = sizes.filter(col("n") > maxClusterSize)
-    if (!skipOversize) {
+    if (!skipOversize && !distributeOversize) {
       // |clusters|-sized aggregate, limit-pruned: the guard costs one scan
       // of the (small) cluster-assignment frame, not of the edges
       val oversized = oversizedIds.orderBy(desc("n")).limit(5).collect()
@@ -272,11 +277,24 @@ object ClusteringOps {
           Option(bridges.contains((a, b)) || bridges.contains((b, a))))
       }
     }.toDF("cluster_id", srcCol, dstCol, "is_bridge")
-    if (!skipOversize) bridged
-    else bridged.unionByName(withCluster
+    if (distributeOversize) {
+      val big = withCluster.join(oversizedIds, Seq("cluster_id"), "left_semi")
+        .select(col("cluster_id"), col("a").as(srcCol), col("b").as(dstCol))
+      // rebuild from the RDD before the union: both branches inherit
+      // semi-join constraints that reference pruned attributes (the
+      // clusters/sizes lineage), which trips Catalyst's Union constraint
+      // rewrite — a plain localCheckpoint keeps those originConstraints.
+      // The frame is output-sized, so the rebuild is cheap.
+      val distributed = DistributedBridges.bridges(big, srcCol, dstCol)
+        .select(col("cluster_id").cast("string"), col(srcCol), col(dstCol),
+          col("is_bridge").cast("boolean"))
+      val clean = spark.createDataFrame(distributed.rdd, distributed.schema)
+      bridged.unionByName(clean)
+    } else if (skipOversize) bridged.unionByName(withCluster
       .join(oversizedIds, Seq("cluster_id"), "left_semi")
       .select(col("cluster_id").cast("string"), col("a").as(srcCol),
         col("b").as(dstCol), lit(null).cast("boolean").as("is_bridge")))
+    else bridged
   }
 
   /** Tarjan DFS bridge finding over an undirected edge list (driver-side). */

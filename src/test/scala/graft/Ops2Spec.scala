@@ -54,6 +54,54 @@ class Ops2Spec extends SparkSpec {
     assert(got((12L, 13L)).contains(true) && got((10L, 11L)).contains(false))
   }
 
+  test("edgeBridges distributeOversize: distributed cycle-space verdicts " +
+      "equal task-side Tarjan on adversarial shapes") {
+    // path (all bridges), cycle (none), barbell (two triangles joined by
+    // one bridge), parallel edge (covers itself), self-loop, pendant off a
+    // cycle — every classic corner in one graph
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),                        // path
+      (10L, 11L), (11L, 12L), (12L, 10L),                  // cycle
+      (20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L),      // triangle + tail
+      (23L, 24L), (24L, 25L), (25L, 23L),                  // second triangle
+      (30L, 31L), (30L, 31L),                              // parallel pair
+      (31L, 31L),                                          // self-loop
+      (10L, 13L)                                           // pendant off cycle
+    ).toDF("unique_id_l", "unique_id_r")
+    val clusters = ConnectedComponents.run(edges)
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("unique_id_l"), r.getAs[Long]("unique_id_r"),
+        r.getAs[Boolean]("is_bridge")))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val tarjan = collect(ClusteringOps.edgeBridges(clusters, edges))
+    // maxClusterSize=1 forces EVERY cluster through the distributed path
+    val dist = collect(ClusteringOps.edgeBridges(clusters, edges,
+      maxClusterSize = 1, distributeOversize = true))
+    assert(dist == tarjan)
+    assert(dist(((22L, 23L, true))) == 1)   // the barbell bridge
+    assert(dist.keys.count(_._3 == true) == 5) // 3 path + tail + pendant
+  }
+
+  test("edgeBridges distributeOversize: random graphs match Tarjan") {
+    val rng = new scala.util.Random(4242)
+    (1 to 4).foreach { trial =>
+      val n = 30 + rng.nextInt(40)
+      val m = n + rng.nextInt(2 * n)
+      val raw = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = raw.toDF("unique_id_l", "unique_id_r")
+      val clusters = ConnectedComponents.run(edges)
+      val tarjan = ClusteringOps.edgeBridges(clusters, edges).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val dist = ClusteringOps.edgeBridges(clusters, edges,
+        maxClusterSize = 1, distributeOversize = true).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(dist == tarjan, s"trial $trial (n=$n m=${raw.size}) diverged")
+    }
+  }
+
   test("default m/u heuristic fills untrained levels monotonically") {
     val s = LinkSettings(comparisons = Seq(
       Comparison("x", Seq(ll.nullLevel("x"), ll.exactMatch("x"),
