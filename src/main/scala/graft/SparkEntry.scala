@@ -561,6 +561,34 @@ object SparkEntry {
           round(col("density"), 9).as("density"))
     }),
 
+    // §2.11 bridge edges end to end, BOTH execution branches in one query
+    // (`edge_metrics.py:28-60`): even custkeys build triangles (3 nodes,
+    // under the cap -> task-side Tarjan, no edge is a bridge), odd
+    // custkeys build 5-node paths (over the cap -> the fully distributed
+    // BFS + cycle-space-XOR path, every edge is a bridge). The constructed
+    // family keeps the truth closed-form so DuckDB can oracle it in plain
+    // SQL while the engine runs the real spanning-forest pipeline.
+    "q_bridges" -> ((s, dir) => {
+      val base = pq(s, dir, "customer")
+        .select((col("c_custkey").cast("long") * 10).as("b"),
+          (col("c_custkey") % 2).as("odd"))
+      def e(l: Column, r: Column) = struct(l.as("l"), r.as("r"))
+      val edges = base.select(explode(when(col("odd") === 0, array(
+            e(col("b"), col("b") + 1), e(col("b") + 1, col("b") + 2),
+            e(col("b"), col("b") + 2)))
+          .otherwise(array(
+            e(col("b"), col("b") + 1), e(col("b") + 1, col("b") + 2),
+            e(col("b") + 2, col("b") + 3), e(col("b") + 3, col("b") + 4))))
+          .as("ed"))
+        .select(col("ed.l").as("unique_id_l"), col("ed.r").as("unique_id_r"))
+      val clusters = ConnectedComponents.run(edges)
+      ClusteringOps.edgeBridges(clusters, edges, maxClusterSize = 4,
+          distributeOversize = true)
+        .select(col("cluster_id"),
+          col("unique_id_l").cast("bigint").as("uid_l"),
+          col("unique_id_r").cast("bigint").as("uid_r"), col("is_bridge"))
+    }),
+
     // §2.3 deterministic (rules-only) link: blocked pairs re-joined to full
     // records without scoring (`linker_components/inference.py`
     // deterministic_link)
@@ -1400,6 +1428,19 @@ object SparkEntry {
         |  match_key, 0.37::DOUBLE AS record_sample_proportion,
         |  true AS is_estimate
         |FROM est""".stripMargin,
+
+    "q_bridges" ->
+      """WITH k AS (
+        |  SELECT CAST(c_custkey AS BIGINT) * 10 AS b, c_custkey % 2 AS odd
+        |  FROM customer
+        |)
+        |SELECT CAST(b AS VARCHAR) AS cluster_id,
+        |  unnest(CASE WHEN odd = 0 THEN [b, b+1, b]
+        |              ELSE [b, b+1, b+2, b+3] END) AS uid_l,
+        |  unnest(CASE WHEN odd = 0 THEN [b+1, b+2, b+2]
+        |              ELSE [b+1, b+2, b+3, b+4] END) AS uid_r,
+        |  odd = 1 AS is_bridge
+        |FROM k""".stripMargin,
 
     "q_node_metrics" ->
       """WITH e AS (
