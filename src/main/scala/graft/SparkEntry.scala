@@ -564,10 +564,13 @@ object SparkEntry {
     // §2.11 bridge edges end to end, BOTH execution branches in one query
     // (`edge_metrics.py:28-60`): even custkeys build triangles (3 nodes,
     // under the cap -> task-side Tarjan, no edge is a bridge), odd
-    // custkeys build 5-node paths (over the cap -> the fully distributed
-    // BFS + cycle-space-XOR path, every edge is a bridge). The constructed
-    // family keeps the truth closed-form so DuckDB can oracle it in plain
-    // SQL while the engine runs the real spanning-forest pipeline.
+    // custkeys build a 5-node star whose first two rays are closed by a
+    // cross edge (over the cap -> the fully distributed BFS +
+    // cycle-space-XOR path: the cross edge exercises non-tree coverage,
+    // rays 3 and 4 are true bridges; star shape keeps BFS at one round).
+    // The constructed family keeps the truth closed-form so DuckDB can
+    // oracle it in plain SQL while the engine runs the real
+    // spanning-forest pipeline.
     "q_bridges" -> ((s, dir) => {
       val base = pq(s, dir, "customer")
         .select((col("c_custkey").cast("long") * 10).as("b"),
@@ -577,12 +580,18 @@ object SparkEntry {
             e(col("b"), col("b") + 1), e(col("b") + 1, col("b") + 2),
             e(col("b"), col("b") + 2)))
           .otherwise(array(
-            e(col("b"), col("b") + 1), e(col("b") + 1, col("b") + 2),
-            e(col("b") + 2, col("b") + 3), e(col("b") + 3, col("b") + 4))))
+            e(col("b"), col("b") + 1), e(col("b"), col("b") + 2),
+            e(col("b"), col("b") + 3), e(col("b"), col("b") + 4),
+            e(col("b") + 1, col("b") + 2))))
           .as("ed"))
         .select(col("ed.l").as("unique_id_l"), col("ed.r").as("unique_id_r"))
-      val clusters = ConnectedComponents.run(edges)
-      ClusteringOps.edgeBridges(clusters, edges, maxClusterSize = 4,
+      // cluster assignment is closed-form for this family (min node = b);
+      // re-running CC here would only re-bench what q_cluster measures
+      val clusters = base.select(col("b"), explode(when(col("odd") === 0,
+          sequence(col("b"), col("b") + 2))
+          .otherwise(sequence(col("b"), col("b") + 4))).as("node_id"))
+        .select(col("node_id"), col("b").as("cluster_id"))
+      ClusteringOps.edgeBridges(clusters, edges, maxClusterSize = 3,
           distributeOversize = true)
         .select(col("cluster_id"),
           col("unique_id_l").cast("bigint").as("uid_l"),
@@ -1436,10 +1445,11 @@ object SparkEntry {
         |)
         |SELECT CAST(b AS VARCHAR) AS cluster_id,
         |  unnest(CASE WHEN odd = 0 THEN [b, b+1, b]
-        |              ELSE [b, b+1, b+2, b+3] END) AS uid_l,
+        |              ELSE [b, b, b, b, b+1] END) AS uid_l,
         |  unnest(CASE WHEN odd = 0 THEN [b+1, b+2, b+2]
-        |              ELSE [b+1, b+2, b+3, b+4] END) AS uid_r,
-        |  odd = 1 AS is_bridge
+        |              ELSE [b+1, b+2, b+3, b+4, b+2] END) AS uid_r,
+        |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
+        |              ELSE [false, false, true, true, false] END) AS is_bridge
         |FROM k""".stripMargin,
 
     "q_node_metrics" ->

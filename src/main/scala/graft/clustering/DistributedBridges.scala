@@ -76,21 +76,33 @@ object DistributedBridges {
       .groupBy("cluster_id", "u", "v").agg(count(lit(1)).as("mult"))
       .localCheckpoint(false)
 
+    // no checkpoint: adj is a trivial explode over the checkpointed pairs,
+    // re-deriving it per BFS round reads cached blocks + one cheap operator
     val adj = pairs.select(col("cluster_id"), explode(array(
         struct(col("u").as("node"), col("v").as("nbr")),
         struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
       .select(col("cluster_id"), col("e.node"), col("e.nbr"))
-      .localCheckpoint(false)
 
     // ---- phase 1: BFS forest, parent = min frontier neighbour ----------
     val roots = adj.groupBy("cluster_id").agg(min(col("node")).as("node"))
       .withColumn("parent", lit(null).cast("long"))
       .withColumn("depth", lit(0))
-    var visited = roots.localCheckpoint(false)
-    var frontier = visited
+    // levels stay separate checkpointed frames: the anti-join target is
+    // their union (each already a materialised RDD), so no round re-writes
+    // the whole visited set — one checkpoint job per round, not two
+    val levels = scala.collection.mutable.ArrayBuffer(
+      roots.localCheckpoint(false))
+    def visitedUnion = levels.map(l =>
+      freshen(l.select(col("cluster_id"), col("node")))).reduce(_.unionByName(_))
+    var frontier = levels.head
     var depth = 0
-    var exhausted = false
-    while (!exhausted) {
+    // termination by node count, not by running an extra empty round: the
+    // node total costs one up-front job and every BFS level is counted
+    // anyway when its checkpoint materialises
+    val totalNodes = adj.select(col("cluster_id"), col("node"))
+      .distinct().count()
+    var visitedCount = frontier.count()
+    while (visitedCount < totalNodes) {
       depth += 1
       if (depth > maxRounds) throw new IllegalStateException(
         s"DistributedBridges: BFS exceeded maxRounds=$maxRounds — cluster " +
@@ -101,25 +113,28 @@ object DistributedBridges {
           Seq("cluster_id", "node"))
         .select(col("cluster_id"), col("g.nbr").as("node"),
           col("g.node").as("cand"))
-        .join(visited.select(col("cluster_id"), col("node")),
-          Seq("cluster_id", "node"), "left_anti")
+        .join(visitedUnion, Seq("cluster_id", "node"), "left_anti")
         .groupBy("cluster_id", "node").agg(min(col("cand")).as("parent"))
         .withColumn("depth", lit(depth))
         .localCheckpoint(false)
-      if (next.isEmpty) { exhausted = true; depth -= 1 }
-      else {
-        visited = visited.unionByName(freshen(next)).localCheckpoint(false)
-        frontier = next
-      }
+      val n = next.count()
+      if (n == 0) throw new IllegalStateException(
+        "DistributedBridges: BFS stalled before reaching every node — a " +
+          "cluster in the input is not connected, which violates the CC " +
+          "output contract.")
+      visitedCount += n
+      levels += next
+      frontier = next
     }
+    val visited = levels.map(freshen).reduce(_.unionByName(_))
 
-    // tree edges as undirected pairs, keyed by their CHILD node
+    // tree edges as undirected pairs, keyed by their CHILD node (no
+    // checkpoint: visited is a union of materialised level RDDs)
     val tree = visited.filter(col("parent").isNotNull)
       .select(col("cluster_id"), col("node").as("child"),
         col("parent"), col("depth"),
         least(col("node"), col("parent")).as("u"),
         greatest(col("node"), col("parent")).as("v"))
-      .localCheckpoint(false)
     val treeKeys = tree.select(col("cluster_id"), col("u"), col("v"))
 
     // ---- phase 2: labels on non-tree edges (+ pseudo edges for dup
