@@ -271,6 +271,72 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // §2.8 native string-similarity kernels oracled value-for-value
+    // against DuckDB's built-ins (`comparison_level_library.py` distance
+    // families): levenshtein (Spark built-in), damerau-levenshtein, jaro,
+    // jaro-winkler (native codegen exprs), char-set jaccard (the
+    // DuckDB-semantics kernel duckdb-dialect model.json conditions use)
+    "q_string_sims" -> ((s, dir) => {
+      val c = pq(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name"))
+      val prs = c.alias("l").join(c.alias("r"), col("l.k") + 1 === col("r.k"))
+        .select(col("l.k").as("k"), col("l.c_name").as("a"),
+          col("r.c_name").as("b"))
+      prs.select(col("k"),
+        levenshtein(col("a"), col("b")).cast("bigint").as("lev"),
+        graft.functions.funcs.damerau_levenshtein(col("a"), col("b"))
+          .cast("bigint").as("dlev"),
+        round(graft.functions.funcs.jaro_sim(col("a"), col("b")), 9).as("jaro"),
+        round(graft.functions.funcs.jaro_winkler(col("a"), col("b")), 9).as("jw"),
+        round(graft.functions.funcs.jaccard_chars(col("a"), col("b")), 9).as("jac1"))
+    }),
+
+    // §2.8 remaining level families oracled as evaluated CONDITIONS: the
+    // pair frame synthesises `_l`/`_r` columns from consecutive custkeys
+    // and each output column is the level library's own sqlCondition
+    // (literal match, columns-reversed, date/time difference, haversine
+    // km, array intersect/subset — `comparison_level_library.py`)
+    "q_levels_extra" -> ((s, dir) => {
+      import graft.model.{LevelLibrary => lv}
+      val c = pq(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"), col("c_name"),
+          col("c_mktsegment"))
+      val prs = c.alias("l").join(c.alias("r"), col("l.k") + 1 === col("r.k"))
+        .select(col("l.k").as("k"),
+          col("l.c_name").as("nm1_l"), col("r.c_name").as("nm1_r"),
+          col("r.c_name").as("nm2_l"),
+          when(col("l.k") % 5 === 0, col("l.c_name"))
+            .otherwise(col("r.c_name")).as("nm2_r"),
+          col("l.c_mktsegment").as("seg_l"), col("r.c_mktsegment").as("seg_r"),
+          date_add(lit("2020-01-01").cast("date"),
+            ((col("l.k") * 7) % 300).cast("int")).as("d_l"),
+          date_add(lit("2020-01-01").cast("date"),
+            ((col("r.k") * 7) % 300).cast("int")).as("d_r"),
+          timestamp_seconds(lit(1577836800L) + (col("l.k") * col("l.k")) % 86400)
+            .as("t_l"),
+          timestamp_seconds(lit(1577836800L) + (col("r.k") * col("r.k")) % 86400)
+            .as("t_r"),
+          (col("l.k") % 160 - 80 + lit(0.25)).as("lat_l"),
+          (col("r.k") % 160 - 80 + lit(0.25)).as("lat_r"),
+          (col("l.k") % 350 - 175 + lit(0.25)).as("lon_l"),
+          (col("r.k") % 350 - 175 + lit(0.25)).as("lon_r"),
+          array(concat(lit("a"), (col("l.k") % 5).cast("string")),
+            concat(lit("b"), (col("l.k") % 7).cast("string"))).as("arr_l"),
+          when(col("l.k") % 3 === 0,
+            array(concat(lit("a"), (col("l.k") % 5).cast("string")),
+              concat(lit("b"), (col("l.k") % 7).cast("string"))))
+            .otherwise(array(concat(lit("a"), (col("l.k") % 5).cast("string")),
+              concat(lit("b"), (col("r.k") % 7).cast("string")))).as("arr_r"))
+      prs.select(col("k"),
+        expr(lv.literalMatch("seg", "BUILDING").sqlCondition).as("lm"),
+        expr(lv.columnsReversed("nm1", "nm2").sqlCondition).as("cr"),
+        expr(lv.absoluteDateDifference("d", 30).sqlCondition).as("ad"),
+        expr(lv.absoluteTimeDifference("t", 2000).sqlCondition).as("at"),
+        expr(lv.distanceInKM("lat", "lon", 500).sqlCondition).as("km"),
+        expr(lv.arrayIntersect("arr", 1).sqlCondition).as("ai"),
+        expr(lv.arraySubset("arr").sqlCondition).as("asb"))
+    }),
+
     // §2.10 deterministic hash sampling (portable md5-derived hash)
     "q_sample" -> ((s, dir) => {
       val o = pq(s, dir, "orders")
@@ -1245,6 +1311,48 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_levels_extra" ->
+      """WITH p AS (
+        |  SELECT CAST(l.c_custkey AS BIGINT) AS k,
+        |    l.c_name AS nm1_l, r.c_name AS nm1_r, r.c_name AS nm2_l,
+        |    CASE WHEN l.c_custkey % 5 = 0 THEN l.c_name
+        |         ELSE r.c_name END AS nm2_r,
+        |    l.c_mktsegment AS seg_l, r.c_mktsegment AS seg_r,
+        |    CAST(l.c_custkey AS BIGINT) + 1 AS k2
+        |  FROM customer l JOIN customer r ON l.c_custkey + 1 = r.c_custkey
+        |), q AS (
+        |  SELECT *,
+        |    (k % 160 - 80 + 0.25)::DOUBLE AS lat_l,
+        |    (k2 % 160 - 80 + 0.25)::DOUBLE AS lat_r,
+        |    (k % 350 - 175 + 0.25)::DOUBLE AS lon_l,
+        |    (k2 % 350 - 175 + 0.25)::DOUBLE AS lon_r
+        |  FROM p
+        |)
+        |SELECT k,
+        |  (seg_l = 'BUILDING' AND seg_r = 'BUILDING') AS lm,
+        |  (nm1_l = nm2_r AND nm2_l = nm1_r) AS cr,
+        |  abs((k * 7) % 300 - (k2 * 7) % 300) <= 30 AS ad,
+        |  abs((k * k) % 86400 - (k2 * k2) % 86400) <= 2000 AS at,
+        |  2 * 6371 * asin(sqrt(
+        |    pow(sin(radians(lat_r - lat_l) / 2), 2) +
+        |    cos(radians(lat_l)) * cos(radians(lat_r)) *
+        |    pow(sin(radians(lon_r - lon_l) / 2), 2))) <= 500 AS km,
+        |  true AS ai,
+        |  (k % 3 = 0 OR k % 7 = k2 % 7) AS asb
+        |FROM q""".stripMargin,
+
+    "q_string_sims" ->
+      """WITH p AS (
+        |  SELECT l.c_custkey AS k, l.c_name AS a, r.c_name AS b
+        |  FROM customer l JOIN customer r ON l.c_custkey + 1 = r.c_custkey
+        |)
+        |SELECT k, levenshtein(a, b) AS lev,
+        |  damerau_levenshtein(a, b) AS dlev,
+        |  round(jaro_similarity(a, b), 9) AS jaro,
+        |  round(jaro_winkler_similarity(a, b), 9) AS jw,
+        |  round(jaccard(a, b), 9) AS jac1
+        |FROM p""".stripMargin,
 
     "q_sample" ->
       """SELECT o_orderkey, o_custkey FROM orders

@@ -150,6 +150,7 @@ object funcs {
   def jaro_winkler(l: Column, r: Column): Column = expr(JaroWinklerSim(ex(l), ex(r)))
   def damerau_levenshtein(l: Column, r: Column): Column = expr(DamerauLevenshtein(ex(l), ex(r)))
   def jaccard_sim(l: Column, r: Column): Column = expr(JaccardSim(ex(l), ex(r)))
+  def jaccard_chars(l: Column, r: Column): Column = expr(JaccardChars(ex(l), ex(r)))
   def dmetaphone(c: Column): Column = expr(DMetaphone(ex(c)))
   def dmetaphone_alt(c: Column): Column = expr(DMetaphoneAlt(ex(c)))
   def soundex_code(c: Column): Column = expr(SoundexCode(ex(c)))
