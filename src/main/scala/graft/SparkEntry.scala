@@ -163,6 +163,21 @@ object SparkEntry {
           round(col("match_probability"), 6).as("match_probability"))
     }),
 
+    // §2.12 prediction errors against a ground-truth label column
+    // (`evaluation.py:37-351`): customers labelled in consecutive pairs
+    // (grp = floor(uid/2)), FP = scored >= t but labels differ, FN = same
+    // label scored below t; full predict replay in the oracle
+    "q_prediction_errors" -> ((s, dir) => {
+      val c = customers(s, dir).withColumn("grp", floor(col("unique_id") / 2))
+      val linker = new Linker(c, customerSettings.copy(
+        additionalColumnsToRetain = Seq("grp")))
+      val scored = linker.predict()
+        .withColumn("match_probability", round(col("match_probability"), 6))
+      Evaluation.predictionErrors(scored, "grp", 0.5)
+        .select(col("unique_id_l").as("uid_l"),
+          col("unique_id_r").as("uid_r"), col("error_type"))
+    }),
+
     // §2.9 TF-adjusted scoring: low-frequency mktsegment matches get a
     // term-frequency bonus relative to u_exact (`comparison_level.py:671-731`)
     "q_predict_tf" -> ((s, dir) => {
@@ -1174,6 +1189,38 @@ object SparkEntry {
          |SELECT uid_l, uid_r, round(mw, 6) AS match_weight,
          |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
          |FROM mw""".stripMargin
+    },
+
+    "q_prediction_errors" -> {
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+      s"""$oraclePairsCte,
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r,
+         |    $oracleGammaName AS g_name,
+         |    $oracleGammaBal AS g_bal
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey),
+         |mw AS (
+         |  SELECT uid_l, uid_r,
+         |    $prior
+         |    + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
+         |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
+         |        ELSE ${w(0.02, 0.939)} END
+         |    + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
+         |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END AS mw
+         |  FROM cv),
+         |verdicts AS (
+         |  SELECT uid_l, uid_r,
+         |    CASE WHEN round(1.0 / (1.0 + power(2.0, -mw)), 6) >= 0.5
+         |         THEN 1 ELSE 0 END AS predicted,
+         |    CASE WHEN floor(uid_l / 2) = floor(uid_r / 2)
+         |         THEN 1 ELSE 0 END AS clerical
+         |  FROM mw)
+         |SELECT uid_l, uid_r,
+         |  CASE WHEN predicted = 1 THEN 'FP' ELSE 'FN' END AS error_type
+         |FROM verdicts WHERE predicted <> clerical""".stripMargin
     },
 
     "q_predict_tf" -> {
