@@ -1192,8 +1192,6 @@ object SparkEntry {
     },
 
     "q_prediction_errors" -> {
-      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
-      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
       s"""$oraclePairsCte,
          |cv AS (
          |  SELECT p.uid_l, p.uid_r,
@@ -1204,12 +1202,7 @@ object SparkEntry {
          |  JOIN customer r ON p.uid_r = r.c_custkey),
          |mw AS (
          |  SELECT uid_l, uid_r,
-         |    $prior
-         |    + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
-         |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
-         |        ELSE ${w(0.02, 0.939)} END
-         |    + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
-         |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END AS mw
+         |    $oracleCustomerMw AS mw
          |  FROM cv),
          |verdicts AS (
          |  SELECT uid_l, uid_r,

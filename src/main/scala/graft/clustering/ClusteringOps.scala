@@ -278,6 +278,10 @@ object ClusteringOps {
       }
     }.toDF("cluster_id", srcCol, dstCol, "is_bridge")
     if (distributeOversize) {
+      // the iterative BFS below runs jobs at plan-construction time, so
+      // skip it entirely when nothing is oversized (one cheap probe of the
+      // |clusters|-sized aggregate, same cost class as the error branch)
+      if (oversizedIds.limit(1).collect().isEmpty) return bridged
       val big = withCluster.join(oversizedIds, Seq("cluster_id"), "left_semi")
         .select(col("cluster_id"), col("a").as(srcCol), col("b").as(dstCol))
       // rebuild from the RDD before the union: both branches inherit

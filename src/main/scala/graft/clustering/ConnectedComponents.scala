@@ -54,7 +54,10 @@ object ConnectedComponents {
     // collect the raw pairs directly (union-find needs neither symmetry
     // nor dedupe). Unmaterialised pipelines keep the original path: there
     // the one-evaluation guarantee matters more than the extra exchange.
-    if (isCheapToRescan(edges.queryExecution.optimizedPlan)) {
+    // the raw path collects both columns as-is, so it requires one shared
+    // id type (the symmetric path coerces mixed types via explode(array))
+    if (edges.schema(srcCol).dataType == edges.schema(dstCol).dataType &&
+        isCheapToRescan(edges.queryExecution.optimizedPlan)) {
       val raw = edges.select(col(srcCol), col(dstCol))
       val rawCount = raw.count()
       // symmetric+deduped count <= 2*raw count, so this gate only ever
@@ -187,13 +190,15 @@ object ConnectedComponents {
 
   /** Driver fast path over a RAW (possibly asymmetric, duplicated,
     * self-looped) edge list: union-find is direction- and
-    * duplicate-insensitive, and self-loops are skipped entirely so a node
-    * with only self-edges stays absent from the output — exactly the
-    * behaviour of the symmetric path, whose `node =!= neighbour` filter
-    * removes such nodes before they reach the solver. */
+    * duplicate-insensitive, and self-loops and null-endpoint rows are
+    * skipped entirely so a node with only such edges stays absent from the
+    * output — exactly the behaviour of the symmetric path, whose
+    * `node =!= neighbour` filter evaluates to null/false and drops both
+    * exploded directions before they reach the solver. */
   private def driverUnionFindRaw(raw: DataFrame): DataFrame =
     solveOnDriver(raw,
-      raw.collect().iterator.filter(r => r.get(0) != r.get(1)))
+      raw.collect().iterator.filter(r =>
+        !r.isNullAt(0) && !r.isNullAt(1) && r.get(0) != r.get(1)))
 
   /** Small-graph fast path: collect the (symmetric, deduped) edge list and
     * solve with path-compressed union-find on the driver. The node-id type

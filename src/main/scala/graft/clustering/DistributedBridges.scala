@@ -44,17 +44,17 @@ import org.apache.spark.sql.functions._
  */
 object DistributedBridges {
 
-  /**
-   * @param edges frame with columns (cluster_id, srcCol, dstCol); every
-   *              cluster must be connected (the contract of CC output)
-   * @return one row per input edge: (cluster_id, srcCol, dstCol, is_bridge)
-   */
   /** Re-alias every column: fresh attribute ids, so frames derived from
     * one shared checkpoint can be safely unioned (Catalyst's Union
     * constraint rewrite requires children with disjoint output ids). */
   private def freshen(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
 
+  /**
+   * @param edges frame with columns (cluster_id, srcCol, dstCol); every
+   *              cluster must be connected (the contract of CC output)
+   * @return one row per input edge: (cluster_id, srcCol, dstCol, is_bridge)
+   */
   def bridges(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame = {
     val spark = edges.sparkSession

@@ -24,6 +24,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     nodes.map(x => x -> find(x)).toMap
   }
 
+  test("raw fast path: null endpoints dropped like the symmetric filter; " +
+      "mixed id widths fall back to the coercing path") {
+    // checkpointed input = raw driver path; the null-endpoint edge must
+    // vanish entirely (node 42 has no non-null edge -> absent from output)
+    val e = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+        (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(42L)))
+      .toDF("unique_id_l", "unique_id_r").localCheckpoint(true)
+    val got = ConnectedComponents.run(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+    // int src vs long dst: the raw path cannot type a single-column
+    // schema, so run() must take the symmetric (coercing) path and still
+    // produce the right clusters
+    val m = Seq((1, 2L)).toDF("a", "b")
+      .selectExpr("CAST(a AS INT) AS unique_id_l", "b AS unique_id_r")
+      .localCheckpoint(true)
+    val gotM = ConnectedComponents.run(m).collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong)).toMap
+    assert(gotM == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("simple chain and separate component") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("unique_id_l", "unique_id_r")
     val got = ConnectedComponents.run(edges).collect()
