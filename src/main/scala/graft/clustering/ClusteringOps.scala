@@ -248,7 +248,12 @@ object ClusteringOps {
       .join(clusters.alias("c"), col(s"e.$srcCol") === col("c.node_id"))
       .select(col("c.cluster_id").as("cluster_id"),
         col(s"e.$srcCol").cast("long").as("a"), col(s"e.$dstCol").cast("long").as("b"))
+    // checkpointed: the guard probe, the small-cluster semi-join and the
+    // oversize branch all read this |clusters|-sized aggregate — without
+    // the lineage break each consumer would recompute the full upstream
+    // clusters pipeline
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val oversizedIds = sizes.filter(col("n") > maxClusterSize)
     if (!skipOversize && !distributeOversize) {
       // |clusters|-sized aggregate, limit-pruned: the guard costs one scan

@@ -299,8 +299,13 @@ object Evaluation {
         col("marginal_comparison_count"), col("cumulative_comparison_count"),
         col("cartesian").as("total_possible_comparison_count"),
         col(Cols.MatchKey).as("match_key"),
-        lit(recordSampleProportion).as("record_sample_proportion"),
-        lit(recordSampleProportion < 1).as("is_estimate"))
+        // report the fraction ACTUALLY used (the ceil'd hash threshold),
+        // not the raw request: counts are scaled by 1/actualFraction², so
+        // a consumer reconstructing raw counts from this column must see
+        // the same number, and is_estimate must be false whenever the
+        // threshold clamped to no-sampling
+        lit(actualFraction).as("record_sample_proportion"),
+        lit(threshold < modulus).as("is_estimate"))
   }
 
   /** Marginal and cumulative comparison counts per blocking rule under

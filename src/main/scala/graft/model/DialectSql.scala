@@ -12,13 +12,17 @@ package graft.model
  * emit for DuckDB (identifier quoting, similarity function names,
  * TEXT casts, try_strptime/EPOCH date arithmetic). Anything else passes
  * through verbatim and fails loudly at Spark parse time, never silently.
+ * Double-quoted identifiers are normalised to backticks for EVERY
+ * dialect: Spark would otherwise parse them as string literals and a
+ * condition like `"a_l" = "a_r"` would silently evaluate as a constant
+ * string comparison instead of failing.
  */
 object DialectSql {
 
   /** Function/keyword rewrites applied OUTSIDE string literals. Word
     * boundaries are enforced by the regex so e.g. a column named
     * `my_levenshtein_x` is untouched. */
-  private val tokenRewrites: Seq[(scala.util.matching.Regex, String)] = Seq(
+  private val duckdbRewrites: Seq[(scala.util.matching.Regex, String)] = Seq(
     ("(?i)\\bjaro_winkler_similarity\\b".r, "jaro_winkler"),
     ("(?i)\\bjaro_similarity\\b".r, "jaro_sim"),
     // DuckDB's jaccard is char-SET jaccard; the engine's `jaccard` alias
@@ -40,6 +44,13 @@ object DialectSql {
     ("(?i)\\blist_transform\\s*\\(".r, "transform("),
     ("(?i)\\barray_cosine_similarity\\s*\\(".r, "cosine_sim("))
 
+  /** Cast normalisation for spark/unknown dialects: older reference
+    * settings files (pre-`sql_dialect`, e.g. real_time_settings.json)
+    * carry `::VARCHAR`/`::TEXT`, never valid Spark SQL. */
+  private val castRewrites: Seq[(scala.util.matching.Regex, String)] = Seq(
+    ("(?i)::\\s*varchar\\b".r, "::STRING"),
+    ("(?i)::\\s*text\\b".r, "::STRING"))
+
   /** strptime -> java.time format tokens (only the tokens the reference's
     * date-comparison templates emit). */
   private val strptimeTokens = Seq(
@@ -47,39 +58,64 @@ object DialectSql {
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
 
   /** DuckDB strptime format -> java.time pattern: translate %-tokens and
-    * single-quote any literal letters (e.g. the T/Z in the reference's
+    * single-quote literal-letter RUNS (e.g. the T/Z in the reference's
     * default timestamp format '%Y-%m-%dT%H:%M:%SZ' — bare letters are
-    * reserved in java.time patterns). */
+    * reserved in java.time patterns). Runs must share one quote pair:
+    * quoting letters individually would render `hrs` as `'h''r''s'`,
+    * which java.time reads as the literal h'r's. */
   private def strptimeToJavaTime(fmt: String): String = {
     val out = new StringBuilder
     var i = 0
+    var inLiteral = false
+    def closeLiteral(): Unit = if (inLiteral) { out.append('\''); inLiteral = false }
     while (i < fmt.length) {
       if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        closeLiteral()
         val tok = fmt.substring(i, i + 2)
         strptimeTokens.find(_._1 == tok) match {
-          case Some((_, repl)) => out.append(repl); i += 2
-          case None => out.append(tok); i += 2 // unknown token: verbatim
+          case Some((_, repl)) => out.append(repl)
+          case None => out.append(tok) // unknown token: verbatim
         }
+        i += 2
       } else {
         val c = fmt.charAt(i)
-        if (c.isLetter) out.append('\'').append(c).append('\'')
-        else out.append(c)
+        if (c.isLetter) {
+          if (!inLiteral) { out.append('\''); inLiteral = true }
+          out.append(c)
+        } else { closeLiteral(); out.append(c) }
         i += 1
       }
     }
+    closeLiteral()
     out.toString
   }
 
-  /** DuckDB SQL fragment -> Spark SQL fragment. */
-  def duckdbToSpark(sql: String): String = {
-    // one pass splitting the text into literal / non-literal segments so
-    // rewrites never touch the inside of a '...' string; "ident" becomes
-    // `ident` ("" escape -> a literal " inside the name)
+  /** Apply `f` to every stretch of `sql` OUTSIDE single-quoted string
+    * literals ('' escapes respected). */
+  private def outsideLiterals(sql: String)(f: String => String): String = {
+    val lit = "'(?:[^']|'')*'".r
+    val out = new StringBuilder
+    var last = 0
+    for (m <- lit.findAllMatchIn(sql)) {
+      out.append(f(sql.substring(last, m.start)))
+      out.append(m.matched)
+      last = m.end
+    }
+    out.append(f(sql.substring(last)))
+    out.toString
+  }
+
+  /** One scan splitting the text into literal / quoted-identifier /
+    * code segments: token rewrites never touch the inside of a '...'
+    * string, and every `"ident"` becomes a backtick identifier ("" escape
+    * -> a literal " inside the name). */
+  private def normalizeQuoting(sql: String,
+      rewrites: Seq[(scala.util.matching.Regex, String)]): String = {
     val out = new StringBuilder
     val code = new StringBuilder // current non-literal run, rewritten on flush
     def flushCode(): Unit = {
       var s = code.toString
-      tokenRewrites.foreach { case (re, repl) => s = re.replaceAllIn(s, repl) }
+      rewrites.foreach { case (re, repl) => s = re.replaceAllIn(s, repl) }
       out.append(s)
       code.clear()
     }
@@ -118,13 +154,21 @@ object DialectSql {
       }
     }
     flushCode()
+    out.toString
+  }
+
+  /** DuckDB SQL fragment -> Spark SQL fragment. */
+  def duckdbToSpark(sql: String): String = {
+    val normalized = normalizeQuoting(sql, duckdbRewrites)
     // DuckDB 1-based bracket indexing (array_first_index=1; `x[-1]` =
     // last, `dialects.py:362-372`) -> element_at, which is 1-based and
-    // negative-index-aware in Spark, unlike Spark's 0-based `[]`
-    val indexed = "(`[^`]+`)\\[(-?\\d+)\\]".r
-      .replaceAllIn(out.toString,
-        m => scala.util.matching.Regex.quoteReplacement(
-          s"element_at(${m.group(1)}, ${m.group(2)})"))
+    // negative-index-aware in Spark, unlike Spark's 0-based `[]`.
+    // Both backtick-quoted and bare identifiers are matched; literal
+    // content like '[1]' is protected.
+    val indexed = outsideLiterals(normalized)(seg =>
+      "((?:`[^`]+`)|(?:[A-Za-z_][A-Za-z0-9_]*))\\[(-?\\d+)\\]".r
+        .replaceAllIn(seg, m => scala.util.matching.Regex.quoteReplacement(
+          s"element_at(${m.group(1)}, ${m.group(2)})")))
     // try_strptime's %-format literal (now the 2nd arg of
     // try_to_timestamp) must become a java.time pattern; the pattern's
     // own quote chars double up inside the SQL string literal
@@ -137,12 +181,11 @@ object DialectSql {
   }
 
   /** Apply the dialect named in a model.json (`sql_dialect` field) to a
-    * stored SQL fragment. Spark-dialect and unknown-dialect fragments pass
-    * through nearly untouched — only `::VARCHAR`/`::TEXT` casts are
-    * normalised to `::STRING`, because older reference settings files
-    * (pre-`sql_dialect`, e.g. real_time_settings.json) carry them and the
-    * tokens are never valid Spark SQL, so the rewrite cannot collide. */
+    * stored SQL fragment. Spark-dialect and unknown-dialect fragments get
+    * the same literal-protected quoting pass (double-quoted identifiers
+    * -> backticks, `::VARCHAR`/`::TEXT` -> `::STRING`) but none of the
+    * duckdb function renames. */
   def toSpark(sql: String, dialect: String): String =
     if (dialect.equalsIgnoreCase("duckdb")) duckdbToSpark(sql)
-    else "(?i)::\\s*(varchar|text)\\b".r.replaceAllIn(sql, "::STRING")
+    else normalizeQuoting(sql, castRewrites)
 }

@@ -276,6 +276,22 @@ class SplinkParitySpec extends SparkSpec {
         DialectSql.duckdbToSpark(""""names_l"[-1]""") + " AS l")
       .collect()(0)
     assert(firstLast.getString(0) == "x" && firstLast.getString(1) == "z")
+    // UNQUOTED identifiers index 1-based too (hand-written duckdb rules);
+    // bracket content inside a string literal is untouched
+    assert(DialectSql.duckdbToSpark("names_l[1] = 'a[1]'") ==
+      "element_at(names_l, 1) = 'a[1]'")
+    // consecutive literal letters share ONE java.time quote pair —
+    // 'h''r''s' would be the literal h'r's, not hrs
+    assert(DialectSql.duckdbToSpark("""try_strptime("t_l", '%H%Mhrs')""") ==
+      "try_to_timestamp(`t_l`, 'HHmm''hrs''')")
+    // non-duckdb dialects: double-quoted identifiers must become backtick
+    // identifiers, NOT Spark string literals ("a_l" = "a_r" would
+    // otherwise silently evaluate as a constant comparison), and the cast
+    // normalisation must not reach inside string literals
+    assert(DialectSql.toSpark(""""a_l" = "a_r"""", "postgres") ==
+      "`a_l` = `a_r`")
+    assert(DialectSql.toSpark("x_l::VARCHAR = 'keep::text'", "spark") ==
+      "x_l::STRING = 'keep::text'")
   }
 
   test("model_h50k.json (10 bare-SQL rules, 31 levels incl. date " +
