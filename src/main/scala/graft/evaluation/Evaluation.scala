@@ -262,8 +262,6 @@ object Evaluation {
         graft.pipeline.TextOps.portableHash(
           Blocking.joinKeyCol(settings).cast("string")) % modulus < threshold)
     val scale = 1.0 / (actualFraction * actualFraction)
-    val counts = Blocking.blockedIdPairs(sampled, settings)
-      .groupBy(col(Cols.MatchKey)).agg(count(lit(1)).as("__sampled"))
     def describe(r: graft.model.BlockingRule): (String, String) = r match {
       case graft.model.BlockingRule.BlockOnRule(exprs, _, _) =>
         (exprs.map(e => s"l.$e = r.$e").mkString(" AND "), "")
@@ -284,15 +282,9 @@ object Evaluation {
         (i.toString, r.describe, equi, filt)
       }).toDF(Cols.MatchKey, "blocking_rule", "equi_join_conditions",
         "filter_conditions")
-    val w = Window.orderBy(col(Cols.MatchKey).cast("int"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    broadcast(ruleFrame).join(counts, Seq(Cols.MatchKey), "left")
-      .na.fill(0L, Seq("__sampled"))
-      .withColumn("marginal_comparison_count",
-        round(col("__sampled") * scale).cast("bigint"))
-      .withColumn("cumulative_comparison_count",
-        sum("marginal_comparison_count").over(w))
-      .crossJoin(broadcast(totalPossiblePairs(concat, settings)))
+    ruleCumulativeCounts(sampled, concat, settings, ruleFrame,
+        round(col("__raw") * scale).cast("bigint"),
+        "marginal_comparison_count", "cumulative_comparison_count")
       .select(col("blocking_rule"), col("equi_join_conditions"),
         col("filter_conditions"),
         lit(linkTypeCond).as("link_type_join_condition"),
@@ -316,22 +308,35 @@ object Evaluation {
     * window runs over |rules| rows only. */
   def cumulativeComparisonsPerRule(concat: DataFrame,
       settings: LinkSettings): DataFrame = {
-    import graft.operators.Blocking
-    val rules = settings.blockingRules
-    val counts = Blocking.blockedIdPairs(concat, settings)
-      .groupBy(col(Cols.MatchKey)).agg(count(lit(1)).as("row_count"))
     // keep zero-pair rules visible in the chart
     val ruleFrame = concat.sparkSession
-      .createDataFrame(rules.zipWithIndex.map { case (r, i) =>
+      .createDataFrame(settings.blockingRules.zipWithIndex.map { case (r, i) =>
         (i.toString, r.describe) })
       .toDF(Cols.MatchKey, "rule")
+    ruleCumulativeCounts(concat, concat, settings, ruleFrame,
+        col("__raw"), "row_count", "cumulative_rows")
+      .select(Cols.MatchKey, "rule", "row_count", "cumulative_rows", "cartesian")
+  }
+
+  /** Shared skeleton of the two per-rule cumulative-count charts:
+    * blocked pairs on `input` (full or sampled) -> one count per
+    * match_key -> broadcast rule-frame left join (zero-pair rules stay
+    * visible) -> cumulative window over |rules| rows -> cartesian total
+    * from `concat`. `marginal` maps the raw count column `__raw` to the
+    * reported marginal value (identity, or the 1/f^2 sampling scale). */
+  private def ruleCumulativeCounts(input: DataFrame, concat: DataFrame,
+      settings: LinkSettings, ruleFrame: DataFrame, marginal: Column,
+      marginalName: String, cumulativeName: String): DataFrame = {
+    import graft.operators.Blocking
+    val counts = Blocking.blockedIdPairs(input, settings)
+      .groupBy(col(Cols.MatchKey)).agg(count(lit(1)).as("__raw"))
     val w = Window.orderBy(col(Cols.MatchKey).cast("int"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     broadcast(ruleFrame).join(counts, Seq(Cols.MatchKey), "left")
-      .na.fill(0L, Seq("row_count"))
-      .withColumn("cumulative_rows", sum("row_count").over(w))
+      .na.fill(0L, Seq("__raw"))
+      .withColumn(marginalName, marginal)
+      .withColumn(cumulativeName, sum(marginalName).over(w))
       .crossJoin(broadcast(totalPossiblePairs(concat, settings)))
-      .select(Cols.MatchKey, "rule", "row_count", "cumulative_rows", "cartesian")
   }
 
   /** The equi expressions of a rule when (and only when) a per-key count is
