@@ -102,6 +102,26 @@ class Ops2Spec extends SparkSpec {
     }
   }
 
+  test("edgeBridges distributeOversize: medium-scale hairball matches Tarjan") {
+    // a few thousand nodes with ~2x edges: one giant shallow component
+    // plus satellites — the shape the distributed path exists for
+    val rng = new scala.util.Random(7)
+    val n = 3000
+    val raw = (1 until n).map(i => (rng.nextInt(i).toLong, i.toLong)) ++ // connected
+      Seq.fill(n / 2)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+    val edges = raw.filter { case (a, b) => a != b }
+      .toDF("unique_id_l", "unique_id_r")
+    val clusters = ConnectedComponents.run(edges)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val tarjan = verdicts(ClusteringOps.edgeBridges(clusters, edges))
+    val dist = verdicts(ClusteringOps.edgeBridges(clusters, edges,
+      maxClusterSize = 100, distributeOversize = true))
+    assert(dist == tarjan)
+    assert(dist.keys.exists(_._3)) // a preferential-attachment tree has bridges
+  }
+
   test("default m/u heuristic fills untrained levels monotonically") {
     val s = LinkSettings(comparisons = Seq(
       Comparison("x", Seq(ll.nullLevel("x"), ll.exactMatch("x"),
