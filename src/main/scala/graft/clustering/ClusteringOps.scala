@@ -264,8 +264,10 @@ object ClusteringOps {
           .mkString(", ")
         throw new IllegalArgumentException(
           s"edgeBridges: cluster(s) exceed maxClusterSize=$maxClusterSize: " +
-            s"$desc. Raise maxClusterSize (per-task memory permitting) or " +
-            "pass skipOversize=true to keep their edges with is_bridge=NULL.")
+            s"$desc. Pass distributeOversize=true to solve them exactly " +
+            "with the distributed algorithm (no size ceiling), raise " +
+            "maxClusterSize (per-task memory permitting), or pass " +
+            "skipOversize=true to keep their edges with is_bridge=NULL.")
       }
     }
     val small = withCluster.join(sizes.filter(col("n") <= maxClusterSize),

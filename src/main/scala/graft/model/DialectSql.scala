@@ -172,12 +172,81 @@ object DialectSql {
     // try_strptime's %-format literal (now the 2nd arg of
     // try_to_timestamp) must become a java.time pattern; the pattern's
     // own quote chars double up inside the SQL string literal
-    "(?i)try_to_timestamp\\(([^,()]*(?:\\([^()]*\\))?[^,()]*),\\s*'([^']*)'\\)".r
-      .replaceAllIn(indexed, m => {
-        val fmt = strptimeToJavaTime(m.group(2)).replace("'", "''")
-        scala.util.matching.Regex.quoteReplacement(
-          s"try_to_timestamp(${m.group(1)}, '$fmt')")
-      })
+    rewriteTryToTimestamp(indexed)
+  }
+
+  /** Rewrite every `try_to_timestamp(expr, '%-format')` call so the format
+    * literal becomes a java.time pattern. A balanced-paren walk (not a
+    * regex) finds each call's top-level comma, so the first argument may
+    * nest arbitrarily — `try_to_timestamp(substr(trim(x), 1, 10), '%Y-%m-%d')`
+    * included. A second argument that is not a plain string literal is
+    * left untouched; a %-format that SURVIVES the rewrite (which Spark
+    * would silently null out per row) throws instead — this file's
+    * contract is "fails loudly, never silently". */
+  private def rewriteTryToTimestamp(sql: String): String = {
+    val token = "try_to_timestamp("
+    val lower = sql.toLowerCase
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else inStr = false
+        }
+        i += 1
+      } else if (c == '\'') { out.append(c); inStr = true; i += 1 }
+      else if (lower.startsWith(token, i)) {
+        // walk the argument list tracking depth and literals
+        var j = i + token.length
+        var depth = 1
+        var lit = false
+        var topComma = -1
+        while (j < sql.length && depth > 0) {
+          val cj = sql.charAt(j)
+          if (lit) {
+            if (cj == '\'') {
+              if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 1
+              else lit = false
+            }
+          } else cj match {
+            case '\'' => lit = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 && topComma < 0 => topComma = j
+            case _ =>
+          }
+          j += 1
+        }
+        val whole = sql.substring(i, j)
+        val fmtLit = "^\\s*'((?:[^']|'')*)'\\s*$".r
+        if (depth == 0 && topComma >= 0) {
+          val arg1 = sql.substring(i + token.length, topComma)
+          sql.substring(topComma + 1, j - 1) match {
+            case fmtLit(raw) =>
+              val fmt = strptimeToJavaTime(raw.replace("''", "'")).replace("'", "''")
+              out.append(s"try_to_timestamp($arg1, '$fmt')")
+            case other if other.contains('%') =>
+              throw new IllegalArgumentException(
+                "duckdbToSpark: cannot translate the strptime format in " +
+                  s"`$whole` — the second argument is not a plain string " +
+                  "literal, and leaving a %-format in place would make " +
+                  "Spark's try_to_timestamp return NULL for every row.")
+            case _ => out.append(whole)
+          }
+        } else if (whole.contains('%')) {
+          throw new IllegalArgumentException(
+            "duckdbToSpark: unbalanced or single-argument try_to_timestamp " +
+              s"call `$whole` still carries a %-format Spark cannot parse.")
+        } else out.append(whole)
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** Apply the dialect named in a model.json (`sql_dialect` field) to a

@@ -78,14 +78,28 @@ object Repartition {
     * tree). A frame at least `target x maxPartitionBytes` is already split
     * into >= target scan tasks by the file source, so only smaller frames
     * get the widening exchange — tiny at exactly the times it fires.
+    *
+    * localCheckpoint'd / in-memory frames surface as `LogicalRDD` leaves
+    * whose stats fall back to `defaultSizeInBytes` (Long.MaxValue), which
+    * would make the size test always claim "wide enough". For those, the
+    * real partition count is read straight off the leaf's already-built
+    * RDD — no physical planning is forced, and the answer is exact.
     */
   def ensureMinParallel(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     val target = conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size >= BigInt(target) * maxPartitionBytes) df
-    else df.repartition(target)
+    val plan = df.queryExecution.optimizedPlan
+    val rddLeafParts = plan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getNumPartitions
+    }
+    if (rddLeafParts.nonEmpty) {
+      if (rddLeafParts.max >= target) df else df.repartition(target)
+    } else {
+      val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val size = plan.stats.sizeInBytes
+      if (size >= BigInt(target) * maxPartitionBytes) df
+      else df.repartition(target)
+    }
   }
 }

@@ -97,9 +97,25 @@ object CorpusOps {
     val docFreqRaw = docTerms.groupBy("term")
       .agg(count(lit(1)).as("doc_freq"))
       .localCheckpoint()
-    // 8M terms ≈ a few hundred MB broadcast — the cutover to a shuffled join
+    // Broadcast cutover is byte-estimated from the checkpointed frame
+    // (rows x avg term length + per-row overhead), not a row count: a
+    // wide vocabulary of long terms must not OOM the driver just because
+    // its row count looks modest. Budget = 8x the session's
+    // autoBroadcastJoinThreshold (the forced hint exists because the
+    // LogicalRDD leaf has no stats for Catalyst to auto-broadcast on);
+    // a disabled threshold (<= 0) disables the forced hint too.
+    val stats = docFreqRaw
+      .agg(count(lit(1)).as("n"), avg(length(col("term"))).as("len"))
+      .head()
+    val estBytes = stats.getLong(0) *
+      (Option(stats.get(1)).fold(0.0)(_.asInstanceOf[Double]) + 24.0)
+    val rawThreshold =
+      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold = scala.util.Try(rawThreshold.trim.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(rawThreshold))
     val docFreq =
-      if (docFreqRaw.count() <= 8000000L) broadcast(docFreqRaw) else docFreqRaw
+      if (threshold > 0 && estBytes <= 8.0 * threshold) broadcast(docFreqRaw)
+      else docFreqRaw
     val total = df.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tf").desc, col("doc_freq").asc, col("term").asc)

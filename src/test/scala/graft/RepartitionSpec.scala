@@ -76,6 +76,27 @@ class RepartitionSpec extends SparkSpec {
     }
   }
 
+  test("ensureMinParallel widens a narrow localCheckpoint'd frame (no stats)") {
+    withShufflePartitions(16) {
+      // a LogicalRDD leaf has no size stats (defaultSizeInBytes =
+      // Long.MaxValue) — the byte probe alone would always claim "wide
+      // enough"; the partition count must come off the materialised RDD
+      val narrow = Seq.tabulate(64)(i => (i.toLong, s"d$i")).toDF("id", "t")
+        .repartition(2).localCheckpoint()
+      assert(narrow.rdd.getNumPartitions === 2)
+      val widened = Repartition.ensureMinParallel(narrow)
+      assert(widened.rdd.getNumPartitions === 16,
+        "kernel-heavy callers must never inherit a tiny checkpoint's task count")
+      // an already-wide checkpoint is left alone (no pointless exchange)
+      val wide = Seq.tabulate(64)(i => (i.toLong, s"d$i")).toDF("id", "t")
+        .repartition(16).localCheckpoint()
+      assert(Repartition.ensureMinParallel(wide) eq wide)
+      // derived (non-leaf) plans over the checkpoint still probe the leaf
+      val derived = narrow.filter(col("id") >= 0).select(col("id"))
+      assert(Repartition.ensureMinParallel(derived).rdd.getNumPartitions === 16)
+    }
+  }
+
   test("keyed role exchange satisfies a downstream dedupe without a second shuffle") {
     withShufflePartitions(32) {
       val edges = (1 to 100).flatMap(i => Seq((i.toLong, (i + 1).toLong)))

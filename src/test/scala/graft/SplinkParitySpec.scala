@@ -284,6 +284,22 @@ class SplinkParitySpec extends SparkSpec {
     // 'h''r''s' would be the literal h'r's, not hrs
     assert(DialectSql.duckdbToSpark("""try_strptime("t_l", '%H%Mhrs')""") ==
       "try_to_timestamp(`t_l`, 'HHmm''hrs''')")
+    // the first argument may nest arbitrarily (balanced-paren walk, not a
+    // one-level regex): a surviving %-format would be a silent all-NULL
+    assert(DialectSql.duckdbToSpark(
+      """try_strptime(substr(trim("x_l"), 1, 10), '%Y-%m-%d')""") ==
+      "try_to_timestamp(substr(trim(`x_l`), 1, 10), 'yyyy-MM-dd')")
+    val nested = Seq(Tuple1("  2021-03-04T05:06:07")).toDF("x_l")
+      .selectExpr(DialectSql.duckdbToSpark(
+        """try_strptime(substr(trim("x_l"), 1, 10), '%Y-%m-%d')""") + " AS t")
+      .collect()(0).getTimestamp(0)
+    assert(nested != null && nested.toString.startsWith("2021-03-04"))
+    // a %-format the walk CANNOT fix (non-literal second argument) fails
+    // loudly instead of nulling every row
+    assertThrows[IllegalArgumentException] {
+      DialectSql.duckdbToSpark(
+        """try_strptime("x_l", '%Y' || '-%m-%d')""")
+    }
     // non-duckdb dialects: double-quoted identifiers must become backtick
     // identifiers, NOT Spark string literals ("a_l" = "a_r" would
     // otherwise silently evaluate as a constant comparison), and the cast
