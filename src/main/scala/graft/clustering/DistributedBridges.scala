@@ -84,7 +84,13 @@ object DistributedBridges {
       .select(col("cluster_id"), col("e.node"), col("e.nbr"))
 
     // ---- phase 1: BFS forest, parent = min frontier neighbour ----------
-    val roots = adj.groupBy("cluster_id").agg(min(col("node")).as("node"))
+    // one checkpointed distinct-node frame feeds the root derivation, the
+    // termination total AND the root count — three aggregates over cached
+    // blocks instead of three separate scans of the exploded adjacency
+    val nodes = pairs.select(col("cluster_id"), explode(array(
+        col("u"), col("v"))).as("node"))
+      .distinct().localCheckpoint(false)
+    val roots = nodes.groupBy("cluster_id").agg(min(col("node")).as("node"))
       .withColumn("parent", lit(null).cast("long"))
       .withColumn("depth", lit(0))
     // levels stay separate checkpointed frames: the anti-join target is
@@ -97,10 +103,9 @@ object DistributedBridges {
     var frontier = levels.head
     var depth = 0
     // termination by node count, not by running an extra empty round: the
-    // node total costs one up-front job and every BFS level is counted
-    // anyway when its checkpoint materialises
-    val totalNodes = adj.select(col("cluster_id"), col("node"))
-      .distinct().count()
+    // node total is a cheap count of the cached node frame and every BFS
+    // level is counted anyway when its checkpoint materialises
+    val totalNodes = nodes.count()
     var visitedCount = frontier.count()
     while (visitedCount < totalNodes) {
       depth += 1
@@ -156,11 +161,16 @@ object DistributedBridges {
     // ---- phase 3: subtree XOR by depth peeling ------------------------
     // byDepth(d) = nodes at depth d with running value; folding level d
     // into d-1 touches only those two levels, so total fold work is O(V).
-    val withPhi = visited.alias("t")
+    // checkpoint only when the fold has many consumers: each byDepth(d)
+    // filter re-reads this frame, so at depth > 4 a materialisation pays
+    // for itself; below that the join over already-cached inputs is
+    // cheaper to recompute than to checkpoint (one fewer Spark job)
+    val withPhiRaw = visited.alias("t")
       .join(phi.alias("p"), Seq("cluster_id", "node"), "left")
       .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
         coalesce(col("val"), lit(0L)).as("val"))
-      .localCheckpoint(false)
+    val withPhi =
+      if (depth > 4) withPhiRaw.localCheckpoint(false) else withPhiRaw
     val byDepth = scala.collection.mutable.Map[Int, DataFrame]()
     (0 to depth).foreach(d =>
       byDepth(d) = freshen(withPhi.filter(col("depth") === d)))
