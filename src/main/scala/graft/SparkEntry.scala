@@ -783,6 +783,41 @@ object SparkEntry {
         .toDF("observed_pairs", "n_records", "lambda")
     }),
 
+    // §2.4/§2.9 EM M-step: ONE full expectation-maximisation iteration
+    // (fixU=false) blocked on rule 1 — pairs -> gammas -> agreement
+    // patterns -> E-step pattern probabilities -> M-step m/u shares + λ
+    // (`expectation_maximisation.py:225-311`). The oracle re-derives the
+    // entire iteration in SQL from the same literal init params, so the
+    // engine's driver-side emCore math is cross-checked end to end; a
+    // level no pattern observed records the 1e-6 unobserved sentinel.
+    "q_em_mstep" -> ((s, dir) => {
+      val res = Training.expectationMaximisation(
+        Seq("customer" -> customers(s, dir)), customerSettings,
+        BlockingRule.blockOn("c_nationkey", "c_mktsegment"),
+        fixU = false, maxIterations = 1)
+      val rows = res.settings.comparisons.flatMap { cmp =>
+        cmp.activeLevelsWithGamma.flatMap { case (lv, g) =>
+          Seq(("m", cmp.outputColumnName, g, lv.m.get),
+            ("u", cmp.outputColumnName, g, lv.u.get)) } } :+
+        (("lambda", "", -1, res.trainedLambda))
+      s.createDataFrame(rows).toDF("param", "comparison", "gamma", "value")
+        .withColumn("value", round(col("value"), 9))
+    }),
+
+    // §2.10/§2.12 estimate-u: deterministic hash sample sized for ~1M
+    // pairs, cartesian self-join, u = each level's share of non-null
+    // gammas (`estimate_u.py:443-517`). numChunks=1 keeps the replay
+    // exact (the multi-chunk early-exit path is spec-covered); the
+    // sample threshold replays the engine's portable md5 hash.
+    "q_estimate_u" -> ((s, dir) => {
+      val trained = Training.estimateU(Seq("customer" -> customers(s, dir)),
+        customerSettings, maxPairs = 1000000L, numChunks = 1)
+      val rows = trained.comparisons.flatMap { cmp =>
+        cmp.activeLevelsWithGamma.map { case (lv, g) =>
+          (cmp.outputColumnName, g, lv.u.get) } }
+      s.createDataFrame(rows).toDF("comparison", "gamma", "u")
+    }),
+
     // corpus: SemDeDup-style semantic dedup over the embeddings table —
     // deterministic seed cells (bottom-8 by portable id hash), within-cell
     // cosine pairs >= 0.3, transitive closure, canonical keep flag
@@ -2050,6 +2085,82 @@ object SparkEntry {
          |tot AS (SELECT comparison, CAST(sum(n) AS DOUBLE) AS total FROM cnt GROUP BY comparison)
          |SELECT lv.comparison, CAST(lv.gamma AS INT) AS gamma,
          |  CASE WHEN coalesce(cnt.n, 0) = 0 THEN 1e-6 ELSE cnt.n / tot.total END AS m
+         |FROM lv
+         |LEFT JOIN cnt ON lv.comparison = cnt.comparison AND lv.gamma = cnt.gamma
+         |LEFT JOIN tot ON lv.comparison = tot.comparison""".stripMargin,
+
+    // One EM iteration in SQL: rule-1 pairs -> gamma patterns -> E-step
+    // probability per pattern from the literal init m/u/λ -> M-step
+    // shares and λ. Literals are cast to DOUBLE so both engines run the
+    // same IEEE arithmetic; outputs round to 9 decimals on both sides.
+    "q_em_mstep" ->
+      s"""WITH pr AS (
+         |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
+         |  FROM customer l JOIN customer r
+         |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+         |   AND l.c_custkey < r.c_custkey),
+         |g AS (
+         |  SELECT $oracleGammaName AS gn, $oracleGammaBal AS gb, count(*) AS n
+         |  FROM pr p JOIN customer l ON p.uid_l = l.c_custkey
+         |            JOIN customer r ON p.uid_r = r.c_custkey
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT gn, gb, n, pm / (pm + pu) AS prob FROM (
+         |    SELECT gn, gb, n,
+         |      CAST(0.001 AS DOUBLE)
+         |        * CAST(CASE gn WHEN 3 THEN 0.9 WHEN 2 THEN 0.05 WHEN 1 THEN 0.03 WHEN 0 THEN 0.02 ELSE 1.0 END AS DOUBLE)
+         |        * CAST(CASE gb WHEN 2 THEN 0.7 WHEN 1 THEN 0.2 WHEN 0 THEN 0.1 ELSE 1.0 END AS DOUBLE) AS pm,
+         |      CAST(0.999 AS DOUBLE)
+         |        * CAST(CASE gn WHEN 3 THEN 0.001 WHEN 2 THEN 0.01 WHEN 1 THEN 0.05 WHEN 0 THEN 0.939 ELSE 1.0 END AS DOUBLE)
+         |        * CAST(CASE gb WHEN 2 THEN 0.02 WHEN 1 THEN 0.03 WHEN 0 THEN 0.95 ELSE 1.0 END AS DOUBLE) AS pu
+         |    FROM g)),
+         |agg AS (
+         |  SELECT 'c_name' AS comparison, gn AS gamma,
+         |         sum(prob * n) AS mw, sum((1 - prob) * n) AS uw
+         |  FROM p WHERE gn >= 0 GROUP BY gn
+         |  UNION ALL
+         |  SELECT 'c_acctbal', gb, sum(prob * n), sum((1 - prob) * n)
+         |  FROM p WHERE gb >= 0 GROUP BY gb),
+         |tot AS (SELECT comparison, sum(mw) AS md, sum(uw) AS ud
+         |        FROM agg GROUP BY comparison),
+         |lv AS (SELECT * FROM (VALUES ('c_name', 3), ('c_name', 2), ('c_name', 1), ('c_name', 0),
+         |    ('c_acctbal', 2), ('c_acctbal', 1), ('c_acctbal', 0)) AS t(comparison, gamma))
+         |SELECT 'm' AS param, lv.comparison, CAST(lv.gamma AS INT) AS gamma,
+         |  round(CASE WHEN agg.mw IS NULL THEN 1e-6 ELSE agg.mw / tot.md END, 9) AS value
+         |FROM lv LEFT JOIN agg ON lv.comparison = agg.comparison AND lv.gamma = agg.gamma
+         |        JOIN tot ON lv.comparison = tot.comparison
+         |UNION ALL
+         |SELECT 'u', lv.comparison, CAST(lv.gamma AS INT),
+         |  round(CASE WHEN agg.uw IS NULL THEN 1e-6 ELSE agg.uw / tot.ud END, 9)
+         |FROM lv LEFT JOIN agg ON lv.comparison = agg.comparison AND lv.gamma = agg.gamma
+         |        JOIN tot ON lv.comparison = tot.comparison
+         |UNION ALL
+         |SELECT 'lambda', '', CAST(-1 AS INT),
+         |  round(sum(prob * n) / sum(n), 9) FROM p""".stripMargin,
+
+    // estimate-u replay: portable-hash sample (trunc to match Scala's
+    // toLong), cartesian l<r, u = per-level share of non-null gammas;
+    // identical integer counts divide on both sides, so no rounding.
+    "q_estimate_u" ->
+      s"""WITH c AS (
+         |  SELECT * FROM customer
+         |  WHERE (SELECT count(*) FROM customer) <= 1415
+         |     OR ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+         |        < CAST(trunc(1415.0 / (SELECT count(*) FROM customer) * 4294967296.0) AS BIGINT)),
+         |g AS (
+         |  SELECT $oracleGammaName AS gn, $oracleGammaBal AS gb
+         |  FROM c l JOIN c r ON l.c_custkey < r.c_custkey),
+         |cnt AS (
+         |  SELECT 'c_name' AS comparison, gn AS gamma, count(*) AS n
+         |  FROM g WHERE gn >= 0 GROUP BY gn
+         |  UNION ALL
+         |  SELECT 'c_acctbal', gb, count(*) FROM g WHERE gb >= 0 GROUP BY gb),
+         |tot AS (SELECT comparison, CAST(sum(n) AS DOUBLE) AS total
+         |        FROM cnt GROUP BY comparison),
+         |lv AS (SELECT * FROM (VALUES ('c_name', 3), ('c_name', 2), ('c_name', 1), ('c_name', 0),
+         |    ('c_acctbal', 2), ('c_acctbal', 1), ('c_acctbal', 0)) AS t(comparison, gamma))
+         |SELECT lv.comparison, CAST(lv.gamma AS INT) AS gamma,
+         |  CASE WHEN coalesce(cnt.n, 0) = 0 THEN 1e-6 ELSE cnt.n / tot.total END AS u
          |FROM lv
          |LEFT JOIN cnt ON lv.comparison = cnt.comparison AND lv.gamma = cnt.gamma
          |LEFT JOIN tot ON lv.comparison = tot.comparison""".stripMargin,
