@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialise.Ops
 import graft.model._
 import graft.operators._
 import graft.clustering.ConnectedComponents
@@ -175,7 +176,7 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
       val cv = ComparisonVectors.compute(pairs.filter(chunkCol === k),
         concatWithTf, settings)
       Predict.score(cv, settings, None, thresholdMatchProbability)
-        .localCheckpoint(true)
+        .breakLineage(true)
     }
     pairs.unpersist()
     chunks.reduce(_.unionByName(_))

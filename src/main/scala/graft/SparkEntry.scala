@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialise.Ops
 import org.apache.spark.sql.expressions.Window
 import graft.model._
 import graft.model.{LevelLibrary => ll}
@@ -81,7 +82,12 @@ object SparkEntry {
        |)""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ListMap: INSERTION-ordered iteration, so Bench executes queries in the
+  // stable order written here — a plain Map's hash-derived order reshuffles
+  // whenever a query is added, making round-over-round per-query deltas an
+  // ordering artifact (r6 verdict finding #3).
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
 
     // §2.4 aggregation baseline (also the bench headline shape).
     // Sums are exact integers (floor to whole units / cents, LONG add) so
@@ -891,7 +897,7 @@ object SparkEntry {
     "q_top_clusters" -> ((s, dir) => {
       val (edges, clusters) = ordersPathGraph(s, dir)
       val metrics = ClusteringOps.clusterMetrics(clusters, edges)
-        .localCheckpoint(false) // sample + re-join read one metrics pass
+        .breakLineage() // sample + re-join read one metrics pass
       Evaluation.sampleClustersFromMetrics(metrics, "by_cluster_size", 15)
         .join(metrics, Seq("cluster_id"))
         .select(col("cluster_id"), col("n_nodes"), col("n_edges"))
@@ -904,7 +910,7 @@ object SparkEntry {
       val (edges, clusters) = ordersPathGraph(s, dir)
       // one metrics pass feeds both strategies
       val metrics = ClusteringOps.clusterMetrics(clusters, edges)
-        .localCheckpoint(false)
+        .breakLineage()
       Evaluation.sampleClustersFromMetrics(metrics, "random", 5)
         .withColumn("method", lit("random"))
         .unionByName(
@@ -1013,7 +1019,7 @@ object SparkEntry {
       .filter(col("prev").isNotNull)
       .select(col("prev").as("unique_id_l"),
         col("o_orderkey").as("unique_id_r"))
-      .localCheckpoint(false)
+      .breakLineage()
     (edges, ConnectedComponents.run(edges))
   }
 
@@ -1148,7 +1154,7 @@ object SparkEntry {
       |FROM cum""".stripMargin
 
   /** DuckDB-dialect oracle SQL per query (tables registered by name). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = scala.collection.immutable.ListMap(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -2,6 +2,7 @@ package graft.clustering
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Materialise.Ops
 import org.apache.spark.sql.expressions.Window
 
 /**
@@ -31,7 +32,7 @@ object ClusteringOps {
       smallGraphThreshold: Long = ConnectedComponents.SmallGraphEdgeThreshold)
       : DataFrame = {
     var remaining = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
-      col(probCol).as("p")).filter(col("a") =!= col("b")).localCheckpoint(false)
+      col(probCol).as("p")).filter(col("a") =!= col("b")).breakLineage()
     // adaptive small-input fast path (same strategy pick as CC);
     // long ids only — other id types take the distributed loop
     if (remaining.schema("a").dataType == org.apache.spark.sql.types.LongType &&
@@ -52,7 +53,7 @@ object ClusteringOps {
         .join(best.alias("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"))
         .filter(col("x.a") < col("x.b"))
         .select(col("x.a").as("a"), col("x.b").as("b"))
-        .localCheckpoint(false)
+        .breakLineage()
       if (mutual.isEmpty) done = true
       else {
         matched += mutual
@@ -61,7 +62,7 @@ object ClusteringOps {
         remaining = remaining
           .join(used.withColumnRenamed("n", "__a"), col("a") === col("__a"), "left_anti")
           .join(used.withColumnRenamed("n", "__b"), col("b") === col("__b"), "left_anti")
-          .localCheckpoint(false)
+          .breakLineage()
         if (remaining.isEmpty) done = true
       }
     }
@@ -126,12 +127,12 @@ object ClusteringOps {
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
       probCol: String = "match_probability", maxRounds: Int = 10): DataFrame = {
     val e0 = edges.select(col(srcCol).as("na"), col(dstCol).as("nb"),
-      col(probCol).as("p")).filter(col("na") =!= col("nb")).localCheckpoint(false)
+      col(probCol).as("p")).filter(col("na") =!= col("nb")).breakLineage()
     var membership = e0.select(col("na").as("node_id"))
       .unionByName(e0.select(col("nb").as("node_id")))
       .distinct()
       .withColumn("rep", col("node_id"))
-      .localCheckpoint(false)
+      .breakLineage()
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -163,14 +164,14 @@ object ClusteringOps {
         .join(best.alias("y"), col("x.ra") === col("y.rb") && col("x.rb") === col("y.ra"))
         .filter(col("x.ra") < col("x.rb"))
         .select(col("x.ra").as("ka"), col("x.rb").as("kb"))
-        .localCheckpoint(false)
+        .breakLineage()
       if (merges.isEmpty) done = true
       else {
         membership = membership.alias("m")
           .join(merges.alias("g"), col("m.rep") === col("g.kb"), "left")
           .select(col("m.node_id"),
             coalesce(col("g.ka"), col("m.rep")).as("rep"))
-          .localCheckpoint(false)
+          .breakLineage()
       }
     }
     membership.select(col("node_id"), col("rep").as("cluster_id"))
@@ -192,7 +193,7 @@ object ClusteringOps {
     // upstream scoring pipeline (the reference materialises the predict
     // frame before clustering for the same reason)
     val e0 = edges.select(col(srcCol), col(dstCol), col(probCol))
-      .localCheckpoint(false)
+      .breakLineage()
     thresholds.sorted.map { t =>
       ConnectedComponents.run(e0.filter(col(probCol) >= t), srcCol, dstCol)
         .withColumn("threshold", lit(t))
@@ -253,7 +254,7 @@ object ClusteringOps {
     // the lineage break each consumer would recompute the full upstream
     // clusters pipeline
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .breakLineage()
     val oversizedIds = sizes.filter(col("n") > maxClusterSize)
     if (!skipOversize && !distributeOversize) {
       // |clusters|-sized aggregate, limit-pruned: the guard costs one scan

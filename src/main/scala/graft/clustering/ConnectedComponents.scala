@@ -2,6 +2,7 @@ package graft.clustering
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Materialise.Ops
 
 /**
  * Distributed connected components over an edge list, via iterative
@@ -18,7 +19,9 @@ import org.apache.spark.sql.functions._
  * a closed cluster shares one representative r, node r itself is a member
  * and r is the component minimum, so labels are canonical.
  *
- * Every iteration `localCheckpoint`s — without lineage breaks the plan
+ * Every iteration breaks lineage via [[graft.operators.Materialise]]
+ * (policy-selectable: localCheckpoint locally, parquet/checkpoint on a
+ * cluster) — without lineage breaks the plan
  * doubles per round (the reference persists each iteration for the same
  * reason, `spark/database_api.py:292-311`). The exit condition costs one
  * `isEmpty` action per round, mirroring the reference's count query.
@@ -90,7 +93,7 @@ object ConnectedComponents {
     var neighbours = graft.operators.Repartition
       .byKeys(symmetric, graft.operators.Repartition.Neighbours, col("node_id"))
       .dropDuplicates()
-      .localCheckpoint(eager)
+      .breakLineage(eager)
 
     val edgeCount = neighbours.count()
     if (edgeCount <= smallGraphThreshold)
@@ -102,7 +105,7 @@ object ConnectedComponents {
     var reps = neighbours
       .groupBy("node_id")
       .agg(least(min(col("neighbour")), first(col("node_id"))).as("representative"))
-      .localCheckpoint(eager)
+      .breakLineage(eager)
 
     val finalised = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var iteration = 0
@@ -127,7 +130,7 @@ object ConnectedComponents {
         .select(col("a.node_id"),
           least(col("a.representative"), coalesce(col("rep_rep"), col("a.representative")))
             .as("representative"))
-        .localCheckpoint(eager) // job 1: the only materialisation per round
+        .breakLineage(eager) // job 1: the only materialisation per round
 
       // Edges whose endpoints currently disagree = clusters still merging.
       val cross = neighbours.alias("e")
@@ -160,7 +163,7 @@ object ConnectedComponents {
             col("node_id") === col("__l"), "left_semi")
           .join(live.withColumnRenamed("node_id", "__r"),
             col("neighbour") === col("__r"), "left_semi")
-          .localCheckpoint(eager) // job 3: cut neighbour lineage
+          .breakLineage(eager) // job 3: cut neighbour lineage
       }
     }
     if (!done) finalised += reps // maxIterations safety valve
@@ -175,7 +178,7 @@ object ConnectedComponents {
 
   /** True when re-scanning the plan costs ~a cached-block read: a
     * checkpoint/local relation, possibly under driver-cheap Project/Filter
-    * (the shapes `edges.localCheckpoint().filter(...)` produces). */
+    * (the shapes `edges.breakLineage(true).filter(...)` produces). */
   private def isCheapToRescan(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, Project}

@@ -2,6 +2,7 @@ package graft.clustering
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Materialise.Ops
 
 /**
  * Fully distributed bridge finding — the scale path for clusters too large
@@ -65,7 +66,7 @@ object DistributedBridges {
     // the unions below. A fresh LogicalRDD has no constraints at all.
     val checked = edges.select(col("cluster_id"),
         col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .localCheckpoint(false)
+      .breakLineage()
     val in = spark.createDataFrame(checked.rdd, checked.schema)
 
     // undirected pair multiplicities; self-loops never bridge and are
@@ -74,7 +75,7 @@ object DistributedBridges {
       .select(col("cluster_id"),
         least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .groupBy("cluster_id", "u", "v").agg(count(lit(1)).as("mult"))
-      .localCheckpoint(false)
+      .breakLineage()
 
     // no checkpoint: adj is a trivial explode over the checkpointed pairs,
     // re-deriving it per BFS round reads cached blocks + one cheap operator
@@ -89,7 +90,7 @@ object DistributedBridges {
     // blocks instead of three separate scans of the exploded adjacency
     val nodes = pairs.select(col("cluster_id"), explode(array(
         col("u"), col("v"))).as("node"))
-      .distinct().localCheckpoint(false)
+      .distinct().breakLineage()
     val roots = nodes.groupBy("cluster_id").agg(min(col("node")).as("node"))
       .withColumn("parent", lit(null).cast("long"))
       .withColumn("depth", lit(0))
@@ -97,7 +98,7 @@ object DistributedBridges {
     // their union (each already a materialised RDD), so no round re-writes
     // the whole visited set — one checkpoint job per round, not two
     val levels = scala.collection.mutable.ArrayBuffer(
-      roots.localCheckpoint(false))
+      roots.breakLineage())
     def visitedUnion = levels.map(l =>
       freshen(l.select(col("cluster_id"), col("node")))).reduce(_.unionByName(_))
     var frontier = levels.head
@@ -121,7 +122,7 @@ object DistributedBridges {
         .join(visitedUnion, Seq("cluster_id", "node"), "left_anti")
         .groupBy("cluster_id", "node").agg(min(col("cand")).as("parent"))
         .withColumn("depth", lit(depth))
-        .localCheckpoint(false)
+        .breakLineage()
       val n = next.count()
       if (n == 0) throw new IllegalStateException(
         "DistributedBridges: BFS stalled before reaching every node — a " +
@@ -170,7 +171,7 @@ object DistributedBridges {
       .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
         coalesce(col("val"), lit(0L)).as("val"))
     val withPhi =
-      if (depth > 4) withPhiRaw.localCheckpoint(false) else withPhiRaw
+      if (depth > 4) withPhiRaw.breakLineage() else withPhiRaw
     val byDepth = scala.collection.mutable.Map[Int, DataFrame]()
     (0 to depth).foreach(d =>
       byDepth(d) = freshen(withPhi.filter(col("depth") === d)))
@@ -185,7 +186,7 @@ object DistributedBridges {
           (col("val").bitwiseXOR(coalesce(col("up"), lit(0L)))).as("val"))
       // each level is join-updated once, but its lineage hangs off the
       // level below it; cut the chain periodically so plans stay shallow
-      if (d % 8 == 0) byDepth(d - 1) = byDepth(d - 1).localCheckpoint(false)
+      if (d % 8 == 0) byDepth(d - 1) = byDepth(d - 1).breakLineage()
       d -= 1
     }
     val sub = byDepth.values.reduce(_.unionByName(_))

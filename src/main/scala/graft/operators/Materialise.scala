@@ -1,0 +1,152 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Pluggable lineage-break policy for every iterative loop and multi-consumer
+ * intermediate in the engine (reference:
+ * `docs/topic_guides/performance/optimising_spark.md:36-57` and
+ * `spark/database_api.py:289-349` — the reference exposes
+ * `break_lineage_method = persist | checkpoint | parquet` and DEFAULTS to a
+ * parquet round-trip on a real cluster, because non-replicated cached blocks
+ * die with their executor and an executor loss mid-iteration then kills the
+ * whole job unrecoverably).
+ *
+ * Policies, selected per-session via `spark.graft.breakLineage`:
+ *
+ *  - `localCheckpoint` — truncates lineage into non-replicated local blocks.
+ *    Fastest; safe on a single JVM (local[n], tests, benchmarks). NOT
+ *    fault-tolerant on a multi-executor cluster. Default when the session
+ *    master is local.
+ *  - `persist` — MEMORY_AND_DISK cache. Keeps lineage (slow plans regrow
+ *    over long loops, but a lost block recomputes instead of failing).
+ *  - `checkpoint` — reliable checkpoint to the SparkContext checkpoint dir
+ *    (set `spark.graft.scratchDir` or call `setCheckpointDir`); blocks
+ *    survive executor loss when the dir is on shared storage (HDFS/S3).
+ *  - `parquet` — write + read-back under `spark.graft.scratchDir`. The
+ *    reference's cluster default: fully fault-tolerant, frames come back as
+ *    plain file scans with accurate size stats. Default when the master is
+ *    non-local.
+ *
+ * Eagerness follows the call site: `breakLineage(true)` forces
+ * materialisation now (parquet/checkpoint writes are inherently eager;
+ * persist adds a count). All policies guarantee the frame is computed at
+ * most once across its consumers — the invariant every caller relies on.
+ */
+object Materialise {
+
+  sealed abstract class Policy(val name: String)
+  case object LocalCheckpointPolicy extends Policy("localCheckpoint")
+  case object PersistPolicy extends Policy("persist")
+  case object CheckpointPolicy extends Policy("checkpoint")
+  case object ParquetPolicy extends Policy("parquet")
+
+  val ConfKey = "spark.graft.breakLineage"
+  val ScratchDirKey = "spark.graft.scratchDir"
+
+  private val all = Seq(LocalCheckpointPolicy, PersistPolicy,
+    CheckpointPolicy, ParquetPolicy)
+  private val counter = new AtomicLong(0)
+  // default scratch dirs this JVM created, deleted on exit (explicit
+  // spark.graft.scratchDir settings are the user's to manage)
+  private val ownedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ownedDirs.forEach(d => deleteRecursively(new java.io.File(d)))))
+  }
+
+  def policy(spark: SparkSession): Policy = {
+    val name = spark.conf.get(ConfKey,
+      if (spark.sparkContext.isLocal) LocalCheckpointPolicy.name
+      else ParquetPolicy.name)
+    all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"$ConfKey=$name is not a materialisation policy; expected one of " +
+        all.map(_.name).mkString(", ")))
+  }
+
+  /** Break lineage under the session's configured policy. */
+  def apply(df: DataFrame, eager: Boolean = false): DataFrame =
+    withPolicy(df, policy(df.sparkSession), eager)
+
+  def withPolicy(df: DataFrame, p: Policy, eager: Boolean): DataFrame = p match {
+    case LocalCheckpointPolicy => df.localCheckpoint(eager)
+    case PersistPolicy =>
+      val out = df.persist(StorageLevel.MEMORY_AND_DISK)
+      if (eager) out.count()
+      out
+    case CheckpointPolicy =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(scratchDir(df.sparkSession) + "/checkpoints")
+      df.checkpoint(eager)
+    case ParquetPolicy =>
+      val spark = df.sparkSession
+      val path = scratchDir(spark) + f"/mat-${counter.incrementAndGet()}%06d"
+      df.write.mode("overwrite").parquet(path)
+      // explicit schema: an empty frame writes no part files, and schema
+      // inference over an empty directory would fail
+      spark.read.schema(df.schema).parquet(path)
+  }
+
+  /** Run `body` with the session policy temporarily set to `p`. */
+  def withSessionPolicy[T](spark: SparkSession, p: Policy)(body: => T): T = {
+    val prev = spark.conf.getOption(ConfKey)
+    spark.conf.set(ConfKey, p.name)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ConfKey, v)
+      case None => spark.conf.unset(ConfKey)
+    }
+  }
+
+  /** Exact byte size of an already-materialised frame, read WITHOUT running
+    * a Spark job: cached block sizes for checkpoint-backed frames
+    * (`LogicalRDD` leaf — localCheckpoint blocks hold UnsafeRows, so
+    * memSize+diskSize is the real row-byte footprint), optimizer file stats
+    * for parquet-policy frames (bare relation leaf). `None` when the size
+    * cannot be read off the materialisation (persist policy keeps the full
+    * plan; a lazy checkpoint has no cached blocks yet) — callers fall back
+    * to an explicit stats query. */
+  def materialisedSizeBytes(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case f: Filter => strip(f.child)
+      case other => other
+    }
+    strip(df.queryExecution.optimizedPlan) match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .filter(i => i.numCachedPartitions == i.numPartitions)
+          .map(i => i.memSize + i.diskSize)
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        Some(rel.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
+      case _ => None
+    }
+  }
+
+  private def scratchDir(spark: SparkSession): String =
+    spark.conf.getOption(ScratchDirKey).getOrElse {
+      val d = System.getProperty("java.io.tmpdir") + "/graft-scratch-" +
+        spark.sparkContext.applicationId
+      if (ownedDirs.add(d)) hookInstalled
+      d
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** `df.breakLineage(eager)` — drop-in replacement for the previous
+    * hardcoded `df.localCheckpoint(eager)` call sites. */
+  implicit class Ops(private val df: DataFrame) extends AnyVal {
+    def breakLineage(eager: Boolean = false): DataFrame = Materialise(df, eager)
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialise.Ops
 import org.apache.spark.sql.expressions.Window
 
 /**
@@ -36,7 +37,7 @@ object SortedNeighbourhood {
     val local = keyed.withColumn("__pid", spark_partition_id())
       .withColumn("__lrn", row_number().over(
         Window.partitionBy("__pid").orderBy(col("__sk"), col(idCol))))
-      .localCheckpoint(false) // rank + counts read the same materialisation
+      .breakLineage() // rank + counts read the same materialisation
     val counts = local.groupBy("__pid").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init

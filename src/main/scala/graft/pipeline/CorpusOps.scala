@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Materialise.Ops
 
 /**
  * Corpus-level operators a large-scale training-data pipeline needs beyond
@@ -80,7 +81,7 @@ object CorpusOps {
    * smoothed tf-idf `tf * (ln((N+1)/(df+1)) + 1)`.
    *
    * The (doc, term) aggregate feeds both the document-frequency rollup and
-   * the final join, so it is materialised once (eager localCheckpoint) —
+   * the final join, so it is materialised once (eager lineage break) —
    * without that Spark re-runs the tokenize+explode+aggregate, doubling the
    * heaviest stage. Document frequencies are vocabulary-sized; when the
    * vocabulary is small enough they are broadcast so the big (doc, term)
@@ -93,22 +94,31 @@ object CorpusOps {
       .select(col(idCol), explode(TextOps.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .breakLineage(true)
     val docFreqRaw = docTerms.groupBy("term")
       .agg(count(lit(1)).as("doc_freq"))
-      .localCheckpoint()
-    // Broadcast cutover is byte-estimated from the checkpointed frame
-    // (rows x avg term length + per-row overhead), not a row count: a
-    // wide vocabulary of long terms must not OOM the driver just because
-    // its row count looks modest. Budget = 8x the session's
+      .breakLineage(true)
+    // Broadcast cutover is byte-estimated, not row-counted: a wide
+    // vocabulary of long terms must not OOM the driver just because its
+    // row count looks modest. The estimate reads the ALREADY-MATERIALISED
+    // frame's real byte size (cached UnsafeRow blocks / parquet file stats)
+    // — zero extra Spark jobs; only when the materialisation exposes no
+    // size (persist policy) does a one-scan stats query run, using
+    // octet_length (UTF-8 bytes, not chars) + ~48B/row for Spark's
+    // UnsafeRow+hashmap overhead so multi-byte vocabularies cannot
+    // underestimate the broadcast. Budget = 8x the session's
     // autoBroadcastJoinThreshold (the forced hint exists because the
     // LogicalRDD leaf has no stats for Catalyst to auto-broadcast on);
     // a disabled threshold (<= 0) disables the forced hint too.
-    val stats = docFreqRaw
-      .agg(count(lit(1)).as("n"), avg(length(col("term"))).as("len"))
-      .head()
-    val estBytes = stats.getLong(0) *
-      (Option(stats.get(1)).fold(0.0)(_.asInstanceOf[Double]) + 24.0)
+    val estBytes = graft.operators.Materialise.materialisedSizeBytes(docFreqRaw)
+      .map(_.toDouble)
+      .getOrElse {
+        val stats = docFreqRaw
+          .agg(count(lit(1)).as("n"), avg(octet_length(col("term"))).as("len"))
+          .head()
+        stats.getLong(0) *
+          (Option(stats.get(1)).fold(0.0)(_.asInstanceOf[Double]) + 48.0)
+      }
     val rawThreshold =
       df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val threshold = scala.util.Try(rawThreshold.trim.toLong).getOrElse(

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialise.Ops
 
 /**
  * Deduplication operators for training-data pipelines, each shaped for a
@@ -153,7 +154,7 @@ object DedupOps {
         graft.functions.funcs.shingles_minhash(col("__text"), shingleQ, k).as("sm"))
       .select(col("id"), col("sm.toks").as("toks"), col("sm.sig").as("sig"))
       .filter(size(col("toks")) > 0)
-      .localCheckpoint(false)
+      .breakLineage()
     val banded = base
       .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band"), col("b.band_hash"))
@@ -193,7 +194,7 @@ object DedupOps {
           graft.functions.funcs.shingles_minhash(col("__text"), shingleQ, k).as("sm"))
         .select(col("id"), col("sm.toks").as("toks"), col("sm.sig").as("sig"))
         .filter(size(col("toks")) > 0)
-        .localCheckpoint(false)
+        .breakLineage()
       val banded = base
         .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
         .select(col("id"), col("b.band"), col("b.band_hash"))

@@ -12,6 +12,16 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(o -- q == Set.empty, s"oracles without query: ${o -- q}")
   }
 
+  test("query iteration order is insertion-stable (deterministic bench order)") {
+    // hash-ordered Maps reshuffle bench execution order whenever a query is
+    // added, turning round-over-round per-query deltas into ordering noise
+    assert(SparkEntry.queries.isInstanceOf[scala.collection.immutable.ListMap[_, _]])
+    assert(SparkEntry.oracleSql.isInstanceOf[scala.collection.immutable.ListMap[_, _]])
+    assert(SparkEntry.queries.keys.toSeq == SparkEntry.queries.keys.toSeq)
+    // the first entry written in the source must come back first
+    assert(SparkEntry.queries.keys.head == "q1_agg")
+  }
+
   test("every query executes fully codegen'd (whole-stage fallback disabled)") {
     // a silent Janino failure runs the stage interpreted with correct
     // results — this sweep turns any such regression into a hard failure

@@ -48,6 +48,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fish._3 == 2L && fish._4 == 1L && fish._5 == expected)
   }
 
+  test("tfidfTopK construction runs ONLY the two materialisation jobs " +
+      "(broadcast estimate reads cached block sizes, no stats job)") {
+    val sc = spark.sparkContext
+    val df = Seq((1L, "cat cat dog"), (2L, "dog mouse"), (3L, "cat fish"))
+      .toDF("doc_id", "text")
+    // job group is per-thread, so parallel suites sharing the session
+    // cannot pollute the count; AQE off, else every shuffle stage is its
+    // own job and the count stops being "one job per materialisation"
+    sc.setJobGroup("tfidf-jobcount", "probe", interruptOnCancel = false)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try CorpusOps.tfidfTopK(df, "doc_id", "text", 2) // construction only
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      sc.clearJobGroup()
+    }
+    // the status store updates asynchronously — poll until stable
+    def n = sc.statusTracker.getJobIdsForGroup("tfidf-jobcount").length
+    var (prev, cur, waited) = (-1, n, 0)
+    while ((cur != prev || cur == 0) && waited < 8000) {
+      Thread.sleep(200); waited += 200; prev = cur; cur = n
+    }
+    assert(cur == 2,
+      s"expected exactly the 2 eager lineage-break jobs, saw $cur")
+  }
+
   test("chunkDocuments: window boundaries and final partial chunk") {
     def chunksOf(s: String): Seq[(Int, String)] =
       CorpusOps.chunkDocuments(Seq((1L, s)).toDF("doc_id", "text"),

@@ -1,0 +1,83 @@
+package graft
+
+import graft.clustering.{ClusteringOps, ConnectedComponents}
+import graft.operators.Materialise
+import graft.pipeline.DedupOps
+
+/** The pluggable lineage-break policy (SURVEY §7.1): every policy must
+  * produce identical results from the iterative loops, and the parquet /
+  * checkpoint policies are the cluster-safe paths the reference defaults to
+  * (`spark/database_api.py:289-349`, `optimising_spark.md:36-57`). */
+class MaterialiseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ccEdges = Seq(
+    (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+    .toDF("unique_id_l", "unique_id_r")
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+    (3L, "entirely different text about spark catalyst optimizer rules"),
+    (4L, "entirely different text about spark catalyst optimizer rules"),
+    (5L, "nothing like the others at all, a unique snowflake document"))
+    .toDF("doc_id", "text")
+
+  private def ccResult(): Map[Long, Long] =
+    // force the distributed loop (threshold 0) so the policy is exercised
+    ConnectedComponents.run(ccEdges, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def dedupResult(): Set[(Long, Long)] =
+    DedupOps.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("all four policies agree on CC + minhash dedupe end-to-end") {
+    val expectCc = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    val expectDup = Set((1L, 2L), (3L, 4L))
+    Seq(Materialise.LocalCheckpointPolicy, Materialise.PersistPolicy,
+      Materialise.CheckpointPolicy, Materialise.ParquetPolicy).foreach { p =>
+      Materialise.withSessionPolicy(spark, p) {
+        assert(ccResult() == expectCc, s"CC under ${p.name}")
+        assert(dedupResult() == expectDup, s"dedupe under ${p.name}")
+      }
+    }
+  }
+
+  test("parquet policy round-trips an empty frame (schema preserved)") {
+    val empty = ccEdges.filter("unique_id_l < 0")
+    val back = Materialise.withPolicy(empty, Materialise.ParquetPolicy,
+      eager = true)
+    assert(back.columns.toSeq == Seq("unique_id_l", "unique_id_r"))
+    assert(back.count() == 0)
+  }
+
+  test("parquet policy survives a one-to-one loop and bridges") {
+    Materialise.withSessionPolicy(spark, Materialise.ParquetPolicy) {
+      val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.95))
+        .toDF("unique_id_l", "unique_id_r", "match_probability")
+      val o2o = ClusteringOps.oneToOne(edges,
+          smallGraphThreshold = 0L) // force the distributed loop
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(o2o == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+        .toDF("node_id", "cluster_id")
+      val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+        .toDF("unique_id_l", "unique_id_r")
+      val bridges = ClusteringOps.edgeBridges(clusters, cyc,
+          maxClusterSize = 1, distributeOversize = true)
+        .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getBoolean(3)))
+        .toMap
+      assert(bridges == Map((1L, 2L) -> false, (2L, 3L) -> false,
+        (3L, 1L) -> false, (3L, 4L) -> true))
+    }
+  }
+
+  test("unknown policy name fails loudly") {
+    spark.conf.set(Materialise.ConfKey, "delta")
+    try intercept[IllegalArgumentException](Materialise.policy(spark))
+    finally spark.conf.unset(Materialise.ConfKey)
+  }
+}
