@@ -531,6 +531,26 @@ object SparkEntry {
       ClusteringOps.oneToOne(edges, maxRounds = 1)
     }),
 
+    // §2.11 one-to-one with the duplicate-free-dataset constraint +
+    // ties_method="drop" (reference cluster_using_single_best_links).
+    // Single round so the mutual-best fixpoint is SQL-expressible; datasets
+    // are synthesised as o_orderkey%3, with ds0/ds1 duplicate-free and ds2
+    // unconstrained.
+    "q_one_to_one_constrained" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"),
+          (((col("prev") + col("o_orderkey")) % 97) / 96.0).as("match_probability"))
+      val nodeDs = o.select(col("o_orderkey").as("node_id"),
+        concat(lit("ds"), (col("o_orderkey") % 3).cast("string"))
+          .as("source_dataset"))
+      ClusteringOps.oneToOneConstrained(edges, nodeDs, maxRounds = 1,
+        duplicateFreeDatasets = Some(Seq("ds0", "ds1")), tiesMethod = "drop")
+    }),
+
     // multimodal: opaque binary payload + codegen'd metadata triage
     "q_multimodal_meta" -> ((s, dir) => {
       val media = MultimodalOps.asMediaTable(pq(s, dir, "documents"), "doc_id", "text")
@@ -1744,6 +1764,57 @@ object SparkEntry {
         |           JOIN best y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)
         |SELECT a AS node_id, a AS cluster_id FROM mutual
         |UNION ALL SELECT b, a FROM mutual""".stripMargin,
+
+    // full replay of the single constrained round: symmetric neighbours ->
+    // drop same-dataset equal-probability ties (both directions) ->
+    // singleton-cluster candidate edges under the ds0/ds1 disjointness
+    // constraint -> mutual rank-1 merges -> representative update
+    "q_one_to_one_constrained" ->
+      """WITH e AS (
+        |  SELECT prev AS na, o_orderkey AS nb,
+        |         ((prev + o_orderkey) % 97) / 96.0 AS p
+        |  FROM (SELECT o_custkey, o_orderkey,
+        |          lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+        |        FROM orders)
+        |  WHERE prev IS NOT NULL AND prev <> o_orderkey),
+        |nd AS (SELECT o_orderkey AS node_id,
+        |              'ds' || CAST(o_orderkey % 3 AS VARCHAR) AS sd
+        |       FROM orders),
+        |sym AS (SELECT na, nb, p FROM e UNION ALL SELECT nb, na, p FROM e),
+        |wsd AS (SELECT s.na, s.nb, s.p, dl.sd AS sd_l, dr.sd AS sd_r
+        |        FROM sym s
+        |        JOIN nd dl ON s.na = dl.node_id
+        |        JOIN nd dr ON s.nb = dr.node_id),
+        |tied AS (SELECT na, sd_l, sd_r, p FROM wsd
+        |         GROUP BY na, sd_l, sd_r, p
+        |         HAVING count(DISTINCT nb) > 1 AND sd_r IN ('ds0', 'ds1')),
+        |e0 AS (SELECT e.na, e.nb, e.p FROM e
+        |       WHERE NOT EXISTS (SELECT 1 FROM tied t
+        |               JOIN nd dl ON e.na = dl.node_id
+        |               JOIN nd dr ON e.nb = dr.node_id
+        |               WHERE t.na = e.na AND t.sd_l = dl.sd
+        |                 AND t.sd_r = dr.sd AND t.p = e.p)
+        |         AND NOT EXISTS (SELECT 1 FROM tied t
+        |               JOIN nd dl ON e.na = dl.node_id
+        |               JOIN nd dr ON e.nb = dr.node_id
+        |               WHERE t.na = e.nb AND t.sd_l = dr.sd
+        |                 AND t.sd_r = dl.sd AND t.p = e.p)),
+        |ce AS (SELECT e0.na AS ra, e0.nb AS rb, e0.p FROM e0
+        |       JOIN nd da ON e0.na = da.node_id
+        |       JOIN nd db ON e0.nb = db.node_id
+        |       WHERE NOT (da.sd = db.sd AND da.sd IN ('ds0', 'ds1'))),
+        |sym2 AS (SELECT ra, rb, p FROM ce UNION ALL SELECT rb, ra, p FROM ce),
+        |best AS (SELECT ra, rb FROM (
+        |    SELECT ra, rb, row_number() OVER (
+        |      PARTITION BY ra ORDER BY p DESC, rb ASC) AS rn
+        |    FROM sym2) WHERE rn = 1),
+        |merges AS (SELECT x.ra AS ka, x.rb AS kb FROM best x
+        |           JOIN best y ON x.ra = y.rb AND x.rb = y.ra
+        |           WHERE x.ra < x.rb),
+        |nodes AS (SELECT DISTINCT node_id FROM (
+        |    SELECT na AS node_id FROM e0 UNION ALL SELECT nb FROM e0))
+        |SELECT n.node_id, coalesce(m.ka, n.node_id) AS cluster_id
+        |FROM nodes n LEFT JOIN merges m ON n.node_id = m.kb""".stripMargin,
 
     // payload is the utf8 bytes of `text`; ASCII corpus makes byte ops and
     // char ops coincide, so the oracle runs on the text column

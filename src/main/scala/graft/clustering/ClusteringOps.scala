@@ -1,6 +1,6 @@
 package graft.clustering
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.Materialise.Ops
 import org.apache.spark.sql.expressions.Window
@@ -121,13 +121,39 @@ object ClusteringOps {
    * duplicate-free. Needed for >2 datasets; for two datasets
    * [[oneToOne]] is equivalent and cheaper.
    *
+   * Ties are handled per the reference's `ties_method`
+   * (`linker_components/clustering.py:186-236`): `"lowest_id"` (default)
+   * breaks equal-probability ties toward the lowest node id inside the
+   * rank; `"drop"` removes, up front, every link where one record has
+   * equal-probability links to MULTIPLE records of one duplicate-free
+   * dataset (ties across different datasets are kept, mirroring
+   * `one_to_one_clustering.py:14-100`).
+   *
    * @param nodeDatasets frame (node_id, source_dataset)
+   * @param duplicateFreeDatasets datasets that must stay duplicate-free
+   *        inside a cluster; None = every dataset in `nodeDatasets`
+   *        (the pre-existing behaviour)
    */
   def oneToOneConstrained(edges: DataFrame, nodeDatasets: DataFrame,
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
-      probCol: String = "match_probability", maxRounds: Int = 10): DataFrame = {
-    val e0 = edges.select(col(srcCol).as("na"), col(dstCol).as("nb"),
-      col(probCol).as("p")).filter(col("na") =!= col("nb")).breakLineage()
+      probCol: String = "match_probability", maxRounds: Int = 10,
+      duplicateFreeDatasets: Option[Seq[String]] = None,
+      tiesMethod: String = "lowest_id"): DataFrame = {
+    require(Seq("lowest_id", "drop").contains(tiesMethod),
+      "ties_method must be one of 'drop', or 'lowest_id'")
+    val e0raw = edges.select(col(srcCol).as("na"), col(dstCol).as("nb"),
+      col(probCol).as("p")).filter(col("na") =!= col("nb"))
+    val e0 = (tiesMethod match {
+      case "drop" => dropTies(e0raw, nodeDatasets, duplicateFreeDatasets)
+      case _ => e0raw
+    }).breakLineage()
+    // only the duplicate-free datasets constrain merges
+    // (`clustering.py:201-202`: "This can be a subset of all of the source
+    // datasets"); other datasets may repeat inside a cluster freely
+    val constraining = duplicateFreeDatasets match {
+      case Some(ds) => nodeDatasets.filter(col("source_dataset").isin(ds: _*))
+      case None => nodeDatasets
+    }
     var membership = e0.select(col("na").as("node_id"))
       .unionByName(e0.select(col("nb").as("node_id")))
       .distinct()
@@ -143,17 +169,21 @@ object ClusteringOps {
       // cluster can still win (reference filters invalid merges out of the
       // candidate set, `one_to_one_clustering.py:203-246`).
       val clusterSets = membership.alias("m")
-        .join(nodeDatasets.alias("d"), col("m.node_id") === col("d.node_id"))
+        .join(constraining.alias("d"), col("m.node_id") === col("d.node_id"))
         .groupBy(col("m.rep").as("r"))
         .agg(collect_set(col("d.source_dataset")).as("ds"))
+      // left joins + empty-set default: a cluster holding no record from
+      // any duplicate-free dataset constrains nothing
+      val noDs = array().cast("array<string>")
       val clusterEdges = e0.alias("e")
         .join(membership.alias("ma"), col("e.na") === col("ma.node_id"))
         .join(membership.alias("mb"), col("e.nb") === col("mb.node_id"))
         .filter(col("ma.rep") =!= col("mb.rep"))
         .select(col("ma.rep").as("ra"), col("mb.rep").as("rb"), col("p"))
-        .join(clusterSets.alias("sa"), col("ra") === col("sa.r"))
-        .join(clusterSets.alias("sb"), col("rb") === col("sb.r"))
-        .filter(!arrays_overlap(col("sa.ds"), col("sb.ds")))
+        .join(clusterSets.alias("sa"), col("ra") === col("sa.r"), "left")
+        .join(clusterSets.alias("sb"), col("rb") === col("sb.r"), "left")
+        .filter(!arrays_overlap(coalesce(col("sa.ds"), noDs),
+          coalesce(col("sb.ds"), noDs)))
         .select(col("ra"), col("rb"), col("p"))
       val sym = clusterEdges.unionByName(
         clusterEdges.select(col("rb").as("ra"), col("ra").as("rb"), col("p")))
@@ -175,6 +205,46 @@ object ClusteringOps {
       }
     }
     membership.select(col("node_id"), col("rep").as("cluster_id"))
+  }
+
+  /** `ties_method = "drop"` (`one_to_one_clustering.py:14-100`): on the
+    * symmetric neighbours frame, a link is TIED when its source node has
+    * equal-probability links to more than one distinct record of a single
+    * duplicate-free dataset; every such link is dropped. Both directions of
+    * an undirected link drop together: the reference's tie_l/tie_r pair of
+    * aggregates collapses, by the symmetry of the neighbours frame, to
+    * "row (a,b) survives iff neither (a,b) nor (b,a) is tie_l-marked". */
+  private def dropTies(e0: DataFrame, nodeDatasets: DataFrame,
+      duplicateFreeDatasets: Option[Seq[String]]): DataFrame = {
+    val isDupFree: Column => Column = duplicateFreeDatasets match {
+      case Some(ds) => c => c.isin(ds: _*)
+      case None => _ => lit(true)
+    }
+    val nd = nodeDatasets.select(col("node_id"), col("source_dataset"))
+    val sym = e0.select(col("na"), col("nb"), col("p"))
+      .unionByName(e0.select(col("nb").as("na"), col("na").as("nb"), col("p")))
+    val withSd = sym.alias("s")
+      .join(nd.alias("dl"), col("s.na") === col("dl.node_id"))
+      .join(nd.alias("dr"), col("s.nb") === col("dr.node_id"))
+      .select(col("s.na"), col("s.nb"), col("s.p"),
+        col("dl.source_dataset").as("sd_l"), col("dr.source_dataset").as("sd_r"))
+    val tied = withSd.groupBy("na", "sd_l", "sd_r", "p")
+      .agg(count_distinct(col("nb")).as("cnt"))
+      .filter(col("cnt") > 1 && isDupFree(col("sd_r")))
+      .select(col("na"), col("sd_l"), col("sd_r"), col("p"))
+    val kept = withSd.alias("w")
+      .join(tied.alias("tl"),
+        col("w.na") === col("tl.na") && col("w.sd_l") === col("tl.sd_l") &&
+          col("w.sd_r") === col("tl.sd_r") && col("w.p") === col("tl.p"),
+        "left_anti")
+      .alias("w")
+      .join(tied.alias("tr"),
+        col("w.nb") === col("tr.na") && col("w.sd_r") === col("tr.sd_l") &&
+          col("w.sd_l") === col("tr.sd_r") && col("w.p") === col("tr.p"),
+        "left_anti")
+    e0.alias("e").join(kept.alias("k"),
+      col("e.na") === col("k.na") && col("e.nb") === col("k.nb") &&
+        col("e.p") === col("k.p"), "left_semi")
   }
 
   /**

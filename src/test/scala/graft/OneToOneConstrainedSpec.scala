@@ -76,6 +76,52 @@ class OneToOneConstrainedSpec extends SparkSpec {
     assert(got(1L) != got(10L))
   }
 
+  test("ties_method='drop' drops equal-probability links into one " +
+      "duplicate-free dataset, keeps cross-dataset ties") {
+    // a1 ties between b1 and b2 at 0.9 (same dataset 'b') -> both links
+    // dropped; a1-c1 at 0.9 is a tie ACROSS datasets -> kept
+    // (`clustering.py:210-217`'s worked example)
+    val edges = Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (1L, 4L, 0.9))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c"))
+      .toDF("node_id", "source_dataset")
+    val dropped = ClusteringOps.oneToOneConstrained(edges, ds,
+        tiesMethod = "drop").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // b1/b2 links gone entirely -> 2 and 3 absent from membership
+    assert(!dropped.contains(2L) && !dropped.contains(3L))
+    assert(dropped(1L) == dropped(4L))
+    // default lowest_id instead keeps the tie and picks b1 (lowest id)
+    val lowest = ClusteringOps.oneToOneConstrained(edges, ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lowest(1L) == lowest(2L))
+    // round 2 then merges c1 too (cluster {a,b} has no 'c' record);
+    // only the second 'b' record stays blocked
+    assert(lowest(4L) == lowest(1L))
+    assert(lowest(3L) != lowest(1L))
+  }
+
+  test("duplicateFreeDatasets subset: unconstrained datasets may repeat " +
+      "inside a cluster") {
+    // two 'x' records chained through a 'a' record; with only 'a'
+    // duplicate-free the whole chain merges, with all datasets
+    // duplicate-free the second 'x' is blocked
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.8))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((1L, "x"), (2L, "a"), (3L, "x")).toDF("node_id", "source_dataset")
+    val subset = ClusteringOps.oneToOneConstrained(edges, ds,
+        duplicateFreeDatasets = Some(Seq("a"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(subset.values.toSet.size == 1, s"expected one cluster, got $subset")
+    val all = ClusteringOps.oneToOneConstrained(edges, ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all(3L) != all(1L))
+    // invalid method fails loudly with the reference's message
+    val err = intercept[IllegalArgumentException](
+      ClusteringOps.oneToOneConstrained(edges, ds, tiesMethod = "nope"))
+    assert(err.getMessage.contains("ties_method must be one of"))
+  }
+
   test("blocking-adjusted lambda reverses deactivated bayes factors") {
     val people = Seq(
       (0L, "John", "Smith", "1990-01-01"),
