@@ -25,6 +25,10 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   @volatile var settings: LinkSettings = initialSettings
   val spark: SparkSession = inputs.head._2.sparkSession
   graft.functions.funcs.registerAll(spark)
+  // fail fast on typo'd settings columns with the reference's error
+  // framing (`settings_validation/log_invalid_columns.py`) — schema-only,
+  // no Spark job
+  SettingsValidation.validate(inputs, settings)
 
   /** `__splink__df_concat` (`vertically_concatenate.py:23-71`). */
   lazy val concat: DataFrame = VerticalConcat(inputs, settings)

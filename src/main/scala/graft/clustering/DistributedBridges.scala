@@ -175,6 +175,13 @@ object DistributedBridges {
     val byDepth = scala.collection.mutable.Map[Int, DataFrame]()
     (0 to depth).foreach(d =>
       byDepth(d) = freshen(withPhi.filter(col("depth") === d)))
+    // lineage-break cadence auto-sized from the MEASURED depth: the fold
+    // chains one join per level, so deep graphs (long chains/cycles) would
+    // either pay a checkpoint job every 8 levels (depth/8 extra jobs) or
+    // grow unboundedly tall plans. Capping the break count at ~12 keeps
+    // the job overhead flat for any diameter while plans stay at most
+    // `cadence` joins tall between breaks.
+    val peelCadence = math.max(8, math.ceil(depth / 12.0).toInt)
     var d = depth
     while (d >= 1) {
       val folded = byDepth(d).groupBy(col("cluster_id"),
@@ -186,7 +193,7 @@ object DistributedBridges {
           (col("val").bitwiseXOR(coalesce(col("up"), lit(0L)))).as("val"))
       // each level is join-updated once, but its lineage hangs off the
       // level below it; cut the chain periodically so plans stay shallow
-      if (d % 8 == 0) byDepth(d - 1) = byDepth(d - 1).breakLineage()
+      if (d % peelCadence == 0) byDepth(d - 1) = byDepth(d - 1).breakLineage()
       d -= 1
     }
     val sub = byDepth.values.reduce(_.unionByName(_))

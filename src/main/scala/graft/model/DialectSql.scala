@@ -225,7 +225,12 @@ object DialectSql {
         val whole = sql.substring(i, j)
         val fmtLit = "^\\s*'((?:[^']|'')*)'\\s*$".r
         if (depth == 0 && topComma >= 0) {
-          val arg1 = sql.substring(i + token.length, topComma)
+          // recurse into the first argument: a try_to_timestamp nested
+          // inside another call's arg1 (e.g. inside a coalesce) must have
+          // ITS %-format rewritten too, or it would survive silently —
+          // breaking this file's fails-loudly contract
+          val arg1 = rewriteTryToTimestamp(
+            sql.substring(i + token.length, topComma))
           sql.substring(topComma + 1, j - 1) match {
             case fmtLit(raw) =>
               val fmt = strptimeToJavaTime(raw.replace("''", "'")).replace("'", "''")
@@ -236,7 +241,7 @@ object DialectSql {
                   s"`$whole` — the second argument is not a plain string " +
                   "literal, and leaving a %-format in place would make " +
                   "Spark's try_to_timestamp return NULL for every row.")
-            case _ => out.append(whole)
+            case other => out.append(s"try_to_timestamp($arg1,$other)")
           }
         } else if (whole.contains('%')) {
           throw new IllegalArgumentException(

@@ -89,16 +89,27 @@ object Repartition {
     val conf = df.sparkSession.conf
     val target = conf.get("spark.sql.shuffle.partitions", "200").toInt
     val plan = df.queryExecution.optimizedPlan
-    val rddLeafParts = plan.collect {
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val leaves = plan.collectLeaves()
+    val rddLeafParts = leaves.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getNumPartitions
     }
-    if (rddLeafParts.nonEmpty) {
-      if (rddLeafParts.max >= target) df else df.repartition(target)
-    } else {
-      val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
-        .byteStringAsBytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    if (rddLeafParts.isEmpty) {
       val size = plan.stats.sizeInBytes
       if (size >= BigInt(target) * maxPartitionBytes) df
+      else df.repartition(target)
+    } else {
+      // PER-LEAF decision when checkpoint and file-scan leaves mix: a tiny
+      // narrow checkpoint joined to an already-wide file scan must not
+      // force a needless full repartition — any leaf wide enough makes the
+      // downstream stage wide enough
+      val fileScanTasks = leaves.collect {
+        case l if !l.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] =>
+          (l.stats.sizeInBytes / maxPartitionBytes)
+            .min(BigInt(Int.MaxValue)).toInt
+      }
+      if ((rddLeafParts ++ fileScanTasks).max >= target) df
       else df.repartition(target)
     }
   }

@@ -133,6 +133,53 @@ class LinkerSpec extends SparkSpec {
     }
   }
 
+  test("settings validation: typo'd blocking column fails at construction " +
+      "with the reference's error framing") {
+    val bad = settings.copy(blockingRules =
+      Seq(BlockingRule.blockOn("surnme"), BlockingRule.blockOn("surname")))
+    val err = intercept[InvalidColumnsException](new Linker(people, bad))
+    assert(err.getMessage.contains("Invalid Columns(s) in Blocking Rule(s)"))
+    assert(err.getMessage.contains(
+      "Missing column(s) from input dataframe(s): `surnme`"))
+    assert(err.getMessage.contains("block_on(surnme)"))
+  }
+
+  test("settings validation: comparison level on a missing column names " +
+      "the comparison and the level SQL") {
+    val bad = settings.copy(comparisons = settings.comparisons :+
+      Comparison("ghost", Seq(ll.nullLevel("ghost"),
+        ll.exactMatch("ghost").withM(0.5).withU(0.5), ll.elseLevel)))
+    val err = intercept[InvalidColumnsException](new Linker(people, bad))
+    assert(err.getMessage.contains("Invalid Columns(s) in Comparison(s)"))
+    assert(err.getMessage.contains("Comparison: ghost"))
+    assert(err.getMessage.contains(
+      "Missing column(s) from input dataframe(s): `ghost`"))
+  }
+
+  test("settings validation: bad unique-id column, un-suffixed level " +
+      "column, and non-l/r table alias are each flagged") {
+    val badUid = settings.copy(uniqueIdColumn = "uid_typo")
+    val e1 = intercept[InvalidColumnsException](new Linker(people, badUid))
+    assert(e1.getMessage.contains("Setting: `unique_id_column_name`"))
+    assert(e1.getMessage.contains("`uid_typo`"))
+    val badLevel = settings.copy(comparisons = Seq(
+      Comparison("first_name", Seq(ll.nullLevel("first_name"),
+        ComparisonLevel("no suffix", "first_name_l = first_name",
+          m = Some(0.5), u = Some(0.5)),
+        ll.elseLevel))))
+    val e2 = intercept[InvalidColumnsException](new Linker(people, badLevel))
+    assert(e2.getMessage.contains(
+      "Invalid table suffixes provided (only `_l` and `_r` are valid): " +
+        "`first_name`"))
+    val badAlias = settings.copy(blockingRules = Seq(
+      BlockingRule.CustomBlockingRule("x.surname = r.surname")))
+    val e3 = intercept[InvalidColumnsException](new Linker(people, badAlias))
+    assert(e3.getMessage.contains(
+      "Invalid table names provided (only `l.` and `r.` are valid)"))
+    // and a fully valid settings object still constructs
+    new Linker(people, settings)
+  }
+
   test("compare_records scores without blocking") {
     val linker = new Linker(people, settings)
     val left = people.filter(col("unique_id") === 0)

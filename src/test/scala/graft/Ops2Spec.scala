@@ -122,6 +122,31 @@ class Ops2Spec extends SparkSpec {
     assert(dist.keys.exists(_._3)) // a preferential-attachment tree has bridges
   }
 
+  test("edgeBridges distributeOversize: deep graph (diameter ~80, long " +
+      "cycle + bridge chain) matches Tarjan") {
+    // adversarial DEPTH, not size: BFS rounds and the depth-peel fold both
+    // scale with diameter, so a 60-ring + 50-edge bridge chain + terminal
+    // triangle exercises ~80 peel levels and the auto-sized checkpoint
+    // cadence. Ring/triangle edges are non-bridges; the chain and its
+    // connector are all bridges.
+    val ring = (0 until 60).map(i => (i.toLong, ((i + 1) % 60).toLong))
+    val chain = (100 until 149).map(i => (i.toLong, (i + 1).toLong))
+    val connector = Seq((0L, 100L))
+    val triangle = Seq((149L, 150L), (150L, 151L), (151L, 149L))
+    val edges = (ring ++ chain ++ connector ++ triangle)
+      .toDF("unique_id_l", "unique_id_r")
+    val clusters = ConnectedComponents.run(edges)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val tarjan = verdicts(ClusteringOps.edgeBridges(clusters, edges))
+    val dist = verdicts(ClusteringOps.edgeBridges(clusters, edges,
+      maxClusterSize = 10, distributeOversize = true))
+    assert(dist == tarjan)
+    val bridges = dist.filter(_._3).map(v => (v._1, v._2))
+    assert(bridges == (chain ++ connector).toSet,
+      s"expected exactly the chain+connector as bridges")
+  }
+
   test("default m/u heuristic fills untrained levels monotonically") {
     val s = LinkSettings(comparisons = Seq(
       Comparison("x", Seq(ll.nullLevel("x"), ll.exactMatch("x"),

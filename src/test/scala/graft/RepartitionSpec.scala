@@ -76,6 +76,38 @@ class RepartitionSpec extends SparkSpec {
     }
   }
 
+  test("SaltAdvisor: blocking analysis sizes the salt, salted rule keeps " +
+      "the pair set and shrinks the max task") {
+    withShufflePartitions(8) {
+      val rows = (1L to 480L).map(i =>
+        (i, if (i <= 400) "HOT" else s"cold${i % 8}"))
+      val df = rows.toDF("unique_id", "seg")
+      val rule = BlockingRule.BlockOnRule(Seq("seg"))
+      val advice = graft.operators.SaltAdvisor.advise(df, rule)
+      // 400 of 480 rows share one key; even share = 480/8 = 60 rows/task
+      // -> ceil(400/60) = 7 salted sub-joins
+      assert(advice.largestBlockRows === 400L && advice.totalRows === 480L)
+      assert(advice.recommendedSalts === 7)
+      def pairs(r: BlockingRule) = graft.operators.Blocking.blockedIdPairs(df,
+        LinkSettings(linkType = LinkType.DedupeOnly, blockingRules = Seq(r)))
+      val unsalted = pairs(rule)
+      val salted = pairs(advice.applied)
+      val u = unsalted.select("join_key_l", "join_key_r")
+        .as[(String, String)].collect().sorted.toSeq
+      val s7 = salted.select("join_key_l", "join_key_r")
+        .as[(String, String)].collect().sorted.toSeq
+      assert(s7 == u && u.nonEmpty)
+      def maxTaskRows(d: org.apache.spark.sql.DataFrame): Long =
+        d.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+      assert(maxTaskRows(salted) * 2 <= maxTaskRows(unsalted))
+      // an evenly-distributed key needs no salt
+      val even = (1L to 480L).map(i => (i, s"seg${i % 8}"))
+        .toDF("unique_id", "seg")
+      assert(graft.operators.SaltAdvisor.advise(even, rule)
+        .recommendedSalts === 1)
+    }
+  }
+
   test("ensureMinParallel widens a narrow localCheckpoint'd frame (no stats)") {
     withShufflePartitions(16) {
       // a LogicalRDD leaf has no size stats (defaultSizeInBytes =

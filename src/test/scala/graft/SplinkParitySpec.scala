@@ -294,6 +294,16 @@ class SplinkParitySpec extends SparkSpec {
         """try_strptime(substr(trim("x_l"), 1, 10), '%Y-%m-%d')""") + " AS t")
       .collect()(0).getTimestamp(0)
     assert(nested != null && nested.toString.startsWith("2021-03-04"))
+    // a try_to_timestamp nested inside ANOTHER call's first argument is
+    // rewritten too (true nesting, not just siblings) — its %-format must
+    // not survive silently
+    assert(DialectSql.duckdbToSpark(
+      "try_strptime(coalesce(try_strptime(x_l, '%Y'), y_l), '%m')") ==
+      "try_to_timestamp(coalesce(try_to_timestamp(x_l, 'yyyy'), y_l), 'MM')")
+    // nested call under a NON-literal second argument also rewrites
+    assert(DialectSql.duckdbToSpark(
+      "try_to_timestamp(try_strptime(x_l, '%Y'), f_l)") ==
+      "try_to_timestamp(try_to_timestamp(x_l, 'yyyy'), f_l)")
     // a %-format the walk CANNOT fix (non-literal second argument) fails
     // loudly instead of nulling every row
     assertThrows[IllegalArgumentException] {
