@@ -138,21 +138,39 @@ object ClusteringOps {
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
       probCol: String = "match_probability", maxRounds: Int = 10,
       duplicateFreeDatasets: Option[Seq[String]] = None,
-      tiesMethod: String = "lowest_id"): DataFrame = {
+      tiesMethod: String = "lowest_id",
+      smallGraphThreshold: Long = ConnectedComponents.SmallGraphEdgeThreshold)
+      : DataFrame = {
     require(Seq("lowest_id", "drop").contains(tiesMethod),
       "ties_method must be one of 'drop', or 'lowest_id'")
+    // materialise the caller's edge pipeline ONCE before tie handling:
+    // dropTies reads its input several times (symmetric explode, tie
+    // aggregate, the final semi-join), and each read of an unmaterialised
+    // predict pipeline would re-run the whole scoring job
     val e0raw = edges.select(col(srcCol).as("na"), col(dstCol).as("nb"),
-      col(probCol).as("p")).filter(col("na") =!= col("nb"))
-    val e0 = (tiesMethod match {
-      case "drop" => dropTies(e0raw, nodeDatasets, duplicateFreeDatasets)
-      case _ => e0raw
-    }).breakLineage()
+      col(probCol).as("p")).filter(col("na") =!= col("nb")).breakLineage()
     // only the duplicate-free datasets constrain merges
     // (`clustering.py:201-202`: "This can be a subset of all of the source
     // datasets"); other datasets may repeat inside a cluster freely
     val constraining = duplicateFreeDatasets match {
       case Some(ds) => nodeDatasets.filter(col("source_dataset").isin(ds: _*))
       case None => nodeDatasets
+    }
+    // adaptive small-input fast path (same strategy pick as CC/oneToOne):
+    // the round loop costs ~6 scheduled actions per round distributed —
+    // and the tie-drop another ~8 — while under the threshold the whole
+    // solve (tie-drop included) fits driver memory
+    val longIds = Seq(e0raw.schema("na"), e0raw.schema("nb"),
+        nodeDatasets.schema("node_id"))
+      .forall(_.dataType == org.apache.spark.sql.types.LongType) &&
+      e0raw.schema("p").dataType == org.apache.spark.sql.types.DoubleType
+    if (longIds && e0raw.count() <= smallGraphThreshold)
+      return driverOneToOneConstrained(e0raw, nodeDatasets,
+        duplicateFreeDatasets, tiesMethod, maxRounds)
+    val e0 = tiesMethod match {
+      case "drop" =>
+        dropTies(e0raw, nodeDatasets, duplicateFreeDatasets).breakLineage()
+      case _ => e0raw
     }
     var membership = e0.select(col("na").as("node_id"))
       .unionByName(e0.select(col("nb").as("node_id")))
@@ -185,8 +203,12 @@ object ClusteringOps {
         .filter(!arrays_overlap(coalesce(col("sa.ds"), noDs),
           coalesce(col("sb.ds"), noDs)))
         .select(col("ra"), col("rb"), col("p"))
-      val sym = clusterEdges.unionByName(
-        clusterEdges.select(col("rb").as("ra"), col("ra").as("rb"), col("p")))
+      // symmetric via one explode: a union would evaluate the 4-join
+      // clusterEdges pipeline twice per round
+      val sym = clusterEdges.select(explode(array(
+          struct(col("ra"), col("rb"), col("p")),
+          struct(col("rb").as("ra"), col("ra").as("rb"), col("p")))).as("e"))
+        .select(col("e.ra"), col("e.rb"), col("e.p"))
       val w = Window.partitionBy("ra").orderBy(desc("p"), asc("rb"))
       val best = sym.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("ra", "rb")
@@ -207,6 +229,118 @@ object ClusteringOps {
     membership.select(col("node_id"), col("rep").as("cluster_id"))
   }
 
+  /** Driver-side constrained mutual-best rounds, identical semantics to
+    * the distributed loop (cluster-level candidates under the
+    * dataset-disjointness constraint; best per cluster by p desc then
+    * lowest rep node id; simultaneous mutual merges per round).
+    * Index-array state with INCREMENTALLY merged cluster-dataset sets —
+    * no per-round group-by materialisation, so rounds cost O(E). */
+  private def driverOneToOneConstrained(e0raw: DataFrame,
+      nodeDatasets: DataFrame, duplicateFreeDatasets: Option[Seq[String]],
+      tiesMethod: String, maxRounds: Int): DataFrame = {
+    val spark = e0raw.sparkSession
+    import spark.implicits._
+    val allEdges = e0raw.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nodes0 = allEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    // fetch datasets only for nodes in play (the corpus can be far larger
+    // than the edge set) — broadcast semi-join, then one small collect
+    val nodesDf = nodes0.toSeq.toDF("__node")
+    val dsPairs = nodeDatasets
+      .select(col("node_id"), col("source_dataset"))
+      .join(broadcast(nodesDf), col("node_id") === col("__node"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dsOf: Map[Long, Seq[String]] =
+      dsPairs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        .withDefaultValue(Nil)
+    val isDupFree: String => Boolean = duplicateFreeDatasets match {
+      case Some(ds) => ds.toSet
+      case None => _ => true
+    }
+    // ties_method="drop" replayed in memory, same semantics as [[dropTies]]
+    // (inner joins to the dataset table: an edge with a dataset-less
+    // endpoint yields no joined row and is dropped; otherwise it drops
+    // only when EVERY (sd_l, sd_r) combination is tied in one direction
+    // or the other)
+    val edges = if (tiesMethod != "drop") allEdges else {
+      val tieCount = scala.collection.mutable.Map.empty[(Long, String, String, Double), scala.collection.mutable.Set[Long]]
+      def note(a: Long, b: Long, p: Double): Unit =
+        for (sa <- dsOf(a); sb <- dsOf(b))
+          tieCount.getOrElseUpdate((a, sa, sb, p),
+            scala.collection.mutable.Set.empty[Long]) += b
+      allEdges.foreach { case (a, b, p) => note(a, b, p); note(b, a, p) }
+      def tied(a: Long, sa: String, sb: String, p: Double): Boolean =
+        isDupFree(sb) && tieCount.get((a, sa, sb, p)).exists(_.size > 1)
+      allEdges.filter { case (a, b, p) =>
+        val combos = for (sa <- dsOf(a); sb <- dsOf(b)) yield (sa, sb)
+        combos.nonEmpty && combos.exists { case (sa, sb) =>
+          !tied(a, sa, sb, p) && !tied(b, sb, sa, p) }
+      }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val rep = Array.tabulate(n)(identity) // node index -> rep node index
+    val clusterDs = Array.fill(n)(Set.empty[String])
+    dsPairs.foreach { case (node, d) =>
+      if (isDupFree(d))
+        idx.get(node).foreach(i => clusterDs(i) = clusterDs(i) + d) }
+    val eIdx = edges.map { case (a, b, p) => (idx(a), idx(b), p) }
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      // best valid neighbour cluster per cluster: p desc, then lowest rep
+      // node id (the distributed window's ORDER BY p DESC, rb ASC)
+      val best = scala.collection.mutable.LongMap.empty[(Double, Int)]
+      def offer(ra: Int, rb: Int, p: Double): Unit = best.get(ra.toLong) match {
+        case Some((bp, bi)) =>
+          if (p > bp || (p == bp && nodes(rb) < nodes(bi)))
+            best(ra.toLong) = (p, rb)
+        case None => best(ra.toLong) = (p, rb)
+      }
+      eIdx.foreach { case (ai, bi, p) =>
+        val (ra, rb) = (rep(ai), rep(bi))
+        if (ra != rb && !clusterDs(ra).exists(clusterDs(rb))) {
+          offer(ra, rb, p); offer(rb, ra, p)
+        }
+      }
+      // mutual pairs; ka = lower-node-id rep absorbs kb
+      val merges = best.iterator.collect {
+        case (ra, (_, rb)) if nodes(ra.toInt) < nodes(rb) &&
+            best.get(rb.toLong).exists(_._2 == ra.toInt) =>
+          (ra.toInt, rb)
+      }.toArray
+      if (merges.isEmpty) done = true
+      else {
+        val m = scala.collection.mutable.LongMap.empty[Int]
+        merges.foreach { case (ka, kb) =>
+          m(kb.toLong) = ka
+          clusterDs(ka) = clusterDs(ka) ++ clusterDs(kb)
+        }
+        var i = 0
+        while (i < n) {
+          val r = m.getOrElse(rep(i).toLong, -1)
+          if (r >= 0) rep(i) = r
+          i += 1
+        }
+      }
+    }
+    // parallelized RDD, not a LocalRelation (same rationale as the CC
+    // driver path: a LocalRelation this size re-pays driver conversion
+    // per downstream action)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType)))
+    val out = nodes.indices.map(i =>
+      org.apache.spark.sql.Row(nodes(i), nodes(rep(i))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out,
+        math.max(1, spark.sparkContext.defaultParallelism / 4)), schema)
+  }
+
   /** `ties_method = "drop"` (`one_to_one_clustering.py:14-100`): on the
     * symmetric neighbours frame, a link is TIED when its source node has
     * equal-probability links to more than one distinct record of a single
@@ -221,17 +355,24 @@ object ClusteringOps {
       case None => _ => lit(true)
     }
     val nd = nodeDatasets.select(col("node_id"), col("source_dataset"))
-    val sym = e0.select(col("na"), col("nb"), col("p"))
-      .unionByName(e0.select(col("nb").as("na"), col("na").as("nb"), col("p")))
+    // one explode over a single scan, not a `fwd UNION ALL bwd` (Spark
+    // does not CSE across union branches — the input plan would run twice)
+    val sym = e0.select(explode(array(
+        struct(col("na"), col("nb"), col("p")),
+        struct(col("nb").as("na"), col("na").as("nb"), col("p")))).as("e"))
+      .select(col("e.na"), col("e.nb"), col("e.p"))
     val withSd = sym.alias("s")
       .join(nd.alias("dl"), col("s.na") === col("dl.node_id"))
       .join(nd.alias("dr"), col("s.nb") === col("dr.node_id"))
       .select(col("s.na"), col("s.nb"), col("s.p"),
         col("dl.source_dataset").as("sd_l"), col("dr.source_dataset").as("sd_r"))
+    // materialised: both anti-joins below read this tie table, and it is
+    // tiny (one row per tie group) next to its groupBy input
     val tied = withSd.groupBy("na", "sd_l", "sd_r", "p")
       .agg(count_distinct(col("nb")).as("cnt"))
       .filter(col("cnt") > 1 && isDupFree(col("sd_r")))
       .select(col("na"), col("sd_l"), col("sd_r"), col("p"))
+      .breakLineage()
     val kept = withSd.alias("w")
       .join(tied.alias("tl"),
         col("w.na") === col("tl.na") && col("w.sd_l") === col("tl.sd_l") &&

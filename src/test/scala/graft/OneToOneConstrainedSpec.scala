@@ -122,6 +122,26 @@ class OneToOneConstrainedSpec extends SparkSpec {
     assert(err.getMessage.contains("ties_method must be one of"))
   }
 
+  test("constrained driver fast path equals the distributed loop " +
+      "(incl. drop ties and subset constraints)") {
+    val rng = new scala.util.Random(99)
+    val edges = Seq.fill(60)((rng.nextInt(20).toLong, rng.nextInt(20).toLong,
+        (rng.nextInt(5) + 1) / 5.0))
+      .filter { case (a, b, _) => a != b }
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = (0L until 20L).map(n => (n, s"d${n % 4}"))
+      .toDF("node_id", "source_dataset")
+    for (ties <- Seq("lowest_id", "drop");
+         dup <- Seq(None, Some(Seq("d0", "d1")))) {
+      def solve(threshold: Long) = ClusteringOps.oneToOneConstrained(
+        edges, ds, tiesMethod = ties, duplicateFreeDatasets = dup,
+        smallGraphThreshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(solve(Long.MaxValue) == solve(0L),
+        s"paths diverged for ties=$ties dup=$dup")
+    }
+  }
+
   test("blocking-adjusted lambda reverses deactivated bayes factors") {
     val people = Seq(
       (0L, "John", "Smith", "1990-01-01"),
