@@ -531,6 +531,19 @@ object SparkEntry {
       ClusteringOps.oneToOne(edges, maxRounds = 1)
     }),
 
+    // blocking-analysis-driven salt sizing (SaltAdvisor over the hot
+    // c_mktsegment key, explicit per-task target so the oracle is
+    // session-independent)
+    "q_salt_advice" -> ((s, dir) => {
+      val advice = SaltAdvisor.advise(pq(s, dir, "customer"),
+        BlockingRule.BlockOnRule(Seq("c_mktsegment")),
+        targetRowsPerTask = 1000)
+      import s.implicits._
+      Seq((advice.rule.describe, advice.largestBlockRows, advice.totalRows,
+          advice.recommendedSalts))
+        .toDF("rule", "largest_block_rows", "total_rows", "recommended_salts")
+    }),
+
     // §2.11 one-to-one with the duplicate-free-dataset constraint +
     // ties_method="drop" (reference cluster_using_single_best_links).
     // Single round so the mutual-best fixpoint is SQL-expressible; datasets
@@ -1764,6 +1777,15 @@ object SparkEntry {
         |           JOIN best y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)
         |SELECT a AS node_id, a AS cluster_id FROM mutual
         |UNION ALL SELECT b, a FROM mutual""".stripMargin,
+
+    "q_salt_advice" ->
+      """SELECT 'block_on(c_mktsegment)' AS rule,
+        |  max(c) AS largest_block_rows,
+        |  CAST(sum(c) AS BIGINT) AS total_rows,
+        |  CAST(least(64, greatest(1,
+        |    CAST(ceil(max(c)::DOUBLE / 1000) AS BIGINT))) AS INT)
+        |    AS recommended_salts
+        |FROM (SELECT count(*) AS c FROM customer GROUP BY c_mktsegment)""".stripMargin,
 
     // full replay of the single constrained round: symmetric neighbours ->
     // drop same-dataset equal-probability ties (both directions) ->
