@@ -288,6 +288,87 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     }
   }
 
+  /** Visualisation facade (`linker_components/visualisations.py`): every
+    * chart the reference renders, as Vega-Lite [[graft.charts.ChartSpec]]s
+    * or standalone HTML dashboards over this linker's model and queries. */
+  object visualisations {
+    import graft.charts.{Charts, ChartSpec, Dashboards}
+    import graft.evaluation.Evaluation
+
+    def matchWeightsChart(): ChartSpec = Charts.matchWeightsChart(settings)
+
+    def mUParametersChart(): ChartSpec = Charts.muParametersChart(settings)
+
+    def parameterEstimateComparisonsChart(): ChartSpec =
+      Charts.parameterEstimateComparisonsChart(settings)
+
+    def matchWeightsHistogram(predictions: DataFrame): ChartSpec =
+      Charts.matchWeightsHistogramChart(
+        Evaluation.matchWeightHistogram(predictions))
+
+    def unlinkablesChart(): ChartSpec =
+      Charts.unlinkablesChart(evaluation.unlinkables())
+
+    def completenessChart(columns: Seq[String] = Nil): ChartSpec =
+      Charts.completenessChart(evaluation.completeness(columns))
+
+    def cumulativeNumComparisonsFromBlockingRulesChart(): ChartSpec =
+      Charts.cumulativeComparisonsChart(
+        Evaluation.cumulativeComparisonsPerRule(concat, settings))
+
+    def tfAdjustmentChart(column: String, nMostFreq: Int = 10): ChartSpec =
+      Charts.tfAdjustmentChart(
+        Evaluation.tfChartData(concat, Seq(column), nMostFreq))
+
+    def rocChartFromLabelColumn(labelColumn: String): ChartSpec =
+      Charts.rocChart(evaluation.truthSpaceFromLabelColumn(labelColumn))
+
+    def precisionRecallChartFromLabelColumn(labelColumn: String): ChartSpec =
+      Charts.precisionRecallChart(
+        evaluation.truthSpaceFromLabelColumn(labelColumn))
+
+    def accuracyChartFromLabelColumn(labelColumn: String): ChartSpec =
+      Charts.accuracyChart(evaluation.truthSpaceFromLabelColumn(labelColumn))
+
+    def thresholdSelectionToolFromLabelColumn(labelColumn: String): ChartSpec =
+      Charts.thresholdSelectionTool(
+        evaluation.truthSpaceFromLabelColumn(labelColumn))
+
+    /** Waterfall for one scored pair picked by its ids. */
+    def waterfallChart(predictions: DataFrame, uidL: Any, uidR: Any): ChartSpec = {
+      val uid = settings.uniqueIdColumn
+      Charts.waterfallChart(
+        Evaluation.waterfallData(
+          predictions.filter(col(Cols.l(uid)) === lit(uidL) &&
+            col(Cols.r(uid)) === lit(uidR)), settings))
+    }
+
+    def comparisonViewerDashboard(predictions: DataFrame, outPath: String,
+        exampleRowsPerCategory: Int = 2,
+        minimumComparisonVectorCount: Long = 0L): String = {
+      val html = Dashboards.comparisonViewerHtml(predictions, settings,
+        exampleRowsPerCategory, minimumComparisonVectorCount)
+      Dashboards.saveHtml(html, outPath)
+      html
+    }
+
+    def clusterStudioDashboard(predictions: DataFrame,
+        clusteredNodes: DataFrame, outPath: String,
+        samplingMethod: String = "by_cluster_size",
+        sampleSize: Int = 10, sampleSeed: Long = 42L): String = {
+      val uid = settings.uniqueIdColumn
+      val edges = predictions
+        .withColumnRenamed(Cols.l(uid), "unique_id_l")
+        .withColumnRenamed(Cols.r(uid), "unique_id_r")
+      val nodes = clusteredNodes.withColumnRenamed(uid, "node_id")
+      val ids = Evaluation.sampleClusters(nodes.select("node_id", "cluster_id"),
+        edges, samplingMethod, sampleSize, sampleSeed)
+      val html = Dashboards.clusterStudioHtml(nodes, edges, ids)
+      Dashboards.saveHtml(html, outPath)
+      html
+    }
+  }
+
   /** Compare two small record frames against the trained model without any
     * blocking — realtime scoring (`realtime.py:44-159`). */
   def compareRecords(left: DataFrame, right: DataFrame): DataFrame = {

@@ -241,6 +241,22 @@ object SparkEntry {
           round(col("log2_bayes_factor"), 6).as("log2_bayes_factor"))
     }),
 
+    // comparison-viewer example rows (`splink_comparison_viewer.py:85-146`):
+    // per gamma pattern, the 2 lowest-(uid_l, uid_r) example pairs with the
+    // pattern's count, proportion, and no-TF pattern weight — deterministic
+    // (the reference samples by random(); we pick by id so DuckDB replays it)
+    "q_viewer_rows" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      graft.charts.Dashboards.viewerExampleRows(
+          linker.predict(), customerSettings, 2)
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          col("gam_concat"),
+          round(col("sort_avg_match_weight"), 6).as("sort_avg_match_weight"),
+          col("row_example_index").cast("long").as("row_example_index"),
+          col("count_rows_in_comparison_vector_group").as("pattern_count"),
+          round(col("proportion_of_comparisons"), 9).as("proportion"))
+    }),
+
     // §2.4 agreement-pattern counts (EM E-step input)
     "q_em_patterns" -> ((s, dir) => {
       val linker = new Linker(customers(s, dir), customerSettings)
@@ -1389,6 +1405,40 @@ object SparkEntry {
          |SELECT uid_l, uid_r, 'c_acctbal', 1, round(w_bal, 6) FROM cv
          |UNION ALL
          |SELECT uid_l, uid_r, 'final', 2, round($prior + w_name + w_bal, 6) FROM cv""".stripMargin
+    },
+
+    "q_viewer_rows" -> {
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+      s"""$oraclePairsCte,
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r,
+         |    $oracleGammaName AS g_name, $oracleGammaBal AS g_bal
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey),
+         |mw AS (
+         |  SELECT uid_l, uid_r,
+         |    CAST(g_name AS VARCHAR) || ',' || CAST(g_bal AS VARCHAR) AS gam_concat,
+         |    $prior
+         |      + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
+         |          WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
+         |          ELSE ${w(0.02, 0.939)} END
+         |      + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
+         |          WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END AS mw_no_tf
+         |  FROM cv),
+         |num AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY gam_concat ORDER BY uid_l, uid_r)
+         |      AS row_example_index,
+         |    count(*) OVER (PARTITION BY gam_concat) AS pattern_count,
+         |    count(*) OVER () AS total
+         |  FROM mw)
+         |SELECT uid_l, uid_r, gam_concat,
+         |  round(mw_no_tf, 6) AS sort_avg_match_weight,
+         |  row_example_index, pattern_count,
+         |  round(pattern_count::DOUBLE / total, 9) AS proportion
+         |FROM num WHERE row_example_index <= 2""".stripMargin
     },
 
     "q_em_patterns" ->

@@ -249,7 +249,8 @@ object Training {
       // `_lambda_history_records` / `_iteration_history_records`) and
       // asserts against splink2's published traces
       lambdaHistory: Seq[Double] = Nil,
-      mHistory: Seq[Array[Map[Int, Double]]] = Nil)
+      mHistory: Seq[Array[Map[Int, Double]]] = Nil,
+      uHistory: Seq[Array[Map[Int, Double]]] = Nil)
 
   /**
    * The EM fixed-point iteration over agreement patterns (pure driver math;
@@ -270,6 +271,7 @@ object Training {
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
     val lambdaHistory = scala.collection.mutable.ArrayBuffer(lambdaInit)
     val mHistory = scala.collection.mutable.ArrayBuffer(mInit)
+    val uHistory = scala.collection.mutable.ArrayBuffer(uInit)
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
@@ -336,10 +338,11 @@ object Training {
       m = newM; u = newU; lambda = newLambda
       lambdaHistory += lambda
       mHistory += m
+      uHistory += u
       if (maxDelta < tolerance) converged = true
     }
     EMCore(m, u, lambda, iter, converged, history.toSeq,
-      lambdaHistory.toSeq, mHistory.toSeq)
+      lambdaHistory.toSeq, mHistory.toSeq, uHistory.toSeq)
   }
 
   /** Result of one EM training session.
@@ -355,6 +358,7 @@ object Training {
       // (active comparison, gamma) per iteration, active comparison names
       lambdaHistory: Seq[Double] = Nil,
       mHistory: Seq[Array[Map[Int, Double]]] = Nil,
+      uHistory: Seq[Array[Map[Int, Double]]] = Nil,
       activeComparisons: Seq[String] = Nil)
 
   private def prob2odds(p: Double): Double = {
@@ -487,6 +491,7 @@ object Training {
     val lambdaGlobal = odds2prob(prob2odds(lambda) / blockingBf)
     EMResult(settings.copy(comparisons = trainedComparisons), iter, converged,
       history.toSeq, lambda, lambdaGlobal, deactivated.map(_.outputColumnName),
-      core.lambdaHistory, core.mHistory, active.map(_.outputColumnName))
+      core.lambdaHistory, core.mHistory, core.uHistory,
+      active.map(_.outputColumnName))
   }
 }
