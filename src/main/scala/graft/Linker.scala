@@ -352,6 +352,36 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
       html
     }
 
+    /** Labelling-tool candidates (`labelling_tool.py:20-71`): one record
+      * compared against EVERY input record (full block — the candidate
+      * set must not depend on the model's blocking rules), kept above
+      * `matchWeightThreshold`. The single record sits on the broadcast
+      * side of the cross join, so this is one scan of the inputs. */
+    def labellingToolComparisons(uniqueId: Any,
+        sourceDataset: Option[String] = None,
+        matchWeightThreshold: Double = -4.0): DataFrame = {
+      val uid = settings.uniqueIdColumn
+      val rec0 = concatWithTf.filter(col(uid) === lit(uniqueId))
+      val rec = sourceDataset.fold(rec0)(sd =>
+        rec0.filter(col(settings.sourceDatasetColumn) === lit(sd)))
+      compareRecords(concatWithTf, rec)
+        .filter(col(Cols.MatchWeight) > matchWeightThreshold)
+    }
+
+    /** Offline labelling-tool HTML (`labelling_tool.py:73-130`): label
+      * each candidate pair match / not match / unsure and export the
+      * labels as a pairwise-labels JSON usable by
+      * [[training.estimateMFromPairwiseLabels]]. */
+    def labellingToolForRecord(uniqueId: Any, outPath: String,
+        sourceDataset: Option[String] = None,
+        matchWeightThreshold: Double = -4.0): String = {
+      val html = Dashboards.labellingToolHtml(
+        labellingToolComparisons(uniqueId, sourceDataset,
+          matchWeightThreshold), settings)
+      Dashboards.saveHtml(html, outPath)
+      html
+    }
+
     def clusterStudioDashboard(predictions: DataFrame,
         clusteredNodes: DataFrame, outPath: String,
         samplingMethod: String = "by_cluster_size",

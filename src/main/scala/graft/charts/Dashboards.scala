@@ -143,6 +143,23 @@ object Dashboards {
     htmlShell("Cluster studio", payload, StudioJs)
   }
 
+  // --------------------------------------------------------- labelling tool
+
+  /** Offline labelling-tool page (`labelling_tool.py:73-130`): candidate
+    * pairs for one record, three-way labels (match / not match / unsure
+    * -> clerical scores 1 / 0 / 0.5, the reference's convention), and a
+    * JSON export of the labels in the pairwise-labels shape accepted by
+    * m-from-labels training. */
+  def labellingToolHtml(comparisons: DataFrame,
+      settings: LinkSettings): String = {
+    val uid = settings.uniqueIdColumn
+    val payload = JObject(List(
+      JField("rows", JArray(VegaLite.dfRecords(comparisons))),
+      JField("uid_l_col", JString(Cols.l(uid))),
+      JField("uid_r_col", JString(Cols.r(uid)))))
+    htmlShell("Labelling tool", payload, LabellingJs)
+  }
+
   // ----------------------------------------------------------------- shell
 
   private def htmlShell(title: String, payload: JValue, js: String): String = {
@@ -243,6 +260,53 @@ object Dashboards {
       |sel.addEventListener('change', render);
       |if (keys.length) { sel.value = keys[0]; render(); }
       |else { detail.textContent = 'No comparison rows.'; }""".stripMargin
+
+  /** Original labelling JS: per-candidate label buttons + JSON export. */
+  private val LabellingJs: String =
+    """const app = document.getElementById('app');
+      |const UL = DATA.uid_l_col, UR = DATA.uid_r_col;
+      |const rows = DATA.rows.slice().sort((a, b) => b.match_weight - a.match_weight);
+      |const labels = {};
+      |const out = document.createElement('textarea');
+      |out.rows = 6; out.style.width = '100%';
+      |out.placeholder = 'Labelled pairs appear here as JSON.';
+      |function key(r) { return r[UL] + '|' + r[UR]; }
+      |function exportLabels() {
+      |  const recs = [];
+      |  for (const r of rows) {
+      |    const v = labels[key(r)];
+      |    if (v !== undefined) recs.push({
+      |      [UL]: r[UL], [UR]: r[UR], clerical_match_score: v});
+      |  }
+      |  out.value = JSON.stringify(recs, null, 1);
+      |}
+      |let h = '<table><tr><th></th>';
+      |const cols = Object.keys(rows.length ? rows[0] : {})
+      |  .filter(c => c.endsWith('_l') || c.endsWith('_r') ||
+      |    c === 'match_weight' || c === 'match_probability');
+      |h += cols.map(c => '<th>' + c + '</th>').join('') + '</tr>';
+      |rows.forEach((r, i) => {
+      |  h += '<tr id="row' + i + '"><td>' +
+      |    '<button data-i="' + i + '" data-v="1">match</button>' +
+      |    '<button data-i="' + i + '" data-v="0">not</button>' +
+      |    '<button data-i="' + i + '" data-v="0.5">unsure</button></td>' +
+      |    cols.map(c => '<td>' + (r[c] === null ? '' :
+      |      (typeof r[c] === 'number' && !Number.isInteger(r[c]) ?
+      |        r[c].toFixed(4) : r[c])) + '</td>').join('') + '</tr>';
+      |});
+      |h += '</table>';
+      |const tbl = document.createElement('div');
+      |tbl.innerHTML = h;
+      |app.appendChild(tbl); app.appendChild(out);
+      |tbl.addEventListener('click', ev => {
+      |  const b = ev.target.closest('button');
+      |  if (!b) return;
+      |  labels[key(rows[+b.dataset.i])] = +b.dataset.v;
+      |  document.getElementById('row' + b.dataset.i).style.background =
+      |    {1: '#d9f2d9', 0: '#f5d6d6', 0.5: '#f7f3d4'}[+b.dataset.v];
+      |  exportLabels();
+      |});
+      |if (!rows.length) app.textContent = 'No candidate pairs above threshold.';""".stripMargin
 
   /** Original studio JS: cluster dropdown -> circular-layout node-link SVG
     * plus node/edge tables. */

@@ -260,6 +260,30 @@ class ChartsSpec extends SparkSpec {
     assert(arr(j \ "data" \ "values").size == c.dataRowCount)
   }
 
+  test("labelling tool: full-block candidates above threshold, exportable labels UI") {
+    val linker = new Linker(people, settings)
+    // threshold low enough to keep everything: 8 records -> 7 candidates
+    // for record 0 (self pair excluded only if it scores, crossJoin keeps
+    // it — the reference keeps the self-comparison too)
+    val cands = linker.visualisations.labellingToolComparisons(
+      0L, matchWeightThreshold = -1000.0)
+    assert(cands.count() == 8) // record 0 vs all 8 (incl. itself), full block
+    // threshold filters: only pairs scoring above it survive
+    val strict = linker.visualisations.labellingToolComparisons(
+      0L, matchWeightThreshold = 5.0)
+    assert(strict.count() < 8)
+    strict.select("match_weight").collect()
+      .foreach(r => assert(r.getDouble(0) > 5.0))
+
+    val html = Dashboards.labellingToolHtml(cands, linker.settings)
+    val island = html.split("""<script type="application/json" id="data">""")(1)
+      .split("</script>")(0)
+    val data = JsonMethods.parse(island.replace("<\\/", "</"))
+    assert(arr(data \ "rows").size == 8)
+    assert(html.contains("clerical_match_score"))
+    assert(!html.contains("cdn.") && !html.contains("http"))
+  }
+
   test("tf adjustment and profile charts render") {
     val linker = new Linker(people, settings)
     val tf = linker.visualisations.tfAdjustmentChart("surname", 3)
