@@ -101,6 +101,19 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
   }
 
+  test("viewerExampleRows shuffles the predictions exactly once (on gam_concat)") {
+    val linker = new Linker(people, settings)
+    // sever predict's own plan so only the viewer aggregation is counted
+    val preds = linker.predict().localCheckpoint(true)
+    val rows = graft.charts.Dashboards.viewerExampleRows(preds, settings, 2)
+    rows.collect()
+    val s = finalPlanString(rows)
+    // one hash shuffle on the pattern for count + example pick; the
+    // SinglePartition exchange for the proportion denominator sits ABOVE
+    // the example filter, over <= 2 rows per pattern, never the input
+    assert(s.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s)
+  }
+
   test("assignSplits is a pure scan: zero exchanges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val s = graft.pipeline.CorpusOps.assignSplits(docs, "doc_id",
