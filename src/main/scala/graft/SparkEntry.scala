@@ -1835,7 +1835,8 @@ object SparkEntry {
         |  CAST(least(64, greatest(1,
         |    CAST(ceil(max(c)::DOUBLE / 1000) AS BIGINT))) AS INT)
         |    AS recommended_salts
-        |FROM (SELECT count(*) AS c FROM customer GROUP BY c_mktsegment)""".stripMargin,
+        |FROM (SELECT count(*) AS c FROM customer
+        |      WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)""".stripMargin,
 
     // full replay of the single constrained round: symmetric neighbours ->
     // drop same-dataset equal-probability ties (both directions) ->

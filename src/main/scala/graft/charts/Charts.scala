@@ -196,7 +196,10 @@ object Charts {
     * `_iteration_history_records`). */
   def emIterationRecords(em: EMResult): List[JObject] = {
     val comps = em.activeComparisons.map(em.settings.comparisonByName)
-    val n = math.min(em.mHistory.size, math.max(em.uHistory.size, 1))
+    // uHistory may be absent (results built before it was recorded) — fall
+    // back to the final u per level for every iteration, not to 1 iteration
+    val n = if (em.uHistory.isEmpty) em.mHistory.size
+      else math.min(em.mHistory.size, em.uHistory.size)
     (0 until n).toList.flatMap { it =>
       comps.toList.zipWithIndex.flatMap { case (c, ci) =>
         c.activeLevelsWithGamma.toList.map { case (lv, g) =>
@@ -368,7 +371,11 @@ object Charts {
     val thresholds = recs.map(r => r \ "truth_threshold" match {
       case JDouble(d) => d; case JInt(i) => i.toDouble; case _ => 0.0
     })
-    val (lo, hi) = (thresholds.min, thresholds.max)
+    // empty truth space renders an empty chart like the other truth-space
+    // charts do, instead of throwing on thresholds.min
+    val (lo, hi) =
+      if (thresholds.isEmpty) (0.0, 1.0)
+      else (thresholds.min, thresholds.max)
     val lines: JObject =
       ("transform" -> JArray(List(
         ("fold" -> List("precision", "recall", "f1")) ~

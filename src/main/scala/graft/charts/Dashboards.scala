@@ -113,13 +113,21 @@ object Dashboards {
       dstCol: String = "unique_id_r"): (DataFrame, DataFrame) = {
     val ids = broadcast(clusterIds.select(clusterIdCol).distinct())
     val nodes = clusteredNodes.join(ids, Seq(clusterIdCol), "left_semi")
-    // an edge belongs to a sampled cluster when its source node does —
-    // both endpoints share a cluster by construction above any threshold
+    // an edge belongs to a sampled cluster only when BOTH endpoints are in
+    // that cluster: the caller may pass the full unthresholded predict
+    // output, whose cross-cluster edges must not appear in (or inflate the
+    // counts of) a cluster's view — the reference's edge query filters on
+    // both endpoints too (`cluster_studio.py:101-155`)
     val nodeCluster = nodes.select(col(nodeIdCol).as("__nid"),
       col(clusterIdCol).as("__cid"))
     val keptEdges = edges
       .join(broadcast(nodeCluster), col(srcCol) === col("__nid"))
-      .withColumnRenamed("__cid", clusterIdCol).drop("__nid")
+      .join(broadcast(nodeCluster
+          .withColumnRenamed("__nid", "__nid2")
+          .withColumnRenamed("__cid", "__cid2")),
+        col(dstCol) === col("__nid2") && col("__cid") === col("__cid2"))
+      .withColumnRenamed("__cid", clusterIdCol)
+      .drop("__nid", "__nid2", "__cid2")
     (nodes, keptEdges)
   }
 
@@ -184,6 +192,11 @@ object Dashboards {
        |<script>
        |"use strict";
        |const DATA = JSON.parse(document.getElementById('data').textContent);
+       |// every DATA value rendered into markup goes through esc(): the
+       |// JSON island is injection-safe, but innerHTML/SVG strings are not
+       |function esc(v) { return String(v).replace(/&/g, '&amp;')
+       |  .replace(/</g, '&lt;').replace(/>/g, '&gt;')
+       |  .replace(/"/g, '&quot;'); }
        |$js
        |</script></body></html>""".stripMargin
   }
@@ -237,9 +250,9 @@ object Dashboards {
       |    const h = Math.max(Math.abs(y(b.s) - y(b.e)), 1);
       |    s += '<rect class="' + (b.w >= 0 ? 'pos' : 'neg') + '" x="' + (i * bw + 3) +
       |      '" y="' + top + '" width="' + (bw - 6) + '" height="' + h + '">' +
-      |      '<title>' + b.label + ': ' + b.w.toFixed(3) + '</title></rect>';
+      |      '<title>' + esc(b.label) + ': ' + b.w.toFixed(3) + '</title></rect>';
       |    s += '<text x="' + (i * bw + bw / 2) + '" y="' + (H + 22) +
-      |      '" font-size="9" text-anchor="middle">' + b.label + '</text>';
+      |      '" font-size="9" text-anchor="middle">' + esc(b.label) + '</text>';
       |  });
       |  s += '<line x1="0" x2="' + W + '" y1="' + y(0) + '" y2="' + y(0) +
       |    '" stroke="#999" stroke-dasharray="3"/></svg>';
@@ -251,8 +264,8 @@ object Dashboards {
       |    c !== 'gam_concat' && c !== 'row_example_index');
       |  let h = '';
       |  for (const r of rows) {
-      |    h += '<table><tr>' + cols.map(c => '<th>' + c + '</th>').join('') + '</tr>';
-      |    h += '<tr>' + cols.map(c => '<td>' + (r[c] === null ? '' : r[c]) + '</td>').join('') + '</tr></table>';
+      |    h += '<table><tr>' + cols.map(c => '<th>' + esc(c) + '</th>').join('') + '</tr>';
+      |    h += '<tr>' + cols.map(c => '<td>' + (r[c] === null ? '' : esc(r[c])) + '</td>').join('') + '</tr></table>';
       |    h += waterfallSvg(r);
       |  }
       |  detail.innerHTML = h;

@@ -86,8 +86,10 @@ object ClusteringOps {
     * repeat). */
   private def driverOneToOne(remaining: DataFrame, maxRounds: Int): DataFrame = {
     val spark = remaining.sparkSession
-    var edges = remaining.collect().map(r =>
-      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // null probability sorts LAST under the distributed window's ORDER BY
+    // p DESC (Spark desc = nulls last) — mirror it as -Inf, don't NPE
+    var edges = remaining.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2)))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0
     var done = false
@@ -240,14 +242,20 @@ object ClusteringOps {
       tiesMethod: String, maxRounds: Int): DataFrame = {
     val spark = e0raw.sparkSession
     import spark.implicits._
-    val allEdges = e0raw.collect().map(r =>
-      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // null probability = -Inf, matching the distributed ORDER BY p DESC
+    // (nulls last) instead of a data-dependent NullPointerException
+    val allEdges = e0raw.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2)))
     val nodes0 = allEdges.flatMap(e => Seq(e._1, e._2)).distinct
     // fetch datasets only for nodes in play (the corpus can be far larger
     // than the edge set) — broadcast semi-join, then one small collect
     val nodesDf = nodes0.toSeq.toDF("__node")
+    // a null source_dataset never constrains: the distributed loop's
+    // collect_set drops nulls and dropTies joins a null-filtered dataset
+    // table — the driver replay must see exactly the same rows
     val dsPairs = nodeDatasets
       .select(col("node_id"), col("source_dataset"))
+      .filter(col("source_dataset").isNotNull)
       .join(broadcast(nodesDf), col("node_id") === col("__node"), "left_semi")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val dsOf: Map[Long, Seq[String]] =
@@ -262,6 +270,12 @@ object ClusteringOps {
     // endpoint yields no joined row and is dropped; otherwise it drops
     // only when EVERY (sd_l, sd_r) combination is tied in one direction
     // or the other)
+    // under "drop" the distributed path's final semi-join equates on p, so
+    // a null-probability edge (here -Inf) never matches and is dropped —
+    // replay that before the tie logic
+    val tiesInput =
+      if (tiesMethod == "drop") allEdges.filter(_._3 != Double.NegativeInfinity)
+      else allEdges
     val edges = if (tiesMethod != "drop") allEdges else {
       val tieCount = scala.collection.mutable.Map.empty[(Long, String, String, Double), scala.collection.mutable.Set[Long]]
       def note(a: Long, b: Long, p: Double): Unit =
@@ -271,7 +285,7 @@ object ClusteringOps {
       allEdges.foreach { case (a, b, p) => note(a, b, p); note(b, a, p) }
       def tied(a: Long, sa: String, sb: String, p: Double): Boolean =
         isDupFree(sb) && tieCount.get((a, sa, sb, p)).exists(_.size > 1)
-      allEdges.filter { case (a, b, p) =>
+      tiesInput.filter { case (a, b, p) =>
         val combos = for (sa <- dsOf(a); sb <- dsOf(b)) yield (sa, sb)
         combos.nonEmpty && combos.exists { case (sa, sb) =>
           !tied(a, sa, sb, p) && !tied(b, sb, sa, p) }
@@ -354,7 +368,12 @@ object ClusteringOps {
       case Some(ds) => c => c.isin(ds: _*)
       case None => _ => lit(true)
     }
+    // null datasets constrain nothing (collect_set in the round loop drops
+    // them); filtering here also makes the documented behaviour true — an
+    // edge whose endpoint has only a null dataset drops out of the inner
+    // joins below exactly like a dataset-less endpoint
     val nd = nodeDatasets.select(col("node_id"), col("source_dataset"))
+      .filter(col("source_dataset").isNotNull)
     // one explode over a single scan, not a `fwd UNION ALL bwd` (Spark
     // does not CSE across union branches — the input plan would run twice)
     val sym = e0.select(explode(array(

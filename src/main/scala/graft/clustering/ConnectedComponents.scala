@@ -158,12 +158,18 @@ object ConnectedComponents {
         reps = reps.alias("r")
           .join(openGroups.alias("o"), col("r.representative") === col("o.g"), "left_semi")
         val live = reps.select("node_id")
+        val prevNeighbours = neighbours
         neighbours = neighbours
           .join(live.withColumnRenamed("node_id", "__l"),
             col("node_id") === col("__l"), "left_semi")
           .join(live.withColumnRenamed("node_id", "__r"),
             col("neighbour") === col("__r"), "left_semi")
           .breakLineage(eager) // job 3: cut neighbour lineage
+        // the superseded neighbour frame is referenced by nothing past this
+        // point (reps/finalised never read it) — reclaim its scratch now,
+        // not at JVM exit (parquet-policy writes are eager, so the new
+        // frame no longer needs the old files)
+        graft.operators.Materialise.release(prevNeighbours)
       }
     }
     if (!done) finalised += reps // maxIterations safety valve
@@ -185,6 +191,9 @@ object ConnectedComponents {
     plan match {
       case _: LocalRelation => true
       case _: org.apache.spark.sql.execution.LogicalRDD => true
+      // parquet-policy breakLineage (the cluster default) yields a bare
+      // file relation — re-scanning it is one read, same as a checkpoint
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
       case p: Project => isCheapToRescan(p.child)
       case f: Filter => isCheapToRescan(f.child)
       case _ => false

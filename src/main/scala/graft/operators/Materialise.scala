@@ -87,9 +87,49 @@ object Materialise {
       val spark = df.sparkSession
       val path = scratchDir(spark) + f"/mat-${counter.incrementAndGet()}%06d"
       df.write.mode("overwrite").parquet(path)
+      matPaths.add(path)
       // explicit schema: an empty frame writes no part files, and schema
       // inference over an empty directory would fail
       spark.read.schema(df.schema).parquet(path)
+  }
+
+  // parquet-policy scratch files this JVM wrote, releasable individually
+  private val matPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Reclaim a PARQUET-policy frame's scratch directory NOW instead of at
+    * JVM exit. ONLY for frames the caller can prove dead — an iterative
+    * loop's superseded working frame. Safe exactly because the parquet
+    * policy writes eagerly inside [[withPolicy]]: by the time the
+    * successor frame exists on disk, the predecessor's files have been
+    * fully consumed. Every other policy is a deliberate no-op — a
+    * localCheckpoint successor created lazily still READS the
+    * predecessor's blocks on first compute (unpersisting them would lose
+    * data with no lineage to recompute), and checkpoint blocks belong to
+    * the SparkContext. Without this, a long CC/bridges run under the
+    * cluster-default parquet policy accumulates one full frame copy per
+    * iteration in the scratch dir. */
+  def release(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case f: Filter => strip(f.child)
+      case other => other
+    }
+    strip(df.queryExecution.optimizedPlan) match {
+      case rel: LogicalRelation => rel.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).foreach { p =>
+            val local = p.stripPrefix("file:")
+            if (matPaths.remove(p) || matPaths.remove(local))
+              deleteRecursively(new java.io.File(local))
+          }
+        case _ =>
+      }
+      case _ =>
+    }
   }
 
   /** Run `body` with the session policy temporarily set to `p`. */

@@ -44,7 +44,13 @@ object SaltAdvisor {
       maxSalts: Int = 64): Advice = {
     val keys = rule.exprs.zipWithIndex.map { case (e, i) =>
       expr(e).as(s"__k$i") }
+    // null keys never match under equi-blocking (l.k = r.k is null-false),
+    // so a mostly-null column must not read as a hot block — count only
+    // rows where every key expression is non-null
+    val nonNull = rule.exprs.indices
+      .map(i => col(s"__k$i").isNotNull).reduce(_ && _)
     val stats = df.select(keys: _*)
+      .filter(nonNull)
       .groupBy(rule.exprs.indices.map(i => col(s"__k$i")): _*)
       .agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("largest"), sum(col("c")).as("total"))

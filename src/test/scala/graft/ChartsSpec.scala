@@ -5,6 +5,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.charts.{Charts, ChartSpec, Dashboards, VegaLite}
+import graft.training.Training
 import graft.model._
 import graft.model.{LevelLibrary => ll}
 
@@ -297,5 +298,61 @@ class ChartsSpec extends SparkSpec {
     val panels = arr(parse(prof) \ "hconcat")
     assert(panels.size == 2)
     assert(panels.forall(p => arr(p \ "data" \ "values").nonEmpty))
+  }
+
+  test("cluster studio keeps an edge only when BOTH endpoints share the " +
+      "sampled cluster") {
+    // 2-3 bridges two sampled clusters (a sub-threshold edge in the full
+    // predict output): it must not surface in either cluster's view —
+    // the reference's edge query filters on both endpoints
+    // (cluster_studio.py:101-155)
+    val nodes = Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L))
+      .toDF("node_id", "cluster_id")
+    val edges = Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (2L, 3L, 0.4))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ids = Seq(100L, 200L).toDF("cluster_id")
+    val (keptNodes, keptEdges) =
+      Dashboards.clusterStudioData(nodes, edges, ids)
+    assert(keptNodes.count() == 4)
+    val kept = keptEdges.select("unique_id_l", "unique_id_r", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set((1L, 2L, 100L), (3L, 4L, 200L)), s"got $kept")
+  }
+
+  test("dashboard JS escapes data-derived markup") {
+    val linker = new Linker(people, settings)
+    val html = Dashboards.comparisonViewerHtml(linker.predict(), settings)
+    // the esc() helper must exist and guard every innerHTML interpolation
+    // of row values / labels (the JSON island itself is injection-safe)
+    assert(html.contains("function esc("))
+    assert(html.contains("esc(b.label)") && html.contains("esc(r[c])"))
+  }
+
+  test("emIterationRecords covers every m iteration when uHistory is absent") {
+    val em = Training.EMResult(settings, iterations = 2, converged = true,
+      history = Seq(0.1, 0.01), trainedLambda = 0.3,
+      trainedLambdaGlobal = 0.3, deactivated = Nil,
+      lambdaHistory = Seq(0.2, 0.3),
+      mHistory = Seq(
+        Array(Map(1 -> 0.6, 2 -> 0.2, 0 -> 0.2), Map(1 -> 0.8, 0 -> 0.2)),
+        Array(Map(1 -> 0.7, 2 -> 0.1, 0 -> 0.2), Map(1 -> 0.9, 0 -> 0.1))),
+      uHistory = Nil, // results recorded before uHistory existed
+      activeComparisons = Seq("first_name", "dob"))
+    val recs = Charts.emIterationRecords(em)
+    val iters = recs.map(r => r \ "iteration").collect {
+      case JInt(i) => i.toInt }.distinct.sorted
+    assert(iters == List(0, 1), s"expected both iterations, got $iters")
+    // u falls back to the settings' final u per level, never 0
+    assert(recs.forall(r => (r \ "u_probability") match {
+      case JDouble(d) => d > 0; case _ => false }))
+  }
+
+  test("threshold selection tool renders an empty truth space") {
+    val empty = Seq.empty[(Double, Long, Long, Long, Long, Double, Double, Double)]
+      .toDF("truth_threshold", "tp", "fp", "tn", "fn",
+        "precision", "recall", "f1")
+    val spec = Charts.thresholdSelectionTool(empty)
+    val j = parse(spec)
+    assert(arr(j \ "data" \ "values").isEmpty)
   }
 }

@@ -80,4 +80,43 @@ class MaterialiseSpec extends SparkSpec {
     try intercept[IllegalArgumentException](Materialise.policy(spark))
     finally spark.conf.unset(Materialise.ConfKey)
   }
+
+  test("release reclaims a parquet-policy frame's scratch immediately") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    val mat = Materialise.withPolicy(df, Materialise.ParquetPolicy,
+      eager = true)
+    // locate the scratch dir straight off the materialised plan
+    val leaf = mat.queryExecution.optimizedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+    val path = new java.io.File(leaf.relation
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.head.toUri.getPath)
+    assert(path.exists, s"expected scratch files at $path")
+    assert(mat.count() == 2)
+    Materialise.release(mat)
+    assert(!path.exists, "release must delete the scratch directory")
+  }
+
+  test("release is a safe no-op for non-parquet materialisations") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    val cp = Materialise.withPolicy(df, Materialise.LocalCheckpointPolicy,
+      eager = false) // lazy: a successor still reads these blocks on compute
+    Materialise.release(cp)
+    assert(cp.count() == 2, "localCheckpoint frame must survive release")
+    // a plain unmaterialised frame is untouched too
+    Materialise.release(df)
+    assert(df.count() == 2)
+  }
+
+  test("release refuses paths it did not write") {
+    // a user-loaded parquet relation must never be deleted, even though it
+    // is structurally identical to a parquet-policy frame
+    val dir = java.nio.file.Files.createTempDirectory("graft-user-parquet")
+    val p = dir.toString + "/t"
+    Seq((1L, "x")).toDF("id", "t").write.parquet(p)
+    val loaded = spark.read.parquet(p)
+    Materialise.release(loaded)
+    assert(new java.io.File(p).exists, "user parquet must not be deleted")
+    assert(loaded.count() == 1)
+  }
 }

@@ -173,4 +173,59 @@ class OneToOneConstrainedSpec extends SparkSpec {
     val odds = (p: Double) => p / (1 - p)
     assert(math.abs(odds(r.trainedLambda) / odds(r.trainedLambdaGlobal) - 18.0) < 1e-6)
   }
+
+  test("null match_probability sorts last, driver and distributed agree") {
+    // node 2's real-probability edge to 3 beats its null edge to 1: the
+    // distributed window ORDER BY p DESC puts nulls last, and the driver
+    // replay mirrors null as -Inf instead of throwing an NPE
+    val edges = Seq((1L, 2L, None), (2L, 3L, Some(0.5)))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("node_id", "source_dataset")
+    def run(threshold: Long) =
+      ClusteringOps.oneToOneConstrained(edges, ds,
+          smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(driver == dist, s"driver $driver vs distributed $dist")
+    // round 1 merges the mutual-best real edge {2,3}; the null edge then
+    // chains 1 in (no dataset conflict) — one cluster either way
+    assert(driver.values.toSet.size == 1 && driver.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("ties_method drop discards null-probability edges on both paths") {
+    // the distributed drop path's final semi-join equates on p, so a null
+    // edge can never match a kept row — the driver replay must drop it too
+    val edges = Seq[(Long, Long, Option[Double])]((1L, 2L, None))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((1L, "a"), (2L, "b")).toDF("node_id", "source_dataset")
+    def run(threshold: Long) =
+      ClusteringOps.oneToOneConstrained(edges, ds, tiesMethod = "drop",
+          smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Long.MaxValue) == Map.empty, "driver replay kept a null edge")
+    assert(run(0L) == Map.empty, "distributed path kept a null edge")
+  }
+
+  test("a null source_dataset never constrains, on both paths") {
+    // node 2 exists only with a NULL dataset row: it behaves exactly like
+    // a node absent from nodeDatasets — it constrains no merge but can
+    // still be merged. The driver replay must mirror the distributed
+    // loop's collect_set, which silently drops nulls.
+    val edges = Seq((1L, 2L, 0.9), (1L, 3L, 0.4))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val ds = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("node_id", "source_dataset")
+    def run(threshold: Long) =
+      ClusteringOps.oneToOneConstrained(edges, ds,
+          smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(driver == dist, s"driver $driver vs distributed $dist")
+    // round 1 merges mutual-best {1,2}; 3 chains in round 2 (no 'c' yet in
+    // the cluster) — the null dataset never blocks either merge
+    assert(driver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

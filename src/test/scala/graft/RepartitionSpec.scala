@@ -108,6 +108,21 @@ class RepartitionSpec extends SparkSpec {
     }
   }
 
+  test("SaltAdvisor: a mostly-null key column is not a hot block") {
+    withShufflePartitions(8) {
+      // 400 null keys never equi-join (l.k = r.k is null-false), so the
+      // hottest REAL block is the 10-row cold one — no salt needed
+      val rows = (1L to 480L).map(i =>
+        (i, if (i <= 400) None else Some(s"cold${i % 8}")))
+      val df = rows.toDF("unique_id", "seg")
+      val rule = BlockingRule.BlockOnRule(Seq("seg"))
+      val advice = graft.operators.SaltAdvisor.advise(df, rule)
+      assert(advice.largestBlockRows === 10L, s"got $advice")
+      assert(advice.totalRows === 80L)
+      assert(advice.recommendedSalts === 1)
+    }
+  }
+
   test("ensureMinParallel widens a narrow localCheckpoint'd frame (no stats)") {
     withShufflePartitions(16) {
       // a LogicalRDD leaf has no size stats (defaultSizeInBytes =
