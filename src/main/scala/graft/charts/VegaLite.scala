@@ -62,7 +62,21 @@ object VegaLite {
        |<body><h2>${escapeHtml(title)}</h2><div id="vis"></div>
        |<script type="application/json" id="spec">$json</script>
        |<script>
-       |vegaEmbed('#vis', JSON.parse(document.getElementById('spec').textContent));
+       |"use strict";
+       |const spec = JSON.parse(document.getElementById('spec').textContent);
+       |// CDN scripts mirror the reference's chart pages; when they cannot
+       |// load (offline/air-gapped), degrade to the raw spec instead of a
+       |// silently blank page — the spec pastes into any Vega editor
+       |if (typeof vegaEmbed !== 'undefined') {
+       |  vegaEmbed('#vis', spec);
+       |} else {
+       |  const pre = document.createElement('pre');
+       |  pre.textContent = JSON.stringify(spec, null, 2);
+       |  const vis = document.getElementById('vis');
+       |  vis.textContent = 'Vega scripts unavailable (offline?) — ' +
+       |    'raw Vega-Lite spec below; paste into a Vega editor to render.';
+       |  vis.appendChild(pre);
+       |}
        |</script></body></html>""".stripMargin
   }
 

@@ -347,6 +347,31 @@ class ChartsSpec extends SparkSpec {
       case JDouble(d) => d > 0; case _ => false }))
   }
 
+  test("dashboard JS executes end-to-end under node (DOM shim)") {
+    // run the embedded dashboard scripts for real — dropdown render,
+    // waterfall SVG, labelling buttons, offline chart fallback — via
+    // tools/dashboard_smoke.js; skipped when node is not on PATH
+    val node = scala.util.Try(
+      scala.sys.process.Process(Seq("node", "--version")).!!).isSuccess
+    assume(node, "node not available")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dash").toString
+    val linker = new Linker(people, settings)
+    val preds = linker.predict()
+    val clusters = linker.clusterPairwisePredictionsAtThreshold(preds, 0.2)
+    linker.visualisations.comparisonViewerDashboard(
+      preds, s"$dir/viewer.html")
+    linker.visualisations.clusterStudioDashboard(
+      preds, clusters, s"$dir/studio.html", sampleSize = 2)
+    linker.visualisations.labellingToolForRecord(0L, s"$dir/label.html")
+    graft.charts.Dashboards.saveHtml(
+      Charts.matchWeightsChart(settings).html("mw"), s"$dir/chart.html")
+    Seq("viewer", "studio", "label", "chart").foreach { f =>
+      val code = scala.sys.process.Process(
+        Seq("node", "tools/dashboard_smoke.js", s"$dir/$f.html")).!
+      assert(code == 0, s"dashboard smoke failed for $f.html")
+    }
+  }
+
   test("threshold selection tool renders an empty truth space") {
     val empty = Seq.empty[(Double, Long, Long, Long, Long, Double, Double, Double)]
       .toDF("truth_threshold", "tp", "fp", "tn", "fn",
