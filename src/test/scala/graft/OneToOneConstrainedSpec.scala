@@ -125,11 +125,16 @@ class OneToOneConstrainedSpec extends SparkSpec {
   test("constrained driver fast path equals the distributed loop " +
       "(incl. drop ties and subset constraints)") {
     val rng = new scala.util.Random(99)
+    // coarse probabilities manufacture genuine ties; ~10% null
+    // probabilities and one node in seven with a null dataset stress the
+    // null paths on both sides of the parity check
     val edges = Seq.fill(60)((rng.nextInt(20).toLong, rng.nextInt(20).toLong,
-        (rng.nextInt(5) + 1) / 5.0))
+        if (rng.nextInt(10) == 0) None
+        else Some((rng.nextInt(5) + 1) / 5.0)))
       .filter { case (a, b, _) => a != b }
       .toDF("unique_id_l", "unique_id_r", "match_probability")
-    val ds = (0L until 20L).map(n => (n, s"d${n % 4}"))
+    val ds = (0L until 20L).map(n =>
+        (n, if (n % 7 == 6) None else Some(s"d${n % 4}")))
       .toDF("node_id", "source_dataset")
     for (ties <- Seq("lowest_id", "drop");
          dup <- Seq(None, Some(Seq("d0", "d1")))) {

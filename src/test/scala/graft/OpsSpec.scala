@@ -55,6 +55,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("one-to-one random-graph parity across paths (nulls and ties)") {
+    // coarse probabilities manufacture ties (broken by lowest id on both
+    // paths); ~10% null probabilities must sort last, not NPE
+    val rng = new scala.util.Random(123)
+    val edges = Seq.fill(80)((rng.nextInt(30).toLong, rng.nextInt(30).toLong,
+        if (rng.nextInt(10) == 0) None
+        else Some((rng.nextInt(6) + 1) / 6.0)))
+      .filter { case (a, b, _) => a != b }
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    def solve(t: Long) = ClusteringOps.oneToOne(edges, smallGraphThreshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val driver = solve(Long.MaxValue)
+    val dist = solve(0L)
+    assert(driver == dist, s"paths diverged:\n$driver\nvs\n$dist")
+    assert(driver.nonEmpty)
+  }
+
   test("one-to-one with string ids and no mutual pairs keeps the id type") {
     // self-loops only -> filtered -> no matches; the empty frame must carry
     // the INPUT id type (string), not a hardcoded long

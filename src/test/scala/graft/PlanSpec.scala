@@ -184,4 +184,51 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("ExistingRDD"), s)
     assert(out.collect().nonEmpty)
   }
+
+  test("exactDedup is one hash aggregation: a single exchange, no join") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.DedupOps.exactDedup(docs, "doc_id", "text")
+    out.collect()
+    val s = finalPlanString(out)
+    assert(s.split("Exchange hashpartitioning").length - 1 == 1, s)
+    assert(!s.contains("Join"), s)
+    // partial aggregation runs map-side before the exchange
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("contaminationReport broadcasts probe grams; corpus never " +
+      "shuffles on the gram key") {
+    val corpus = Seq((1L, "the quick brown fox jumps"),
+      (2L, "entirely unrelated text here now")).toDF("doc_id", "text")
+    val probes = Seq(Tuple1("the quick brown fox leaps")).toDF("text")
+    val out = graft.pipeline.CorpusOps.contaminationReport(
+      corpus, "doc_id", "text", probes, "text", 3)
+    out.collect()
+    val s = finalPlanString(out)
+    // the gram join must be broadcast (probe side is benchmark-sized):
+    // a sort-merge join here would reshuffle the exploded corpus — words
+    // x n rows — on the gram key. The exchanges that remain are the
+    // probe-side distinct (tiny) and the post-join distinct aggregate
+    // over HITS (probe-bounded), never the full exploded corpus.
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"),
+      s"gram join fell back to sort-merge (corpus reshuffle):\n$s")
+    // exactly one gram-only exchange: the probe distinct
+    val gramOnly = s.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(gram") && !l.contains("doc_id"))
+    assert(gramOnly.size == 1, s)
+  }
+
+  test("sessionize shuffles once on the entity key") {
+    val events = Seq((1L, "u1", 100L), (2L, "u1", 200L), (3L, "u2", 150L))
+      .toDF("event_id", "entity", "ts")
+    val out = graft.pipeline.TimeOps.sessionize(
+      events, "entity", "ts", gap = 60L, tieCol = "event_id")
+    out.collect()
+    val s = finalPlanString(out)
+    // both windows (gap flag, session counter) ride ONE entity exchange —
+    // a second sort may appear, but never a second shuffle
+    assert(s.split("Exchange hashpartitioning").length - 1 == 1, s)
+  }
 }
