@@ -24,6 +24,26 @@ object SparkEntry {
   private def pq(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with `ts` canonicalised to an epoch-microsecond long
+    * `ts_us`, tolerant of the driver datagen's timestamp vintage:
+    * TIMESTAMP(NANOS) parquet arrives as nano-epoch longs (under
+    * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS) as
+    * TIMESTAMP_NTZ. The NTZ branch interprets wall-clock as UTC
+    * (Verify/Bench/specs pin `spark.sql.session.timeZone=UTC`), exactly
+    * DuckDB's `epoch_us(ts)` on the same file. */
+  private[graft] def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val e = pq(spark, dir, "events")
+    val tsUs = e.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other")
+    }
+    e.withColumn("ts_us", tsUs)
+  }
+
   /** The linkage model used by the ER queries: dedupe customers, blocking
     * on (nation, mktsegment) then (nation, acctbal-bucket). */
   private def customerSettings: LinkSettings = LinkSettings(
@@ -295,11 +315,9 @@ object SparkEntry {
 
     // time-series: tumbling-hour windowed aggregation over the events table
     // (the batch shape of the streaming watermark+window pipeline).
-    // events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as nano-epoch
-    // long under spark.sql.legacy.parquet.nanosAsLong=true.
     "q_events_window" -> ((s, dir) => {
-      pq(s, dir, "events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      eventsUs(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           // exact micro-unit LONG sum: floor(x*1e6) is bit-identical IEEE
@@ -891,11 +909,9 @@ object SparkEntry {
 
     // time-series: gap-based sessionization of the events stream (30-min
     // inactivity closes a session); per-session bounds + integer-safe sums.
-    // ts arrives as nano-epoch longs; both engine and oracle work in
-    // microseconds (DuckDB reads TIMESTAMP_NS parquet at µs precision)
+    // engine and oracle both work in epoch microseconds (eventsUs / epoch_us)
     "q_sessions" -> ((s, dir) => {
-      val e = pq(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val e = eventsUs(s, dir)
       TimeOps.sessionStats(e, "user_id", "ts_us",
         gap = 1800L * 1000000L, tieCol = "event_id",
         valueCol = "value")
@@ -907,8 +923,7 @@ object SparkEntry {
     // most recent purchase at or before it (union-merge shape, one shuffle,
     // never a range-join blow-up)
     "q_asof" -> ((s, dir) => {
-      val e = pq(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val e = eventsUs(s, dir)
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val purchases = e.filter(col("event_type") === "purchase")

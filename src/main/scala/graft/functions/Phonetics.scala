@@ -265,4 +265,88 @@ object Phonetics {
     while (sb.length < 4) sb.append('0')
     sb.result()
   }
+
+  /** Classic Metaphone (L. Philips, "Hanging on the Metaphone", Computer
+    * Language 7(12), 1990) — the third phonetic code the reference's
+    * similarity-analysis helper emits alongside soundex and double
+    * metaphone (reference: `splink/internals/similarity_analysis.py:190-217`,
+    * via the `phonetics` package). Full-length code (no 4-char cap), like
+    * that package. Clean-room from the published rule table; `0` encodes
+    * the TH sound. */
+  def metaphone(input: String): String = {
+    if (input == null) return ""
+    val raw = input.toUpperCase.filter(c => c >= 'A' && c <= 'Z')
+    if (raw.isEmpty) return ""
+    // initial-cluster adjustments from the rule table
+    val s =
+      if (raw.length >= 2 && (raw.startsWith("AE") || raw.startsWith("GN") ||
+          raw.startsWith("KN") || raw.startsWith("PN") || raw.startsWith("WR")))
+        raw.substring(1)
+      else if (raw.startsWith("WH")) "W" + raw.substring(2)
+      else if (raw.charAt(0) == 'X') "S" + raw.substring(1)
+      else raw
+    def ch(i: Int): Char = if (i >= 0 && i < s.length) s.charAt(i) else ' '
+    def isVowel(i: Int): Boolean = "AEIOU".indexOf(ch(i).toInt) >= 0
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (i > 0 && c == s.charAt(i - 1) && c != 'C') {
+        // doubled letters collapse (except C, e.g. ACCept -> AKS)
+      } else c match {
+        case 'A' | 'E' | 'I' | 'O' | 'U' => if (i == 0) out.append(c)
+        case 'B' => // -MB is silent (laMB)
+          if (!(i == s.length - 1 && ch(i - 1) == 'M')) out.append('B')
+        case 'C' =>
+          if (ch(i + 1) == 'I' && ch(i + 2) == 'A') out.append('X') // -CIA-
+          else if (ch(i + 1) == 'H') { // CH -> X, but SCH -> K; H consumed
+            out.append(if (ch(i - 1) == 'S') 'K' else 'X'); i += 1
+          } else if ("IEY".indexOf(ch(i + 1).toInt) >= 0) {
+            if (ch(i - 1) != 'S') out.append('S') // CI/CE/CY; SCI: C silent
+          } else out.append('K')
+        case 'D' => // -DGE/I/Y- -> J (juDGE); G consumed
+          if (ch(i + 1) == 'G' && "EIY".indexOf(ch(i + 2).toInt) >= 0) {
+            out.append('J'); i += 1
+          } else out.append('T')
+        case 'F' => out.append('F')
+        case 'G' =>
+          if (ch(i + 1) == 'H') { // GH: K before a vowel, else silent (niGHt)
+            if (isVowel(i + 2)) out.append('K')
+            i += 1
+          } else if (ch(i + 1) == 'N') () // siGN, desiGNed: G silent
+          else if ("IEY".indexOf(ch(i + 1).toInt) >= 0) out.append('J')
+          else out.append('K')
+        case 'H' => // silent after a vowel with no vowel following (JOHn)
+          if (!(isVowel(i - 1) && !isVowel(i + 1))) out.append('H')
+        case 'J' => out.append('J')
+        case 'K' => if (ch(i - 1) != 'C') out.append('K') // -CK-: K folds into C's K
+        case 'L' => out.append('L')
+        case 'M' => out.append('M')
+        case 'N' => out.append('N')
+        case 'P' => // PH -> F; H consumed
+          if (ch(i + 1) == 'H') { out.append('F'); i += 1 } else out.append('P')
+        case 'Q' => out.append('K')
+        case 'R' => out.append('R')
+        case 'S' =>
+          if (ch(i + 1) == 'H') { out.append('X'); i += 1 } // SH -> X
+          else if (ch(i + 1) == 'I' &&
+            (ch(i + 2) == 'O' || ch(i + 2) == 'A')) out.append('X') // -SIO-/-SIA-
+          else out.append('S')
+        case 'T' =>
+          if (ch(i + 1) == 'I' &&
+            (ch(i + 2) == 'O' || ch(i + 2) == 'A')) out.append('X') // -TIO-/-TIA-
+          else if (ch(i + 1) == 'H') { out.append('0'); i += 1 } // TH -> 0
+          else if (ch(i + 1) == 'C' && ch(i + 2) == 'H') () // -TCH-: T silent
+          else out.append('T')
+        case 'V' => out.append('F')
+        case 'W' => if (isVowel(i + 1)) out.append('W') // silent unless vowel follows
+        case 'X' => out.append("KS")
+        case 'Y' => if (isVowel(i + 1)) out.append('Y') // silent unless vowel follows
+        case 'Z' => out.append('S')
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
 }

@@ -125,6 +125,13 @@ case class DMetaphoneAlt(child: Expression) extends StringUnaryExpression {
   override protected def withNewChildInternal(c: Expression): DMetaphoneAlt = copy(child = c)
 }
 
+case class Metaphone(child: Expression) extends StringUnaryExpression {
+  override def prettyName: String = "metaphone"
+  protected def staticCall(arg: String) = s"graft.functions.Phonetics.metaphone($arg)"
+  protected def compute(s: String): String = Phonetics.metaphone(s)
+  override protected def withNewChildInternal(c: Expression): Metaphone = copy(child = c)
+}
+
 case class SoundexCode(child: Expression) extends StringUnaryExpression {
   override def prettyName: String = "soundex_graft"
   protected def staticCall(arg: String) = s"graft.functions.Phonetics.soundex($arg)"
@@ -151,6 +158,7 @@ object funcs {
   def damerau_levenshtein(l: Column, r: Column): Column = expr(DamerauLevenshtein(ex(l), ex(r)))
   def jaccard_sim(l: Column, r: Column): Column = expr(JaccardSim(ex(l), ex(r)))
   def jaccard_chars(l: Column, r: Column): Column = expr(JaccardChars(ex(l), ex(r)))
+  def metaphone(c: Column): Column = expr(Metaphone(ex(c)))
   def dmetaphone(c: Column): Column = expr(DMetaphone(ex(c)))
   def dmetaphone_alt(c: Column): Column = expr(DMetaphoneAlt(ex(c)))
   def soundex_code(c: Column): Column = expr(SoundexCode(ex(c)))
@@ -189,6 +197,7 @@ object funcs {
     "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
     "damerau_levenshtein" -> (es => DamerauLevenshtein(es(0), es(1))),
     "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
+    "metaphone" -> (es => Metaphone(es(0))),
     "dmetaphone" -> (es => DMetaphone(es(0))),
     "dmetaphone_alt" -> (es => DMetaphoneAlt(es(0))),
     "qgram_tokenise" -> (es => QgramTokenise(es(0),

@@ -88,8 +88,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("asofJoin plan shuffles exactly once (union-merge, no range join)") {
-    val left = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
+    val left = graft.SparkEntry.eventsUs(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("t"))
     val right = left.select(col("user_id").as("rk"), col("t").as("rt"),
       col("event_id").as("payload"))
     val joined = graft.pipeline.TimeOps.asofJoin(left, right,
