@@ -346,6 +346,19 @@ object SparkEntry {
         round(graft.functions.funcs.jaccard_chars(col("a"), col("b")), 9).as("jac1"))
     }),
 
+    // exploratory similarity-analysis comparator matrix
+    // (`similarity_analysis.py:48-80` comparator_score_df): the same five
+    // comparators the reference scores IN DuckDB, at its default 2dp
+    // rounding, over a synthesized pair frame — oracled value-for-value
+    "q_comparator_scores" -> ((s, dir) => {
+      val c = pq(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name"))
+      val prs = c.alias("l").join(c.alias("r"), col("l.k") + 1 === col("r.k"))
+        .select(col("l.k").as("k"), col("l.c_name").as("a"),
+          col("r.c_name").as("b"))
+      graft.exploratory.SimilarityAnalysis.comparatorScoreDf(prs, "a", "b")
+    }),
+
     // §2.8 remaining level families oracled as evaluated CONDITIONS: the
     // pair frame synthesises `_l`/`_r` columns from consecutive custkeys
     // and each output column is the level library's own sqlCondition
@@ -1531,6 +1544,19 @@ object SparkEntry {
         |  round(jaro_similarity(a, b), 9) AS jaro,
         |  round(jaro_winkler_similarity(a, b), 9) AS jw,
         |  round(jaccard(a, b), 9) AS jac1
+        |FROM p""".stripMargin,
+
+    "q_comparator_scores" ->
+      """WITH p AS (
+        |  SELECT l.c_custkey AS k, l.c_name AS a, r.c_name AS b
+        |  FROM customer l JOIN customer r ON l.c_custkey + 1 = r.c_custkey
+        |)
+        |SELECT k, a, b,
+        |  levenshtein(a, b) AS levenshtein_distance,
+        |  damerau_levenshtein(a, b) AS damerau_levenshtein_distance,
+        |  round(jaro_similarity(a, b), 2) AS jaro_similarity,
+        |  round(jaro_winkler_similarity(a, b), 2) AS jaro_winkler_similarity,
+        |  round(jaccard(a, b), 2) AS jaccard_similarity
         |FROM p""".stripMargin,
 
     "q_sample" ->

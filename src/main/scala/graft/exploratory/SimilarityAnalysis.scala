@@ -55,28 +55,31 @@ object SimilarityAnalysis {
   }
 
   /** Phonetic codes for both sides of each pair
-    * (`similarity_analysis.py:190-264` `phonetic_transform_df`): soundex,
-    * classic metaphone and double metaphone as 2-element [left, right]
-    * arrays. The reference's `dmetaphone` carries the package's
-    * (primary, alternate) tuple; here the primaries ride in `dmetaphone`
-    * and the alternates in `dmetaphone_alt`. */
+    * (`similarity_analysis.py:190-264` `phonetic_transform_df`): soundex
+    * and classic metaphone as 2-element [left, right] arrays; `dmetaphone`
+    * carries the full (primary, alternate) tuple per side — a 2-element
+    * array of 2-element arrays, `[[p_l, a_l], [p_r, a_r]]` — exactly the
+    * shape the reference gets from `phonetics.dmetaphone`. */
   def phoneticTransformDf(pairs: DataFrame, col1: String,
       col2: String): DataFrame = {
     val (a, b) = (col(col1), col(col2))
     pairs.select(pairs.columns.map(col) ++ Seq(
       array(funcs.soundex_code(a), funcs.soundex_code(b)).as("soundex"),
       array(funcs.metaphone(a), funcs.metaphone(b)).as("metaphone"),
-      array(funcs.dmetaphone(a), funcs.dmetaphone(b)).as("dmetaphone"),
-      array(funcs.dmetaphone_alt(a), funcs.dmetaphone_alt(b))
-        .as("dmetaphone_alt")): _*)
+      array(array(funcs.dmetaphone(a), funcs.dmetaphone_alt(a)),
+        array(funcs.dmetaphone(b), funcs.dmetaphone_alt(b)))
+        .as("dmetaphone")): _*)
   }
 
   /** Single-string phonetic codes (`similarity_analysis.py:170-188`
-    * `phonetic_transform`). */
+    * `phonetic_transform`). The reference's `dmetaphone` value is the
+    * package's (primary, alternate) tuple; both ride here under
+    * `dmetaphone` / `dmetaphone_alt`. */
   def phoneticTransform(s: String): Map[String, String] = Map(
     "soundex" -> graft.functions.Phonetics.soundex(s),
     "metaphone" -> graft.functions.Phonetics.metaphone(s),
-    "dmetaphone" -> graft.functions.Phonetics.doubleMetaphone(s))
+    "dmetaphone" -> graft.functions.Phonetics.doubleMetaphone(s),
+    "dmetaphone_alt" -> graft.functions.Phonetics.doubleMetaphoneAlt(s))
 
   // --------------------------------------------------------------- charts
 
@@ -88,10 +91,14 @@ object SimilarityAnalysis {
   private val DistanceMetrics =
     List("levenshtein_distance", "damerau_levenshtein_distance")
 
-  private def heatPanel(metrics: List[String], title: String,
-      colorEnc: JObject): JValue =
+  private def heatPanel(metrics: List[String], stripSuffix: String,
+      title: String, colorEnc: JObject): JValue =
     ("transform" -> JArray(List(
-      (("fold" -> metrics) ~ ("as" -> List("comparator", "score"))): JValue))) ~
+      (("fold" -> metrics) ~ ("as" -> List("comparator", "score"))): JValue,
+      // the reference strips the `_similarity`/`_distance` suffix from
+      // the melted comparator names (`similarity_analysis.py:118-126`)
+      ("calculate" -> s"replace(datum.comparator, '$stripSuffix', '')") ~
+        ("as" -> "comparator")))) ~
     ("title" -> (("text" -> title): JObject)) ~
     ("mark" -> "rect") ~
     ("encoding" ->
@@ -113,32 +120,49 @@ object SimilarityAnalysis {
     ChartSpec(mkSpec(recs, titled("Comparator scores") ~
       ("transform" -> JArray(List(pairColumn(col1, col2): JValue))) ~
       ("hconcat" -> JArray(List(
-        heatPanel(SimilarityMetrics, "Similarity",
+        heatPanel(SimilarityMetrics, "_similarity", "Similarity",
           ("field" -> "score") ~ ("type" -> "quantitative") ~
             ("scale" -> (("domain" -> List(0.0, 1.0)) ~
               ("scheme" -> "greenblue")))),
-        heatPanel(DistanceMetrics, "Distance",
+        heatPanel(DistanceMetrics, "_distance", "Distance",
           ("field" -> "score") ~ ("type" -> "quantitative") ~
             ("scale" -> (("reverse" -> true) ~ ("scheme" -> "yellowred")))))))))
   }
 
   /** Pass/fail heatmaps at a similarity >= / distance <= threshold
-    * (`similarity_analysis.py:133-188` + `charts.py:717-736`). */
+    * (`similarity_analysis.py:133-188` + `charts.py:717-736`). Both
+    * thresholds default to None like the reference; a panel renders only
+    * when its threshold is given (the reference renders a degenerate
+    * all-fail `>= None` panel instead — deliberate divergence). With
+    * neither given, both panels render unconditioned score heatmaps. */
   def comparatorScoreThresholdChart(pairs: DataFrame, col1: String,
-      col2: String, similarityThreshold: Double,
-      distanceThreshold: Int): ChartSpec = {
+      col2: String, similarityThreshold: Option[Double] = None,
+      distanceThreshold: Option[Int] = None): ChartSpec = {
     val recs = dfRecords(comparatorScoreDf(pairs, col1, col2))
+    val panels: List[JValue] =
+      if (similarityThreshold.isEmpty && distanceThreshold.isEmpty)
+        List(
+          heatPanel(SimilarityMetrics, "_similarity", "Similarity",
+            ("field" -> "score") ~ ("type" -> "quantitative") ~
+              ("scale" -> (("domain" -> List(0.0, 1.0)) ~
+                ("scheme" -> "greenblue")))),
+          heatPanel(DistanceMetrics, "_distance", "Distance",
+            ("field" -> "score") ~ ("type" -> "quantitative") ~
+              ("scale" -> (("reverse" -> true) ~ ("scheme" -> "yellowred")))))
+      else
+        similarityThreshold.map(t =>
+          heatPanel(SimilarityMetrics, "_similarity", s">= $t",
+            ("condition" ->
+              (("test" -> s"datum.score >= $t") ~
+               ("value" -> "green"))) ~ ("value" -> "red"))).toList ++
+        distanceThreshold.map(t =>
+          heatPanel(DistanceMetrics, "_distance", s"<= $t",
+            ("condition" ->
+              (("test" -> s"datum.score <= $t") ~
+               ("value" -> "green"))) ~ ("value" -> "red"))).toList
     ChartSpec(mkSpec(recs, titled("Comparator scores at threshold") ~
       ("transform" -> JArray(List(pairColumn(col1, col2): JValue))) ~
-      ("hconcat" -> JArray(List(
-        heatPanel(SimilarityMetrics, s">= $similarityThreshold",
-          ("condition" ->
-            (("test" -> s"datum.score >= $similarityThreshold") ~
-             ("value" -> "green"))) ~ ("value" -> "red")),
-        heatPanel(DistanceMetrics, s"<= $distanceThreshold",
-          ("condition" ->
-            (("test" -> s"datum.score <= $distanceThreshold") ~
-             ("value" -> "green"))) ~ ("value" -> "red")))))))
+      ("hconcat" -> JArray(panels))))
   }
 
   /** Phonetic agreement heatmap (`similarity_analysis.py:267-311`
@@ -147,11 +171,17 @@ object SimilarityAnalysis {
   def phoneticMatchChart(pairs: DataFrame, col1: String,
       col2: String): ChartSpec = {
     val coded = phoneticTransformDf(pairs, col1, col2)
-    val long = Seq("soundex", "metaphone", "dmetaphone").map { ph =>
+    val long = (Seq("soundex", "metaphone").map { ph =>
       coded.select(col(col1), col(col2), lit(ph).as("phonetic"),
         concat_ws(", ", col(ph)).as("codes"),
         (element_at(col(ph), 1) === element_at(col(ph), 2)).as("matches"))
-    }.reduce(_.unionByName(_))
+    } :+ coded.select(col(col1), col(col2), lit("dmetaphone").as("phonetic"),
+      // full (primary, alternate) tuple per side, like the reference's
+      // `x[0] == x[1]` over `phonetics.dmetaphone` tuples: equal-on-primary
+      // but differing-on-alternate pairs are NON-matching
+      concat_ws(", ", flatten(col("dmetaphone"))).as("codes"),
+      (element_at(col("dmetaphone"), 1) === element_at(col("dmetaphone"), 2))
+        .as("matches"))).reduce(_.unionByName(_))
     val recs = dfRecords(long)
     ChartSpec(mkSpec(recs, titled("Phonetic matches") ~
       ("transform" -> JArray(List(pairColumn(col1, col2): JValue))) ~

@@ -285,7 +285,7 @@ object Phonetics {
       else if (raw.startsWith("WH")) "W" + raw.substring(2)
       else if (raw.charAt(0) == 'X') "S" + raw.substring(1)
       else raw
-    def ch(i: Int): Char = if (i >= 0 && i < s.length) s.charAt(i) else ' '
+    def ch(i: Int): Char = if (i >= 0 && i < s.length) s.charAt(i) else '\u0000'
     def isVowel(i: Int): Boolean = "AEIOU".indexOf(ch(i).toInt) >= 0
     val out = new StringBuilder
     var i = 0
@@ -313,7 +313,10 @@ object Phonetics {
           if (ch(i + 1) == 'H') { // GH: K before a vowel, else silent (niGHt)
             if (isVowel(i + 2)) out.append('K')
             i += 1
-          } else if (ch(i + 1) == 'N') () // siGN, desiGNed: G silent
+          } else if (ch(i + 1) == 'N' && (i + 2 == s.length ||
+            (i + 4 == s.length && ch(i + 2) == 'E' && ch(i + 3) == 'D'))) ()
+            // G silent only in terminal -GN / -GNED (siGN, desiGNed);
+            // elsewhere (maGNet) it encodes normally as K below
           else if ("IEY".indexOf(ch(i + 1).toInt) >= 0) out.append('J')
           else out.append('K')
         case 'H' => // silent after a vowel with no vowel following (JOHn)

@@ -50,6 +50,7 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       "damerau_levenshtein" -> "damerau_levenshtein('ab', 'ba')",
       "jaccard_sim" -> "jaccard_sim('abc', 'abd')",
       "dmetaphone" -> "dmetaphone('smith')",
+      "metaphone" -> "metaphone('smith')",
       "dmetaphone_alt" -> "dmetaphone_alt('smith')",
       "qgram_tokenise" -> "qgram_tokenise('abcd', 2)",
       "simhash64" -> "simhash64(array('ab', 'cd'))",

@@ -65,6 +65,27 @@ class StringSimSpec extends AnyFunSuite {
     assert(StringSim.jaccardQgram("", "", 1) == 1.0)
   }
 
+  test("classic metaphone against published encodings") {
+    // vectors from the published rule table (Philips, Computer Language
+    // 7(12) 1990): PH->F, silent GH, initial-X->S, terminal -GN silent
+    assert(Phonetics.metaphone("Stephen") == "STFN")
+    assert(Phonetics.metaphone("night") == "NT")
+    assert(Phonetics.metaphone("knight") == "NT") // initial KN- drops K
+    assert(Phonetics.metaphone("xerox") == "SRKS")
+    assert(Phonetics.metaphone("phone") == "FN")
+    assert(Phonetics.metaphone("school") == "SKL") // SCH -> SK
+    assert(Phonetics.metaphone("science") == "SNS") // SCI: C silent
+    assert(Phonetics.metaphone("judge") == "JJ") // -DGE -> J
+    assert(Phonetics.metaphone("ghost") == "KST") // GH before vowel -> K
+    assert(Phonetics.metaphone("thomas") == "0MS") // TH -> 0
+    // G silences only in terminal -GN/-GNED, not before any N
+    assert(Phonetics.metaphone("sign") == "SN")
+    assert(Phonetics.metaphone("signed") == "SNT")
+    assert(Phonetics.metaphone("magnet") == "MKNT")
+    assert(Phonetics.metaphone("") == "")
+    assert(Phonetics.metaphone(null) == "")
+  }
+
   test("soundex") {
     assert(Phonetics.soundex("Robert") == "R163")
     assert(Phonetics.soundex("Rupert") == "R163")
