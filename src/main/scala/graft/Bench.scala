@@ -1,7 +1,10 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (also written to bench_out.json for the driver).
@@ -10,12 +13,60 @@ import java.nio.file.{Files, Paths}
   * (xxhash64 over a struct of all columns, summed) — a bare count() lets
   * Catalyst prune unused projections, which benches pure-projection
   * queries as scan-only.
+  *
+  * Flight recorder: alongside wall time the JSON carries per-query task
+  * counts and shuffle/input byte totals (from a TaskEnd listener) plus
+  * the host's 1-minute load average before and after the run, so a slow
+  * recording can be classified — plan regression (more tasks / more
+  * shuffled bytes) vs environment contention (same plan stats, high
+  * loadavg) — without a controlled re-run.
   */
 object Bench {
+
+  /** Accumulates executor task metrics; listener events are async, so
+    * [[drain]] polls until the task counter stops moving before a
+    * snapshot is attributed to a query. */
+  private final class FlightRecorder extends SparkListener {
+    val tasks = new AtomicLong
+    val shufRead = new AtomicLong
+    val shufWrite = new AtomicLong
+    val input = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = te.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def drain(): Unit = {
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 500) {
+        val t = tasks.get
+        if (t == last) stable += 1 else { stable = 0; last = t }
+        Thread.sleep(10)
+        waited += 10
+      }
+    }
+    def snapshot(): Array[Long] =
+      Array(tasks.get, shufRead.get, shufWrite.get, input.get)
+  }
+
+  private final case class QStat(sec: Double, tasks: Long,
+      shufReadB: Long, shufWriteB: Long, inputB: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val loadStart = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    if (loadStart > 0.5 * Runtime.getRuntime.availableProcessors)
+      System.err.println(f"[bench] WARNING: 1-min loadavg $loadStart%.1f on " +
+        s"${Runtime.getRuntime.availableProcessors} cpus before the run — " +
+        "timings may be contention noise; prefer an idle box")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,6 +75,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val recorder = new FlightRecorder
+    spark.sparkContext.addSparkListener(recorder)
     // SPARK_GRAFT_BENCH_REPEAT > 1 reruns the whole suite in-JVM and
     // reports the LAST pass, separating codegen/JIT warmup from data cost
     // (profiling aid; the driver uses the default single cold pass).
@@ -49,8 +102,10 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
-    def onePass(): Map[String, Double] = selected.map {
+    def onePass(): Map[String, QStat] = selected.map {
       case (name, fn) =>
+        recorder.drain()
+        val before = recorder.snapshot()
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
@@ -62,14 +117,28 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        recorder.drain()
+        val after = recorder.snapshot()
+        name -> QStat(sec, after(0) - before(0), after(1) - before(1),
+          after(2) - before(2), after(3) - before(3))
     }
     val results = (1 to repeat).map(_ => onePass()).last
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val stats = results.map { case (k, v) =>
+      s"\"$k\":{\"sec\":${v.sec},\"tasks\":${v.tasks}," +
+        s"\"shuffle_read_bytes\":${v.shufReadB}," +
+        s"\"shuffle_write_bytes\":${v.shufWriteB}," +
+        s"\"input_bytes\":${v.inputB}}"
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.sec).sum else 0.0
+    val loadEnd = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val env = s"""{"procs":${Runtime.getRuntime.availableProcessors},""" +
+      s""""spark_cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""stats":$stats,"env":$env,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // Stop Spark BEFORE emitting the JSON so no shutdown log line can land
     // after it: with run/outputStrategy=StdoutOutput and showSuccess=false

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, sum}
+
 import graft.clustering.{ClusteringOps, ConnectedComponents}
 import graft.operators.Materialise
 import graft.pipeline.DedupOps
@@ -106,6 +108,35 @@ class MaterialiseSpec extends SparkSpec {
     // a plain unmaterialised frame is untouched too
     Materialise.release(df)
     assert(df.count() == 2)
+  }
+
+  test("release mid-loop: successor unaffected, released frame fails LOUDLY") {
+    // the invariant the iterative loops rely on (ConnectedComponents /
+    // bridges release each superseded working frame): once the successor
+    // is on disk the predecessor may be reclaimed — and any buggy late
+    // consumer of the predecessor must blow up, never silently read an
+    // empty frame (ignoreMissingFiles would turn that bug into wrong
+    // results; assert it is off for this session)
+    assert(!spark.conf.get("spark.sql.files.ignoreMissingFiles").toBoolean)
+    val a = Materialise.withPolicy(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      Materialise.ParquetPolicy, eager = true)
+    val b = Materialise.withPolicy(
+      a.withColumn("v2", col("v") * 2), Materialise.ParquetPolicy,
+      eager = true)
+    Materialise.release(a)
+    // successor has its own files: actions and task re-reads keep working
+    assert(b.count() == 3)
+    assert(b.agg(sum(col("v2"))).collect()(0).getLong(0) == 120L)
+    // the released predecessor must fail loudly on any re-read
+    val e = intercept[Exception](a.count())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(_.contains("FileNotFoundException")) ||
+        Option(t.getMessage).exists(_.toLowerCase.contains("path does not exist"))),
+      s"expected a loud missing-file failure, got: ${e.getMessage.take(200)}")
   }
 
   test("release refuses paths it did not write") {
