@@ -485,6 +485,30 @@ object SparkEntry {
           col("join_key_r").cast("bigint").as("uid_r"))
     }),
 
+    // §2.3 exploding + plain rules in ONE settings object
+    // (`blocking.py:814-827`): NOT-previous cannot express an exploding
+    // rule's element-overlap condition, so with any exploding rule in play
+    // cross-rule dedupe is the reference's global min(match_key) group-by;
+    // the exploding rule's own join still excludes preceding PLAIN rules
+    // (`blocking.py:350-408` marginal_exploded_id_pairs_table_sql)
+    "q_exploding_multi_rule" -> ((s, dir) => {
+      val parts = pq(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("unique_id"), col("p_brand"),
+          col("p_size"), split(col("p_type"), " ").as("words"))
+      val settings = LinkSettings(
+        linkType = LinkType.DedupeOnly,
+        blockingRules = Seq(
+          BlockingRule.blockOn("p_brand"),
+          BlockingRule.BlockOnRule(Seq("words"), arraysToExplode = Seq("words")),
+          BlockingRule.blockOn("pmod(p_size, 5)")),
+        comparisons = Seq(Comparison("unique_id", Seq(
+          ll.exactMatch("unique_id"), ll.elseLevel))))
+      Blocking.blockedIdPairs(parts, settings)
+        .select(col("match_key"),
+          col("join_key_l").cast("bigint").as("uid_l"),
+          col("join_key_r").cast("bigint").as("uid_r"))
+    }),
+
     // §2.8 array comparison levels over word arrays: intersect-size and
     // best-pairwise-jaro-winkler gammas (higher-order functions end to end)
     "q_array_levels" -> ((s, dir) => {
@@ -1585,6 +1609,32 @@ object SparkEntry {
         |JOIN (SELECT p_partkey, p_size, string_split(p_type, ' ') AS words
         |      FROM part WHERE p_partkey % 10 = 0) r
         |  ON l.p_size % 10 = r.p_size % 10 AND l.p_partkey < r.p_partkey""".stripMargin,
+
+    "q_exploding_multi_rule" ->
+      """WITH parts AS (
+        |  SELECT p_partkey AS uid, p_brand, p_size,
+        |         string_split(p_type, ' ') AS words
+        |  FROM part WHERE p_partkey % 10 = 0
+        |), r0 AS (
+        |  SELECT 0 AS mk, l.uid AS uid_l, r.uid AS uid_r
+        |  FROM parts l JOIN parts r
+        |    ON l.p_brand = r.p_brand AND l.uid < r.uid
+        |), ex AS (
+        |  SELECT uid, p_brand, unnest(words) AS w FROM parts
+        |), r1 AS (
+        |  SELECT DISTINCT 1 AS mk, l.uid AS uid_l, r.uid AS uid_r
+        |  FROM ex l JOIN ex r ON l.w = r.w AND l.uid < r.uid
+        |  WHERE NOT coalesce(l.p_brand = r.p_brand, false)
+        |), r2 AS (
+        |  SELECT 2 AS mk, l.uid AS uid_l, r.uid AS uid_r
+        |  FROM parts l JOIN parts r
+        |    ON l.p_size % 5 = r.p_size % 5 AND l.uid < r.uid
+        |  WHERE NOT coalesce(l.p_brand = r.p_brand, false)
+        |), u AS (
+        |  SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |)
+        |SELECT CAST(min(mk) AS VARCHAR) AS match_key, uid_l, uid_r
+        |FROM u GROUP BY uid_l, uid_r""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer

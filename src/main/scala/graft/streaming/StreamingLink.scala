@@ -86,7 +86,6 @@ object StreamingLink {
       tsCol: String, watermarkDelay: String = "1 hour",
       shingleQ: Int = 8): org.apache.spark.sql.Dataset[BandVerdict] = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = graft.pipeline.DedupOps.simhash(
@@ -102,6 +101,63 @@ object StreamingLink {
         }: _*)).as("b"))
       .select(col("docId"), col("b.band"), col("b.bandVal"), col("eventTime"))
       .as[BandObs]
+    bandBucketVerdicts(banded, watermarkDelay)
+  }
+
+  /**
+   * Stateful streaming MinHash-LSH near-dup detection — the streaming twin
+   * of [[graft.pipeline.DedupOps.minhashDedupPairs]], over the SAME
+   * [[graft.pipeline.DedupOps.lshBands]] banding kernel (k minhash slots,
+   * `k / rowsPerBand` bands; two documents share a band iff all
+   * `rowsPerBand` slots agree). Emits one [[BandVerdict]] per (doc, band);
+   * a document is a near-dup CANDIDATE iff any of its bands collides with
+   * a live earlier document. Same recall dial as the batch operator
+   * (P[band collision] = jaccard^rowsPerBand per band); collision-only —
+   * in-stream state holds band hashes, never shingle sets, so there is no
+   * exact-jaccard verify step (route candidates to the batch verifier
+   * when precision matters).
+   *
+   * Documents whose normalised text is empty produce no shingles and are
+   * dropped (mirrors the batch operator's `size(toks) > 0` filter — an
+   * all-sentinel signature would otherwise collide every empty doc).
+   *
+   * State per bucket is one boolean with an event-time timeout at
+   * `watermark past its last hit` — long-running-stream safe, identical
+   * discipline to [[simhashBandDedupStream]].
+   */
+  def minhashBandDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String = "1 hour", shingleQ: Int = 8,
+      k: Int = 32, rowsPerBand: Int = 4)
+      : org.apache.spark.sql.Dataset[BandVerdict] = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = graft.pipeline.DedupOps.minhashSignature(col(textCol), shingleQ, k)
+    val banded = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .filter(trim(col(textCol)) =!= "") // no shingles -> no bands
+      .select(col(idCol).cast("string").as("docId"), sig.as("sig"),
+        col(tsCol).as("eventTime"))
+      .select(col("docId"), col("eventTime"),
+        explode(graft.pipeline.DedupOps.lshBands(col("sig"), k, rowsPerBand))
+          .as("b"))
+      .select(col("docId"), col("b.band"), col("b.band_hash").as("bandVal"),
+        col("eventTime"))
+      .as[BandObs]
+    bandBucketVerdicts(banded, watermarkDelay)
+  }
+
+  /** Shared stateful band-bucket op: `firstInBucket` is true iff no
+    * earlier document (by event time, then id, within this batch or any
+    * previous one whose state is still live) hashed into the same
+    * (band, bandVal) bucket. Bucket state evicts one full watermark delay
+    * after its last hit. */
+  private def bandBucketVerdicts(
+      banded: org.apache.spark.sql.Dataset[BandObs],
+      watermarkDelay: String): org.apache.spark.sql.Dataset[BandVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = banded.sparkSession
+    import spark.implicits._
     banded
       .groupByKey(o => (o.band, o.bandVal))
       .flatMapGroupsWithState[BucketState, BandVerdict](

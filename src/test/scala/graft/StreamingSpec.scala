@@ -109,6 +109,61 @@ class StreamingSpec extends SparkSpec {
     assert(perDoc("4"))
   }
 
+  test("stateful minhash-LSH band dedup flags near-dup candidates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val verdicts = StreamingLink.minhashBandDedupStream(
+      stream.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+    val query = verdicts.writeStream.format("memory")
+      .queryName("mh_band_out").outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the tall mountains of the west"
+    val other = "completely different content with nothing shared at all " +
+      "between these two documents of reasonable length for shingling"
+    stream.addData((1L, base, ts(0)), (2L, other, ts(1)))
+    query.processAllAvailable()
+    // doc 3 = near-dup of doc 1 (one word changed -> high shingle jaccard,
+    // so >=1 of the 8 bands keeps all 4 minhash slots); doc 4 fresh;
+    // doc 5 = EXACT copy of doc 2 from the PREVIOUS batch (all 8 bands
+    // collide against live state); doc 6 whitespace-only (no shingles,
+    // dropped like the batch operator's size(toks) > 0 filter)
+    stream.addData((3L, base.replace("lazy", "hazy"), ts(2)),
+      (4L, "yet another unrelated document body to keep around", ts(3)),
+      (5L, other, ts(4)), (6L, "   ", ts(5)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("mh_band_out").collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[Boolean]("firstInBucket")))
+    val perDoc = rows.groupBy(_._1).view
+      .mapValues(vs => (vs.length, vs.count(_._2))).toMap
+    // 8 bands per surviving doc, none for the empty doc
+    assert(!perDoc.contains("6"))
+    assert(perDoc.keySet == Set("1", "2", "3", "4", "5"))
+    assert(perDoc.values.forall(_._1 == 8))
+    // batch 1: both docs fully fresh
+    assert(perDoc("1")._2 == 8 && perDoc("2")._2 == 8)
+    // near-dup shares >=1 band with doc 1; fresh doc collides nowhere
+    assert(perDoc("3")._2 < 8)
+    assert(perDoc("4")._2 == 8)
+    // exact dup of a prior-batch doc: every band bucket already occupied
+    assert(perDoc("5")._2 == 0)
+    // the stream's candidate set agrees with the batch operator on the
+    // same corpus: docs flagged (some band collision) = docs the batch
+    // LSH banding pairs up
+    val docs = Seq((1L, base), (2L, other),
+      (3L, base.replace("lazy", "hazy")),
+      (4L, "yet another unrelated document body to keep around"), (5L, other))
+      .toDF("doc_id", "text")
+    val batchPairs = graft.pipeline.DedupOps
+      .minhashDedupPairs(docs, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamCandidates =
+      perDoc.collect { case (d, (_, first)) if first < 8 => d.toLong }.toSet
+    assert(batchPairs.flatMap(p => Set(p._1, p._2)).diff(Set(1L, 2L)) ==
+      streamCandidates)
+  }
+
   test("streaming decontamination flags probe n-gram overlap per batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.streaming.Trigger
