@@ -399,15 +399,70 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     }
   }
 
-  /** Compare two small record frames against the trained model without any
-    * blocking — realtime scoring (`realtime.py:44-159`). */
-  def compareRecords(left: DataFrame, right: DataFrame): DataFrame = {
-    val uid = settings.uniqueIdColumn
+  // user-registered TF lookup tables, keyed by column
+  // (`table_management.register_term_frequency_lookup`): columns
+  // (<col>, tf_<col>), consulted by realtime scoring when the input
+  // records do not carry tf values themselves
+  private val tfLookups =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Register a user-supplied term-frequency lookup for `column`
+    * (reference `table_management.register_term_frequency_lookup`). The
+    * table must carry `(column, tf_column)`. */
+  def registerTermFrequencyLookup(table: DataFrame, column: String): Unit =
+    tfLookups(column) = table
+
+  /** Derive a TF table for `column` from the linker's own input data
+    * (reference `table_management.compute_tf_table`). */
+  def computeTfTable(column: String): DataFrame =
+    TermFrequency.table(concat, column)
+
+  /** Attach `tf_<col>` values to a record frame with the reference's
+    * three-tier precedence (`inference.py:815-860` score_pairs docs):
+    * tf columns already present on the input records win; else a
+    * registered lookup table; else frequencies derived from the linker's
+    * own corpus. Lookups broadcast — realtime inputs are small and TF
+    * tables are distinct-value sized. */
+  private def withTfValues(records: DataFrame): DataFrame =
+    settings.tfColumns.foldLeft(records) { (acc, c) =>
+      if (acc.columns.contains(Cols.tf(c)) || !acc.columns.contains(c)) acc
+      else {
+        val lookup = tfLookups.getOrElse(c, computeTfTable(c))
+        acc.join(broadcast(lookup), Seq(c), "left")
+      }
+    }
+
+  /** Score the full cartesian product of two record frames against the
+    * trained model — NO blocking rules applied (`inference.py:815-900`
+    * `score_pairs`). TF values resolve per [[withTfValues]]. With
+    * `includeFoundByBlockingRules`, emits the reference's boolean
+    * `found_by_blocking_rules` column: would ANY prediction blocking rule
+    * have generated this pair (`accuracy.py:293-309`). */
+  def scorePairs(left: DataFrame, right: DataFrame,
+      includeFoundByBlockingRules: Boolean = false): DataFrame = {
+    val l = withTfValues(left)
     val projection = ComparisonVectors.pairProjection(settings,
-      left.columns.toSeq)
-    val pairs = left.alias("l").crossJoin(right.alias("r")).select(projection: _*)
+      l.columns.toSeq)
+    // the flag evaluates on the two-sided join (l./r. aliases), BEFORE the
+    // pair projection narrows to comparison columns — blocking-rule columns
+    // need not be comparison columns
+    val flag =
+      if (!includeFoundByBlockingRules) Seq.empty
+      else Seq((settings.blockingRules match {
+        case Nil => lit(true)
+        case rules =>
+          rules.map(r => coalesce(r.condition, lit(false))).reduce(_ || _)
+      }).as("found_by_blocking_rules"))
+    val pairs = l.alias("l").crossJoin(withTfValues(right).alias("r"))
+      .select(projection ++ flag: _*)
     Predict.score(ComparisonVectors.addGammas(pairs, settings), settings)
   }
+
+  /** Compare two small record frames against the trained model without any
+    * blocking — realtime scoring (`realtime.py:44-159`); TF-aware alias of
+    * [[scorePairs]]. */
+  def compareRecords(left: DataFrame, right: DataFrame): DataFrame =
+    scorePairs(left, right)
 
   /** Persist the current (trained) model as reference-style settings JSON
     * (`linker.misc.save_model_to_json`) — includes the per-session trained

@@ -223,6 +223,33 @@ object SparkEntry {
           round(col("match_weight"), 6).as("match_weight"))
     }),
 
+    // §2.9 realtime cartesian scoring (`inference.py:815-900` score_pairs):
+    // NO blocking — every left record against every right record, TF
+    // resolved from the linker's own corpus, plus the reference's
+    // found_by_blocking_rules flag (`accuracy.py:293-309`: would any
+    // prediction rule have generated this pair)
+    "q_score_pairs" -> ((s, dir) => {
+      val settings = LinkSettings(
+        linkType = LinkType.DedupeOnly,
+        blockingRules = Seq(BlockingRule.blockOn("c_nationkey")),
+        comparisons = Seq(
+          Comparison("c_mktsegment", Seq(
+            ll.nullLevel("c_mktsegment"),
+            ll.exactMatch("c_mktsegment", tfAdjustment = true).withM(0.9).withU(0.2),
+            ll.elseLevel.withM(0.1).withU(0.8)))),
+        probabilityTwoRandomRecordsMatch = 0.01)
+      val c = customers(s, dir)
+      val linker = new Linker(c, settings)
+      linker.scorePairs(
+          c.filter(col("unique_id") % 150 === 0),
+          c.filter(col("unique_id") % 173 === 0),
+          includeFoundByBlockingRules = true)
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          col("gamma_c_mktsegment"),
+          round(col("match_weight"), 6).as("match_weight"),
+          col("found_by_blocking_rules"))
+    }),
+
     // §2.12 find matches to new records: block + score a small batch of
     // incoming records against the corpus without re-linking the corpus to
     // itself (`find_matches_to_new_records.py:14-51`). No uid-ordering
@@ -1384,6 +1411,38 @@ object SparkEntry {
          |          ELSE ($log2uExact - log2(greatest(coalesce(tf_l, tf_r),
          |                coalesce(tf_r, tf_l), 0.0::DOUBLE))) * 1.0::DOUBLE END
          |      ELSE 0.0::DOUBLE END, 6) AS match_weight
+         |FROM pairs""".stripMargin
+    },
+
+    "q_score_pairs" -> {
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.01 / 0.99) / math.log(2.0)})::DOUBLE"
+      val log2uExact = s"(${math.log(0.2) / math.log(2.0)})::DOUBLE"
+      s"""WITH tf AS (
+         |  SELECT c_mktsegment AS seg,
+         |    CAST(count(*) AS DOUBLE) / (SELECT count(c_mktsegment) FROM customer) AS tf_v
+         |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1),
+         |ls AS (SELECT * FROM customer WHERE c_custkey % 150 = 0),
+         |rs AS (SELECT * FROM customer WHERE c_custkey % 173 = 0),
+         |pairs AS (
+         |  SELECT ls.c_custkey AS uid_l, rs.c_custkey AS uid_r,
+         |    CASE WHEN ls.c_mktsegment IS NULL OR rs.c_mktsegment IS NULL THEN -1
+         |         WHEN ls.c_mktsegment = rs.c_mktsegment THEN 1 ELSE 0 END AS g,
+         |    tl.tf_v AS tf_l, tr.tf_v AS tf_r,
+         |    coalesce(ls.c_nationkey = rs.c_nationkey, false) AS fbr
+         |  FROM ls CROSS JOIN rs
+         |  LEFT JOIN tf tl ON ls.c_mktsegment = tl.seg
+         |  LEFT JOIN tf tr ON rs.c_mktsegment = tr.seg)
+         |SELECT uid_l, uid_r, g AS gamma_c_mktsegment,
+         |  round($prior
+         |    + CASE g WHEN -1 THEN 0.0::DOUBLE WHEN 1 THEN ${w(0.9, 0.2)}
+         |        ELSE ${w(0.1, 0.8)} END
+         |    + CASE WHEN g = 1 THEN
+         |        CASE WHEN coalesce(tf_l, tf_r) IS NULL THEN 0.0::DOUBLE
+         |          ELSE ($log2uExact - log2(greatest(coalesce(tf_l, tf_r),
+         |                coalesce(tf_r, tf_l), 0.0::DOUBLE))) * 1.0::DOUBLE END
+         |      ELSE 0.0::DOUBLE END, 6) AS match_weight,
+         |  fbr AS found_by_blocking_rules
          |FROM pairs""".stripMargin
     },
 
