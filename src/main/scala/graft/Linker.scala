@@ -412,10 +412,15 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   def registerTermFrequencyLookup(table: DataFrame, column: String): Unit =
     tfLookups(column) = table
 
-  /** Derive a TF table for `column` from the linker's own input data
-    * (reference `table_management.compute_tf_table`). */
-  def computeTfTable(column: String): DataFrame =
-    TermFrequency.table(concat, column)
+  /** Derive a TF table for `column` from the linker's own input data AND
+    * register it for realtime / within / between scoring (reference
+    * `table_management.compute_tf_table`, which caches the result where
+    * `predict_within` / `predict_between` find it). */
+  def computeTfTable(column: String): DataFrame = {
+    val t = TermFrequency.table(concat, column)
+    tfLookups(column) = t
+    t
+  }
 
   /** Attach `tf_<col>` values to a record frame with the reference's
     * three-tier precedence (`inference.py:815-860` score_pairs docs):
@@ -463,6 +468,100 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     * [[scorePairs]]. */
   def compareRecords(left: DataFrame, right: DataFrame): DataFrame =
     scorePairs(left, right)
+
+  /** Strict TF attach for [[predictWithin]] / [[predictBetween]]
+    * (`inference.py:1047-1090` `_require_registered_term_frequencies`):
+    * hardcoded `tf_<col>` input columns pass through, registered lookups
+    * broadcast-join on, and anything else FAILS — these primitives never
+    * derive term frequencies from the supplied records (frequencies seen
+    * at training time are the model's, not the new batch's). */
+  private def withRequiredTf(df: DataFrame, s2: LinkSettings): DataFrame = {
+    val missing = s2.tfColumns.filterNot(c =>
+      df.columns.contains(Cols.tf(c)) || tfLookups.contains(c))
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      "predictWithin / predictBetween require term-frequency tables to be " +
+        "registered (or tf_<col> columns to be present on the supplied " +
+        "records). Missing term-frequency information for column(s): " +
+        s"${missing.mkString(", ")}. Register them with " +
+        "computeTfTable(col) or registerTermFrequencyLookup(table, col), " +
+        "or include hardcoded tf_<col> columns on the supplied records.")
+    s2.tfColumns.foldLeft(df) { (acc, c) =>
+      if (acc.columns.contains(Cols.tf(c))) acc
+      else acc.join(broadcast(tfLookups(c)), Seq(c), "left")
+    }
+  }
+
+  private def overridden(linkTypeOverride: Option[LinkType],
+      blockingRulesOverride: Option[Seq[BlockingRule]]): LinkSettings =
+    settings.copy(
+      linkType = linkTypeOverride.getOrElse(settings.linkType),
+      blockingRules = blockingRulesOverride.getOrElse(settings.blockingRules))
+
+  /** Blocked, scored predictions WITHIN a new collection of records using
+    * the trained model (`inference.py:1156-1250` `predict_within`): the
+    * input shape mirrors the Linker constructor, candidates come from the
+    * trained blocking rules (overridable), and TF resolves strictly per
+    * [[withRequiredTf]]. */
+  def predictWithin(records: Seq[(String, DataFrame)],
+      linkTypeOverride: Option[LinkType] = None,
+      blockingRulesOverride: Option[Seq[BlockingRule]] = None,
+      thresholdMatchProbability: Option[Double] = None,
+      thresholdMatchWeight: Option[Double] = None): DataFrame = {
+    val s2 = overridden(linkTypeOverride, blockingRulesOverride)
+    val concat2 = VerticalConcat(records, s2)
+    val idPairs = Blocking.blockedIdPairs(concat2, s2)
+    val cv = ComparisonVectors.compute(idPairs, withRequiredTf(concat2, s2), s2)
+    Predict.score(cv, s2, thresholdMatchWeight, thresholdMatchProbability)
+  }
+
+  /** Single-frame convenience for [[predictWithin]]. */
+  def predictWithin(df: DataFrame): DataFrame =
+    predictWithin(Seq("__input" -> df))
+
+  /** Blocked, scored predictions BETWEEN two new collections — candidates
+    * join left x right only, never within a side (`inference.py:1252-1430`
+    * `predict_between`, the incremental-linkage primitive; left/right are
+    * ROLES, not source datasets). Under `link_only` pairs must additionally
+    * come from different source datasets. TF resolves strictly per
+    * [[withRequiredTf]]. */
+  def predictBetween(left: Seq[(String, DataFrame)],
+      right: Seq[(String, DataFrame)],
+      linkTypeOverride: Option[LinkType] = None,
+      blockingRulesOverride: Option[Seq[BlockingRule]] = None,
+      thresholdMatchProbability: Option[Double] = None,
+      thresholdMatchWeight: Option[Double] = None): DataFrame = {
+    val s2 = overridden(linkTypeOverride, blockingRulesOverride)
+    val lc = VerticalConcat(left, s2)
+    val rc = VerticalConcat(right, s2)
+    val rules = if (s2.blockingRules.nonEmpty) s2.blockingRules
+      else Seq(BlockingRule.CustomBlockingRule("1=1"))
+    val needed = (rules.flatMap(Blocking.ruleColumns) ++
+      (if (s2.linkType != LinkType.DedupeOnly) Seq(s2.sourceDatasetColumn)
+       else Nil)).distinct
+    val key = Blocking.joinKeyCol(s2)
+    def narrow(df: DataFrame) = Repartition.ensureMinParallel(df.select(
+      (key.as("__join_key") +:
+        needed.filter(df.columns.contains).map(col)): _*))
+    // the reference's two_dataset_link_only trick: an inner join BETWEEN
+    // the role tables generates no within-side pairs by construction; the
+    // link_only source condition is then the only extra filter needed
+    val extraFilter = s2.linkType match {
+      case LinkType.LinkOnly if lc.columns.contains(s2.sourceDatasetColumn) =>
+        Some(col(s"l.${s2.sourceDatasetColumn}") =!=
+          col(s"r.${s2.sourceDatasetColumn}"))
+      case _ => None
+    }
+    val idPairs = Blocking.pairsUnderRules(narrow(lc), narrow(rc), rules,
+      extraFilter)
+    val pairsDf = ComparisonVectors.pairsFromIdsTwoFrames(idPairs,
+      withRequiredTf(lc, s2), withRequiredTf(rc, s2), s2)
+    Predict.score(ComparisonVectors.addGammas(pairsDf, s2), s2,
+      thresholdMatchWeight, thresholdMatchProbability)
+  }
+
+  /** Single-frame convenience for [[predictBetween]]. */
+  def predictBetween(left: DataFrame, right: DataFrame): DataFrame =
+    predictBetween(Seq("__left" -> left), Seq("__right" -> right))
 
   /** Persist the current (trained) model as reference-style settings JSON
     * (`linker.misc.save_model_to_json`) — includes the per-session trained
