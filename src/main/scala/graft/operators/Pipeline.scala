@@ -55,10 +55,17 @@ object TermFrequency {
         (col("value_count").cast("double") / col("__total")).as(Cols.tf(column)))
   }
 
-  /** Left-join each TF table onto the concat frame (broadcast). */
+  /** Left-join each TF table onto the concat frame. NO static broadcast
+    * hint: a TF table's size is the column's distinct-value count, which
+    * is unknowable before the aggregate runs — tiny for categorical
+    * columns, multi-GB for a name column over a 100 TB corpus, where a
+    * forced broadcast would OOM. AQE sizes the materialised aggregate at
+    * runtime and converts to a broadcast join exactly when it fits
+    * (DynamicJoinSelection), which is the hint's benefit without its
+    * unbounded-size failure mode. */
   def joinAll(df: DataFrame, columns: Seq[String]): DataFrame =
     columns.foldLeft(df) { (acc, c) =>
-      acc.join(broadcast(table(df, c)), Seq(c), "left")
+      acc.join(table(df, c), Seq(c), "left")
     }
 }
 

@@ -39,7 +39,11 @@ class PlanSpec extends SparkSpec {
   def finalPlanString(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
 
-  test("TF lookup joins are broadcast hash joins") {
+  test("TF lookup joins broadcast when small — by SIZE, not by forced hint") {
+    // joinAll carries no static broadcast hint (a 100 TB corpus' name-TF
+    // table can be multi-GB; forcing broadcast would OOM). Smallness must
+    // still win: the planner (statically here, AQE at scale) picks a
+    // broadcast join for this tiny TF table on its own.
     val tfJoined = TermFrequency.joinAll(people, Seq("city"))
     val s = planString(tfJoined)
     assert(s.contains("BroadcastHashJoin"), s)
