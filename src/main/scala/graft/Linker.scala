@@ -201,8 +201,10 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     // l = existing corpus, r = new records; no uid-ordering filter
     val idPairs = Blocking.pairsUnderRules(narrow(concat), narrow(newRecords),
       rules, None)
+    // no static broadcast hint: corpus-derived TF tables are unbounded at
+    // scale (see TermFrequency.joinAll) — the planner broadcasts by size
     val newWithTf = settings.tfColumns.foldLeft(newRecords) { (df, c) =>
-      df.join(broadcast(TermFrequency.table(concat, c)), Seq(c), "left")
+      df.join(TermFrequency.table(concat, c), Seq(c), "left")
     }
     val pairsDf = ComparisonVectors.pairsFromIdsTwoFrames(
       idPairs, concatWithTf, newWithTf, settings)
@@ -426,14 +428,14 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     * three-tier precedence (`inference.py:815-860` score_pairs docs):
     * tf columns already present on the input records win; else a
     * registered lookup table; else frequencies derived from the linker's
-    * own corpus. Lookups broadcast — realtime inputs are small and TF
-    * tables are distinct-value sized. */
+    * own corpus. No static broadcast hint — lookups are unbounded at
+    * scale; the planner broadcasts whichever side is small. */
   private def withTfValues(records: DataFrame): DataFrame =
     settings.tfColumns.foldLeft(records) { (acc, c) =>
       if (acc.columns.contains(Cols.tf(c)) || !acc.columns.contains(c)) acc
       else {
         val lookup = tfLookups.getOrElse(c, computeTfTable(c))
-        acc.join(broadcast(lookup), Seq(c), "left")
+        acc.join(lookup, Seq(c), "left")
       }
     }
 
@@ -487,7 +489,7 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
         "or include hardcoded tf_<col> columns on the supplied records.")
     s2.tfColumns.foldLeft(df) { (acc, c) =>
       if (acc.columns.contains(Cols.tf(c))) acc
-      else acc.join(broadcast(tfLookups(c)), Seq(c), "left")
+      else acc.join(tfLookups(c), Seq(c), "left")
     }
   }
 
