@@ -88,6 +88,59 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
         .withColumnRenamed("node_r", s"${uid}_r"), uid, threshold)
   }
 
+  /** Score every intra-cluster record pair, optionally excluding pairs
+    * already present in a scored-edges frame — the reference's
+    * `_score_missing_cluster_edges` (`linker_components/inference.py:574-744`).
+    * Completes a cluster's edge list (e.g. for cluster studio): CC only
+    * guarantees a spanning set of scored edges per cluster; the rest of
+    * the within-cluster pairs were never blocked, so score them now by
+    * blocking on cluster membership itself.
+    *
+    * `dfClusters` must carry `cluster_id`, the unique-id column, and (for
+    * multi-frame link types) the source-dataset column. Scales like any
+    * other blocked predict: one shuffle keyed on `_cluster_id`, pair
+    * expansion bounded by the largest cluster (same bound cluster studio
+    * itself has).
+    */
+  def scoreMissingClusterEdges(dfClusters: DataFrame,
+      dfPredict: Option[DataFrame] = None,
+      thresholdMatchProbability: Option[Double] = None,
+      thresholdMatchWeight: Option[Double] = None): DataFrame = {
+    val uid = settings.uniqueIdColumn
+    val sd = settings.sourceDatasetColumn
+    val multiFrame = settings.linkType != LinkType.DedupeOnly
+    val joinCols = if (multiFrame) Seq(uid, sd) else Seq(uid)
+    // adjoin cluster ids onto the per-record frame (reference
+    // `__splink__df_clusters_renamed`): clusters drive, records attach
+    val clustered = dfClusters
+      .select(col("cluster_id").as("_cluster_id") +: joinCols.map(col): _*)
+      .join(concatWithTf, joinCols, "left")
+    // block on same-cluster membership under the standard link-type pair
+    // ordering (`l._cluster_id = r._cluster_id` rule in the reference)
+    val narrow = Repartition.ensureMinParallel(clustered.select(
+      Blocking.joinKeyCol(settings).as("__join_key") +: col("_cluster_id") +:
+        (if (multiFrame) Seq(col(sd)) else Nil): _*))
+    val pairs = Blocking.pairsUnderRules(narrow, narrow,
+      Seq(BlockingRule.blockOn("_cluster_id")),
+      Some(Blocking.linkTypeFilter(settings)))
+    // drop pairs already present in the supplied edges frame: both frames
+    // use the same uid_l < uid_r ordering convention, so a directional
+    // (join_key_l, join_key_r) anti-join is exact
+    val missing = dfPredict match {
+      case Some(pred) =>
+        def edgeKey(c: String => String) =
+          if (multiFrame)
+            concat_ws("-__-", col(c(sd)), col(c(uid)).cast("string"))
+          else col(c(uid))
+        val seen = pred.select(edgeKey(Cols.l).as("join_key_l"),
+          edgeKey(Cols.r).as("join_key_r"))
+        pairs.join(seen, Seq("join_key_l", "join_key_r"), "left_anti")
+      case None => pairs
+    }
+    Predict.score(ComparisonVectors.compute(missing, concatWithTf, settings),
+      settings, thresholdMatchWeight, thresholdMatchProbability)
+  }
+
   /** Training facade (`linker_components/training.py`): each call updates
     * this linker's settings in place and returns them. */
   object training {

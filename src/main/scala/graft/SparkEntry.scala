@@ -290,6 +290,22 @@ object SparkEntry {
           round(col("match_probability"), 6).as("match_probability"))
     }),
 
+    // §2.12 score missing intra-cluster edges (`inference.py:574-744`
+    // _score_missing_cluster_edges): every same-cluster pair the model's
+    // blocking rules never generated, scored through the trained model;
+    // pairs already present in the predict frame are anti-joined away
+    "q_missing_cluster_edges" -> ((s, dir) => {
+      val c = customers(s, dir).filter(col("unique_id") % 3 === 0)
+      val linker = new Linker(c, customerSettings)
+      val edges = linker.predict()
+      val clusters = c.select(col("unique_id"),
+        concat(lit("n"), col("c_nationkey")).as("cluster_id"))
+      linker.scoreMissingClusterEdges(clusters, Some(edges))
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("match_probability"), 6).as("match_probability"))
+    }),
+
     // §2.12 realtime compare_records: small frames cross-joined through
     // the trained model with no blocking (`realtime.py:44-159`)
     "q_compare_records" -> ((s, dir) => {
@@ -1531,6 +1547,26 @@ object SparkEntry {
          |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
          |FROM mw""".stripMargin
     },
+
+    "q_missing_cluster_edges" ->
+      s"""WITH sub AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
+         |pairs AS (
+         |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
+         |  FROM sub l JOIN sub r
+         |    ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+         |  WHERE NOT coalesce(l.c_mktsegment = r.c_mktsegment, false)
+         |    AND NOT coalesce(round(l.c_acctbal, -2) = round(r.c_acctbal, -2), false)),
+         |cv AS (
+         |  SELECT p.uid_l, p.uid_r,
+         |    $oracleGammaName AS g_name,
+         |    $oracleGammaBal AS g_bal
+         |  FROM pairs p
+         |  JOIN customer l ON p.uid_l = l.c_custkey
+         |  JOIN customer r ON p.uid_r = r.c_custkey),
+         |mw AS (SELECT uid_l, uid_r, $oracleCustomerMw AS mw FROM cv)
+         |SELECT uid_l, uid_r, round(mw, 6) AS match_weight,
+         |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
+         |FROM mw""".stripMargin,
 
     "q_compare_records" -> {
       def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
