@@ -101,6 +101,36 @@ object SparkEntry {
        |   AND NOT coalesce(l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment, false)
        |)""".stripMargin
 
+  /** Cross-document duplicated 10-token spans over `documents`, as a
+    * `spans(doc_id, span_start, span_end, n_windows)` oracle CTE chain:
+    * window per start position, windows seen in >=2 docs, gaps-and-islands
+    * merge of overlapping/adjacent duplicated windows. */
+  private val oracleDupSpansCte =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |wins AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 9], ' ') AS w
+      |  FROM toks, unnest(range(1, len(t) - 9 + 1)) AS u(i)),
+      |duph AS (
+      |  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+      |dupw AS (
+      |  SELECT doc_id, pos FROM wins JOIN duph USING (w)),
+      |pe AS (
+      |  SELECT doc_id, pos,
+      |    max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM dupw),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN pos > coalesce(prev_end, -2147483648) + 1
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM pe),
+      |spans AS (
+      |  SELECT doc_id, island, min(pos) AS span_start, max(pos) + 9 AS span_end,
+      |    count(*) AS n_windows
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   // ListMap: INSERTION-ordered iteration, so Bench executes queries in the
   // stable order written here — a plain Map's hash-derived order reshuffles
@@ -483,6 +513,26 @@ object SparkEntry {
     // training-data ops: exact dedup on documents
     "q_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(pq(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // dedup: cross-document duplicated token spans (exact-substring dedup,
+    // Lee et al. arXiv:2107.06499 re-shaped as window-hash + islands)
+    "q_dup_spans" -> ((s, dir) => {
+      DedupOps.duplicatedSpans(pq(s, dir, "documents"), "doc_id", "text",
+          k = 10, minDocs = 2)
+        .select(col("doc_id"),
+          col("span_start").cast("bigint").as("span_start"),
+          col("span_end").cast("bigint").as("span_end"),
+          col("n_windows").cast("bigint").as("n_windows"))
+    }),
+
+    // dedup: per-document duplicated-token ratio over the same spans
+    "q_dup_token_stats" -> ((s, dir) => {
+      DedupOps.duplicatedTokenStats(pq(s, dir, "documents"), "doc_id", "text",
+          k = 10, minDocs = 2)
+        .select(col("doc_id"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("dup_tokens").cast("bigint").as("dup_tokens"), col("dup_ratio"))
     }),
 
     // text analysis: token counts, ratios, quality, language, fingerprint
@@ -2208,6 +2258,29 @@ object SparkEntry {
         |         AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the oracle groups k-token windows by their literal text where the
+    // engine groups by xxhash64 of it — identical up to 64-bit collisions
+    "q_dup_spans" ->
+      s"""$oracleDupSpansCte
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |  CAST(span_end AS BIGINT) AS span_end,
+         |  CAST(n_windows AS BIGINT) AS n_windows
+         |FROM spans""".stripMargin,
+
+    "q_dup_token_stats" ->
+      s"""$oracleDupSpansCte,
+         |per_doc AS (
+         |  SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id),
+         |counts AS (
+         |  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT c.doc_id, c.n_tokens, coalesce(p.dup_tokens, 0) AS dup_tokens,
+         |  round(coalesce(p.dup_tokens, 0) / greatest(c.n_tokens, 1)::DOUBLE, 9)
+         |    AS dup_ratio
+         |FROM counts c LEFT JOIN per_doc p ON c.doc_id = p.doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -403,4 +403,77 @@ object DedupOps {
         round(cosine(col("l.vec"), col("r.vec")), 9).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ------------------------------------- duplicated spans (exact substrings)
+
+  /** xxhash64 of every k-token window of a token array, by start position.
+    * Entirely codegen'd built-ins (sequence/transform/slice/array_join);
+    * empty for documents shorter than k tokens. */
+  def windowHashes(tokens: Column, k: Int): Column = {
+    require(k >= 1, s"window size must be >= 1; got $k")
+    when(size(tokens) >= k,
+      transform(sequence(lit(0), size(tokens) - k),
+        i => xxhash64(array_join(slice(tokens, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Cross-document duplicated-span detection at token granularity —
+    * exact-substring training-data dedup in the style of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), re-shaped for Spark instead of a suffix array:
+    * every k-token window is hashed; a window whose hash occurs in at
+    * least `minDocs` distinct documents is duplicated; per document,
+    * overlapping or token-adjacent duplicated windows merge into maximal
+    * spans with a gaps-and-islands window pass, so every token inside a
+    * reported span is covered by some cross-document duplicated window.
+    *
+    * 100 TB shape: the wide exchange carries only (hash, id, pos) scalars
+    * — no text leaves the scan stage; the duplicated-hash table is
+    * typically tiny and the join back broadcasts. The island merge
+    * shuffles one row per duplicated window, keyed by document.
+    *
+    * @return (idCol, span_start, span_end, n_windows) with inclusive
+    *         0-based token indices.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = widened(df, Seq(col(idCol).as("__id"),
+        TextOps.tokens(col(textCol)).as("__t")))
+      .select(col("__id"), posexplode(windowHashes(col("__t"), k)).as(Seq("pos", "h")))
+    val dupHashes = wins.groupBy("h")
+      .agg(count_distinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("h")
+    val w = Window.partitionBy("__id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+      when(col("pos") > coalesce(prevEnd, lit(Int.MinValue)) + 1, 1).otherwise(0)).over(w)
+    wins.join(dupHashes, "h")
+      .withColumn("__island", island)
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Per-document duplicated-token summary over [[duplicatedSpans]]:
+    * token count, tokens covered by duplicated spans, and their ratio.
+    * Documents with no duplicated span report 0. */
+  def duplicatedTokenStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    df.select(col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 9).as("dup_ratio"))
+  }
 }
