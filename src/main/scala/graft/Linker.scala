@@ -36,12 +36,73 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   /** `__splink__df_concat_with_tf` (`vertically_concatenate.py:74-81`).
     * Repartitioned to the role's policy count before the persist
     * (`spark/database_api.py:229-287`) so the cached per-record frame has
-    * even, predictable partitions regardless of input file layout. */
-  lazy val concatWithTf: DataFrame = {
-    val df = TermFrequency.joinAll(concat, settings.tfColumns)
-    if (settings.tfColumns.nonEmpty)
-      Repartition(df, Repartition.ConcatWithTf).persist()
-    else df
+    * even, predictable partitions regardless of input file layout.
+    * Computed once and cached until [[invalidateCache]]. */
+  @volatile private var concatWithTfCache: Option[DataFrame] = None
+  def concatWithTf: DataFrame = concatWithTfCache.getOrElse(synchronized {
+    concatWithTfCache.getOrElse {
+      val base = TermFrequency.joinAll(concat, settings.tfColumns)
+      val df =
+        if (settings.tfColumns.nonEmpty)
+          Repartition(base, Repartition.ConcatWithTf).persist()
+        else base
+      concatWithTfCache = Some(df)
+      df
+    }
+  })
+
+  // blocked pairs registered (or pre-computed) for predict, reference
+  // `table_management.register_blocked_pairs_for_predict`
+  @volatile private var registeredBlockedPairs: Option[DataFrame] = None
+
+  /** Materialise the blocked candidate pairs that `predict()` would score
+    * and cache them for it (`inference.py:124-158`
+    * compute_blocked_pairs_for_predict): lets blocking be computed — or
+    * written out and re-registered on another cluster — separately from
+    * scoring. */
+  def computeBlockedPairsForPredict(): DataFrame = {
+    val pairs = blockedIdPairs().breakLineage(eager = true)
+    registeredBlockedPairs = Some(pairs)
+    pairs
+  }
+
+  /** Register a pre-computed blocked-pairs frame; `predict()` then scores
+    * exactly this table instead of running the model's blocking rules
+    * (`table_management.py:95-141`). A subsequent registration replaces
+    * the previous one. */
+  def registerBlockedPairsForPredict(pairs: DataFrame): DataFrame = {
+    val required = Seq(Cols.MatchKey, "join_key_l", "join_key_r")
+    val missing = required.filterNot(pairs.columns.contains)
+    require(missing.isEmpty,
+      s"blocked pairs frame must carry ${required.mkString(", ")}; " +
+        s"missing: ${missing.mkString(", ")}")
+    registeredBlockedPairs = Some(pairs)
+    pairs
+  }
+
+  /** Drop every cached/registered intermediate so the next call recomputes
+    * from the (possibly changed) inputs (`table_management.py:142-166`
+    * invalidate_cache + delete_tables_created_by_splink_from_db — Spark
+    * lineage makes re-execution automatic once the persisted copies are
+    * released). */
+  def invalidateCache(): Unit = synchronized {
+    concatWithTfCache.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    concatWithTfCache = None
+    registeredBlockedPairs = None
+    tfLookups.clear()
+  }
+
+  /** Run arbitrary SQL with the linker's tables registered as temp views
+    * (`misc.py:52` query_sql): each input frame under its dataset name,
+    * plus `__splink__df_concat` and `__splink__df_concat_with_tf` (quote
+    * them with backticks in the query). */
+  def querySql(sql: String): DataFrame = {
+    inputs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    concat.createOrReplaceTempView("__splink__df_concat")
+    concatWithTf.createOrReplaceTempView("__splink__df_concat_with_tf")
+    spark.sql(sql)
   }
 
   /** Blocked candidate id pairs (`blocking.py:603-695`). Two-frame
@@ -61,9 +122,13 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     Blocking.blockedIdPairs(concat, settings, twoFrames)
   }
 
-  /** Comparison-vector frame for the model's blocking rules. */
+  /** Comparison-vector frame for the model's blocking rules — or for a
+    * registered/pre-computed blocked-pairs table when one exists
+    * (`inference.py:353-360`: predict scores exactly the registered
+    * table). */
   def comparisonVectors(): DataFrame =
-    ComparisonVectors.compute(blockedIdPairs(), concatWithTf, settings)
+    ComparisonVectors.compute(registeredBlockedPairs.getOrElse(blockedIdPairs()),
+      concatWithTf, settings)
 
   /** The flagship scoring query (`linker_components/inference.py:294-444`). */
   def predict(thresholdMatchProbability: Option[Double] = None,
@@ -220,6 +285,13 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   def predictChunked(numChunks: Int,
       thresholdMatchProbability: Option[Double] = None): DataFrame = {
     require(numChunks >= 1)
+    // reference `inference.py:352-364`: chunked predict cannot be used
+    // once blocked pairs were registered — Splink no longer owns chunking
+    if (registeredBlockedPairs.nonEmpty) throw new IllegalStateException(
+      "predictChunked cannot be used when blocked pairs have been " +
+        "registered with registerBlockedPairsForPredict / " +
+        "computeBlockedPairsForPredict; call predict() to score the " +
+        "registered table, or invalidateCache() first")
     // materialise the blocked pairs ONCE (role-partitioned, reference
     // `__splink__blocked_id_pairs` ÷6): a lazy frame here would re-run the
     // whole blocking join for every chunk's filter
