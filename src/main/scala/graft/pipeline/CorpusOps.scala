@@ -56,11 +56,18 @@ object CorpusOps {
     // grams travel as xxhash64 longs, not strings: the exploded corpus side
     // is the big relation, and 8-byte keys shrink its shuffle/aggregation
     // footprint several-fold (collisions ~grams²/2^64 — negligible)
-    val probeGrams = probes
+    // widen BOTH sides before the n-gram kernels: a single-row-group
+    // parquet scan would otherwise serialise the explode (and the
+    // per-doc aggregation it feeds) onto a handful of cores — at sf0.1
+    // this was the single slowest query in the suite (8 tasks, ~15s)
+    val probeGrams = graft.operators.Repartition.ensureMinParallel(
+        probes.select(col(probeTextCol)))
       .select(explode(transform(wordNgrams(lower(col(probeTextCol)), n),
         g => xxhash64(g))).as("gram"))
       .distinct()
-    val corpusGrams = corpus.select(col(idCol),
+    val corpusGrams = graft.operators.Repartition.ensureMinParallel(
+        corpus.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         explode(transform(wordNgrams(lower(col(textCol)), n),
           g => xxhash64(g))).as("gram"))
     val hits = corpusGrams.join(broadcast(probeGrams), Seq("gram"))
