@@ -410,24 +410,62 @@ object ClusteringOps {
   /**
    * Multi-threshold clustering (`clustering.py:347-449`): cluster at each
    * ascending threshold; output one (threshold, node_id, cluster_id) row
-   * set per threshold. Edge sets shrink monotonically, so each successive
-   * solve is cheaper; clusters stable across thresholds are re-derived (the
-   * reference's stable-cluster reuse is an optimisation, not a semantic
-   * difference).
+   * set per threshold.
+   *
+   * Stable-cluster reuse (`clustering.py:158-240` and the strategy comment
+   * at `:434-440`): only the LOWEST threshold pays a full connected-
+   * components solve. At each higher threshold a cluster is *stable* when
+   * every edge incident to it at the previous threshold also clears the
+   * new one (singleton-safe via `coalesce(min, 1.0)`); stable clusters
+   * carry their rows forward verbatim, and CC re-runs only on the
+   * surviving edges of unstable clusters. Because edges never cross
+   * cluster boundaries, a semi-join on the left endpoint selects exactly
+   * the unstable sub-graph. Labels are canonical (min node id per
+   * component), so the incremental result is bit-identical to a full
+   * re-solve at every threshold.
    */
   def atMultipleThresholds(edges: DataFrame, thresholds: Seq[Double],
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
       probCol: String = "match_probability"): DataFrame = {
-    // materialise the scored edge list ONCE: each threshold's CC solve
-    // re-reads it, and without the checkpoint every solve would re-run the
+    require(thresholds.nonEmpty, "at least one threshold is required")
+    // materialise the scored edge list ONCE: each threshold's solve
+    // re-reads it, and without the checkpoint every pass would re-run the
     // upstream scoring pipeline (the reference materialises the predict
     // frame before clustering for the same reason)
     val e0 = edges.select(col(srcCol), col(dstCol), col(probCol))
       .breakLineage()
-    thresholds.sorted.map { t =>
-      ConnectedComponents.run(e0.filter(col(probCol) >= t), srcCol, dstCol)
-        .withColumn("threshold", lit(t))
-    }.reduce(_.unionByName(_))
+    val sorted = thresholds.sorted
+    var cc = ConnectedComponents
+      .run(e0.filter(col(probCol) >= sorted.head), srcCol, dstCol)
+      .breakLineage()
+    val perThreshold = scala.collection.mutable.ArrayBuffer(sorted.head -> cc)
+    sorted.sliding(2).foreach {
+      case Seq(tPrev, t) =>
+        val relevant = e0.filter(col(probCol) >= tPrev)
+        val incident = cc
+          .join(relevant, cc("node_id") === relevant(srcCol), "left")
+          .select(col("cluster_id"), col(probCol))
+          .union(cc
+            .join(relevant, cc("node_id") === relevant(dstCol), "left")
+            .select(col("cluster_id"), col(probCol)))
+        val stableIds = incident.groupBy("cluster_id")
+          .agg(coalesce(min(col(probCol)), lit(1.0)).as("__minp"))
+          .filter(col("__minp") >= t)
+          .select("cluster_id")
+        val stable = cc.join(stableIds, Seq("cluster_id"), "left_semi")
+        val unstableNodes = cc.join(stableIds, Seq("cluster_id"), "left_anti")
+          .select(col("node_id"))
+        val unstableEdges = e0.filter(col(probCol) >= t)
+          .join(unstableNodes, e0(srcCol) === unstableNodes("node_id"),
+            "left_semi")
+        cc = stable.select(col("node_id"), col("cluster_id"))
+          .unionByName(ConnectedComponents.run(unstableEdges, srcCol, dstCol))
+          .breakLineage()
+        perThreshold += (t -> cc)
+      case _ => () // single threshold: nothing incremental to do
+    }
+    perThreshold.map { case (t, c) => c.withColumn("threshold", lit(t)) }
+      .reduce(_.unionByName(_))
   }
 
   /**
