@@ -708,6 +708,23 @@ object SparkEntry {
       ClusteringOps.atMultipleThresholds(edges, Seq(0.3, 0.7))
     }),
 
+    // §2.11 multi-threshold cluster summary stats
+    // (`clustering.py:291-345` output_cluster_summary_stats)
+    "q_multi_threshold_stats" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"),
+          (((col("prev") + col("o_orderkey")) % 97) / 96.0).as("match_probability"))
+      ClusteringOps.atMultipleThresholdsSummary(edges, Seq(0.3, 0.7))
+        .select(col("threshold_match_probability"),
+          round(col("threshold_match_weight"), 9).as("threshold_match_weight"),
+          col("num_clusters"), col("max_cluster_size"),
+          round(col("avg_cluster_size"), 9).as("avg_cluster_size"))
+    }),
+
     // §2.11 one-to-one (mutual best link) clustering, single round
     "q_one_to_one" -> ((s, dir) => {
       val o = pq(s, dir, "orders")
@@ -2099,6 +2116,35 @@ object SparkEntry {
            |        THEN 1 ELSE 0 END AS next_ok
            |    FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)))
            |WHERE coalesce(prev_ok, 0) = 1 OR coalesce(next_ok, 0) = 1""".stripMargin
+      s"${oneThreshold(0.3)}\nUNION ALL\n${oneThreshold(0.7)}"
+    },
+
+    "q_multi_threshold_stats" -> {
+      def oneThreshold(t: Double) =
+        s"""SELECT ($t)::DOUBLE AS threshold_match_probability,
+           |  round(log2(($t)::DOUBLE / (1.0 - ($t)::DOUBLE)), 9)
+           |    AS threshold_match_weight,
+           |  count(*) AS num_clusters, max(n) AS max_cluster_size,
+           |  round(avg(n), 9) AS avg_cluster_size
+           |FROM (
+           |  SELECT cluster_id, count(*) AS n FROM (
+           |    SELECT o_orderkey AS node_id,
+           |      min(o_orderkey) OVER (PARTITION BY o_custkey, segment) AS cluster_id
+           |    FROM (
+           |      SELECT o_custkey, o_orderkey, prev_ok, next_ok,
+           |        sum(CASE WHEN prev_ok IS NULL OR prev_ok = 0 THEN 1 ELSE 0 END)
+           |          OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS segment
+           |      FROM (
+           |        SELECT o_custkey, o_orderkey,
+           |          CASE WHEN lag(o_orderkey) OVER w IS NULL THEN NULL
+           |            WHEN ((lag(o_orderkey) OVER w + o_orderkey) % 97) / 96.0 >= $t
+           |            THEN 1 ELSE 0 END AS prev_ok,
+           |          CASE WHEN lead(o_orderkey) OVER w IS NULL THEN NULL
+           |            WHEN ((o_orderkey + lead(o_orderkey) OVER w) % 97) / 96.0 >= $t
+           |            THEN 1 ELSE 0 END AS next_ok
+           |        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)))
+           |    WHERE coalesce(prev_ok, 0) = 1 OR coalesce(next_ok, 0) = 1)
+           |  GROUP BY cluster_id)""".stripMargin
       s"${oneThreshold(0.3)}\nUNION ALL\n${oneThreshold(0.7)}"
     },
 

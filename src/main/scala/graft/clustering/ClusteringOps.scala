@@ -468,6 +468,28 @@ object ClusteringOps {
       .reduce(_.unionByName(_))
   }
 
+  /** Per-threshold cluster summary statistics instead of full membership —
+    * the reference's `output_cluster_summary_stats=True`
+    * (`clustering.py:291-345,520-540`): cluster count, max and mean size,
+    * plus the threshold restated as a match weight (`NULL` at p of 0/1,
+    * `_threshold_to_weight_for_table`). */
+  def atMultipleThresholdsSummary(edges: DataFrame, thresholds: Seq[Double],
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
+      probCol: String = "match_probability"): DataFrame =
+    atMultipleThresholds(edges, thresholds, srcCol, dstCol, probCol)
+      .groupBy(col("threshold"), col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("num_clusters"),
+        max(col("cluster_size")).as("max_cluster_size"),
+        avg(col("cluster_size")).as("avg_cluster_size"))
+      .select(col("threshold").as("threshold_match_probability"),
+        when(col("threshold") > 0 && col("threshold") < 1,
+          log2(col("threshold") / (lit(1.0) - col("threshold"))))
+          .as("threshold_match_weight"),
+        col("num_clusters"), col("max_cluster_size"),
+        col("avg_cluster_size"))
+
   /**
    * Node-level graph metrics (`graph_metrics.py:28-113`): degree, cluster
    * size, size-adjusted centrality degree/(size-1).
