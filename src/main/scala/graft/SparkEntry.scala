@@ -526,6 +526,13 @@ object SparkEntry {
           col("n_windows").cast("bigint").as("n_windows"))
     }),
 
+    // dedup: APPLY the span dedup — drop duplicated spans from every
+    // non-owning document, keeping one copy corpus-wide
+    "q_dedup_spans_apply" -> ((s, dir) => {
+      DedupOps.removeDuplicatedSpans(pq(s, dir, "documents"), "doc_id", "text",
+        k = 10, minDocs = 2)
+    }),
+
     // dedup: per-document duplicated-token ratio over the same spans
     "q_dup_token_stats" -> ((s, dir) => {
       DedupOps.duplicatedTokenStats(pq(s, dir, "documents"), "doc_id", "text",
@@ -2313,6 +2320,36 @@ object SparkEntry {
          |  CAST(span_end AS BIGINT) AS span_end,
          |  CAST(n_windows AS BIGINT) AS n_windows
          |FROM spans""".stripMargin,
+
+    "q_dedup_spans_apply" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 9], ' ') AS w
+        |  FROM toks, unnest(range(1, len(t) - 9 + 1)) AS u(i)),
+        |own AS (
+        |  SELECT w, min(doc_id) AS owner FROM wins
+        |  GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+        |foreignw AS (
+        |  SELECT wins.doc_id, wins.pos FROM wins JOIN own USING (w)
+        |  WHERE wins.doc_id <> own.owner),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + x AS cpos
+        |  FROM foreignw, unnest(range(0, 10)) AS r(x)),
+        |tokpos AS (
+        |  SELECT doc_id, t[i] AS tok, i - 1 AS pos
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        |cleaned AS (
+        |  SELECT t.doc_id,
+        |    coalesce(string_agg(CASE WHEN c.cpos IS NULL THEN t.tok END,
+        |      ' ' ORDER BY t.pos), '') AS text_deduped,
+        |    count(c.cpos) AS n_removed
+        |  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(cl.text_deduped, '') AS text_deduped,
+        |  CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN cleaned cl ON d.doc_id = cl.doc_id""".stripMargin,
 
     "q_dup_token_stats" ->
       s"""$oracleDupSpansCte,

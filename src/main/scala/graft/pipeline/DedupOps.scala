@@ -460,6 +460,45 @@ object DedupOps {
         col("n_windows"))
   }
 
+  /** Remove cross-document duplicated spans, keeping one copy corpus-wide
+    * — the "apply" step of exact-substring dedup (Lee et al.
+    * arXiv:2107.06499 remove all-but-one occurrence). Each duplicated
+    * k-token window is owned by the smallest document id that contains it;
+    * every token of a window occurring in a NON-owning document is
+    * dropped, so the owning document always retains the text. Output text
+    * is single-space re-joined tokens (whitespace-normalised).
+    *
+    * Same scale shape as [[duplicatedSpans]], plus one bounded
+    * `collect_set` of foreign window starts per document (list size <=
+    * the document's own window count) consumed by a codegen'd
+    * filter/exists mask — no per-token shuffle.
+    *
+    * @return (idCol, text_deduped, n_removed) with n_removed counting
+    *         dropped tokens.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, minDocs: Int = 2): DataFrame = {
+    val base = widened(df, Seq(col(idCol).as("__id"),
+      TextOps.tokens(col(textCol)).as("__t")))
+    val wins = base.select(col("__id"),
+      posexplode(windowHashes(col("__t"), k)).as(Seq("pos", "h")))
+    val owners = wins.groupBy("h")
+      .agg(count_distinct(col("__id")).as("__nd"), min(col("__id")).as("__owner"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h"), col("__owner"))
+    val foreignStarts = wins.join(owners, "h")
+      .filter(col("__id") =!= col("__owner"))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("pos")).as("__starts"))
+    base.join(foreignStarts, Seq("__id"), "left")
+      .withColumn("__s", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__t"), (tok, i) =>
+        !exists(col("__s"), s => i >= s && i <= s + (k - 1))))
+      .select(col("__id").as(idCol),
+        array_join(col("__kept"), " ").as("text_deduped"),
+        (size(col("__t")) - size(col("__kept"))).cast("bigint").as("n_removed"))
+  }
+
   /** Per-document duplicated-token summary over [[duplicatedSpans]]:
     * token count, tokens covered by duplicated spans, and their ratio.
     * Documents with no duplicated span report 0. */

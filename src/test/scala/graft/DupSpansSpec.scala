@@ -52,6 +52,25 @@ class DupSpansSpec extends SparkSpec {
     assert(spans == Set((0, 2), (6, 8)))
   }
 
+  test("removeDuplicatedSpans keeps the owning (min-id) copy, strips the rest") {
+    val d = docs(
+      (1L, "x1 x2 q w e r t x3 x4"), // owner of "q w e"... windows -> keeps all
+      (2L, "y1 q w e r t y2 y3"),    // foreign copy -> tokens 1..5 removed
+      (3L, "z1 z2 z3 z4 z5 z6"))     // untouched
+    val out = DedupOps.removeDuplicatedSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("x1 x2 q w e r t x3 x4", 0L)))
+    assert(out(2L) == (("y1 y2 y3", 5L)))
+    assert(out(3L) == (("z1 z2 z3 z4 z5 z6", 0L)))
+  }
+
+  test("removeDuplicatedSpans: empty and short documents pass through") {
+    val d = docs((1L, ""), (2L, "a b"), (3L, "a b"))
+    val out = DedupOps.removeDuplicatedSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "", 2L -> "a b", 3L -> "a b"))
+  }
+
   test("duplicatedTokenStats: covered-token counts and ratio, zero for clean docs") {
     val d = docs(
       (1L, "x1 x2 q w e r t x3 x4"), // 9 tokens, 5 duplicated
