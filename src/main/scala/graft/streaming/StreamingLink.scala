@@ -21,6 +21,11 @@ case class BandVerdict(docId: String, band: Int, firstInBucket: Boolean)
 /** Streaming state per band bucket. */
 case class BucketState(seen: Boolean)
 /** One event on the sessionization stream. */
+case class WindowObs(docId: String, pos: Int, h: Long,
+  eventTime: java.sql.Timestamp)
+case class WindowVerdict(docId: String, pos: Int, foreign: Boolean)
+case class WindowOwnerState(owner: String)
+
 case class SessEvent(entity: Long, eventTime: java.sql.Timestamp, value: Double)
 /** Open-session state per entity (epoch millis bounds). */
 case class SessState(startMs: Long, lastMs: Long, n: Long, sumMicros: Long)
@@ -145,6 +150,55 @@ object StreamingLink {
         col("eventTime"))
       .as[BandObs]
     bandBucketVerdicts(banded, watermarkDelay)
+  }
+
+  /**
+   * Stateful streaming duplicated-window detection — the streaming twin
+   * of [[graft.pipeline.DedupOps.duplicatedSpans]] /
+   * [[graft.pipeline.DedupOps.removeDuplicatedSpans]], over the SAME
+   * [[graft.pipeline.DedupOps.windowHashes]] kernel: each k-token window
+   * hash is a state key owned by the FIRST document observed with it (by
+   * event time, then doc id — the streaming analogue of the batch
+   * operator's min-id ownership); every later occurrence in a DIFFERENT
+   * document emits `foreign = true` at its token position. Downstream
+   * consumers aggregate foreign hits into per-doc dup ratios or a
+   * removal mask (gaps-and-islands over `pos`, exactly as the batch
+   * operator does).
+   *
+   * State per window hash is one owner id with an event-time timeout a
+   * full watermark delay past its last hit — long-running-stream safe,
+   * the same discipline as [[simhashBandDedupStream]].
+   */
+  def dupWindowStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int = 10, watermarkDelay: String = "1 hour")
+      : org.apache.spark.sql.Dataset[WindowVerdict] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val obs = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("string").as("docId"), col(tsCol).as("eventTime"),
+        posexplode(graft.pipeline.DedupOps.windowHashes(
+          graft.pipeline.TextOps.tokens(col(textCol)), k)).as(Seq("pos", "h")))
+      .select(col("docId"), col("pos"), col("h"), col("eventTime"))
+      .as[WindowObs]
+    obs
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[WindowOwnerState, WindowVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[WindowOwnerState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy(o => (o.eventTime.getTime, o.docId, o.pos))
+            val owner = state.getOption.map(_.owner).getOrElse(batch.head.docId)
+            if (!state.exists) state.update(WindowOwnerState(owner))
+            state.setTimeoutTimestamp(
+              batch.map(_.eventTime.getTime).max, watermarkDelay)
+            batch.iterator.map(o =>
+              WindowVerdict(o.docId, o.pos, foreign = o.docId != owner))
+          }
+      }
   }
 
   /** Shared stateful band-bucket op: `firstInBucket` is true iff no

@@ -220,4 +220,37 @@ class StreamingSpec extends SparkSpec {
     assert(all.contains((1L, ts(12, 30).getTime, ts(12, 30).getTime, 1L, 4000000L)))
     assert(all.contains((2L, ts(10, 0).getTime, ts(10, 0).getTime, 1L, 9000000L)))
   }
+
+  test("stateful duplicated-window detection marks cross-batch foreign spans") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val verdicts = StreamingLink.dupWindowStream(
+      stream.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", k = 3)
+    val query = verdicts.writeStream.format("memory")
+      .queryName("dupwin_out").outputMode("append").start()
+    // batch 1: doc 1 owns its windows; doc 2 disjoint
+    stream.addData(
+      (1L, "q w e r t x1 x2", ts(0)),
+      (2L, "a b c d e", ts(1)))
+    query.processAllAvailable()
+    // batch 2: doc 3 repeats doc 1's "q w e r t" run (3 foreign windows
+    // at positions 1..3); doc 4 fresh
+    stream.addData(
+      (3L, "y1 q w e r t y2", ts(2)),
+      (4L, "m n o p", ts(3)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("dupwin_out").collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[Int]("pos"),
+        r.getAs[Boolean]("foreign")))
+    val perDoc = rows.groupBy(_._1)
+    // every window of docs 1, 2, 4 is owned (5, 3, 2 windows respectively)
+    assert(perDoc("1").length == 5 && perDoc("1").forall(!_._3))
+    assert(perDoc("2").length == 3 && perDoc("2").forall(!_._3))
+    assert(perDoc("4").length == 2 && perDoc("4").forall(!_._3))
+    // doc 3: foreign exactly at the shared run's window starts 1..3
+    val d3 = perDoc("3").map(v => v._2 -> v._3).toMap
+    assert(d3 == Map(0 -> false, 1 -> true, 2 -> true, 3 -> true, 4 -> false))
+  }
 }
