@@ -235,4 +235,50 @@ class PlanSpec extends SparkSpec {
     // a second sort may appear, but never a second shuffle
     assert(s.split("Exchange hashpartitioning").length - 1 == 1, s)
   }
+
+  test("duplicatedSpans: dup-hash join back broadcasts, no cartesian, no UDF") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e x y z"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = graft.pipeline.DedupOps.duplicatedSpans(docs, "doc_id", "text",
+      k = 3)
+    out.collect()
+    val s = finalPlanString(out)
+    // the duplicated-hash table is tiny relative to the window frame: the
+    // join back must broadcast (AQE decides by size), never re-shuffle the
+    // exploded window relation on the hash key via sort-merge
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"), s)
+  }
+
+  test("removeDuplicatedSpans: bounded start-list join, codegen'd mask") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e x y z"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.DedupOps.removeDuplicatedSpans(docs, "doc_id",
+      "text", k = 3)
+    out.collect()
+    val s = finalPlanString(out)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("ScalaUDF"), s)
+  }
+
+  test("scoreMissingClusterEdges blocks on the cluster key: no cartesian") {
+    val linker = new Linker(people, settings)
+    val clusters = people.select(col("unique_id"),
+      (col("unique_id") % 2).as("cluster_id"))
+    val predictions = linker.predict()
+    predictions.collect()
+    val out = linker.scoreMissingClusterEdges(clusters, Some(predictions))
+    out.collect()
+    val s = finalPlanString(out)
+    assert(!s.contains("CartesianProduct"), s)
+    // the TF normalisation's 1-row total broadcast is the ONLY nested-loop
+    // allowed — the missing-pairs path must add none beyond what a plain
+    // predict already carries
+    def nl(str: String) = str.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(nl(s) <= nl(finalPlanString(predictions)), s)
+  }
 }
