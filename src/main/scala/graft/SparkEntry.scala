@@ -547,6 +547,13 @@ object SparkEntry {
       TextOps.metricsFrame(pq(s, dir, "documents"), "text", Seq("doc_id"))
     }),
 
+    // text analysis: Gopher rule-based quality gate (Rae et al. 2021
+    // A1.1), thresholds tuned to the synthetic corpus' short documents
+    "q_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherRules(pq(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20, minStopHits = 1)
+    }),
+
     // dedup: token-set jaccard pairs, blocked by (lang, source, length bucket)
     "q_jaccard_pairs" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
@@ -2311,6 +2318,46 @@ object SparkEntry {
         |         AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+        |    regexp_split_to_array(text, '\n') AS lines
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    round(CASE WHEN len(t) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) END, 9)
+        |      AS mean_word_len,
+        |    round(CASE WHEN len(t) = 0 THEN 0.0
+        |      ELSE ((length(text) - length(replace(text, '#', '')))
+        |        + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+        |        / len(t) END, 9) AS symbol_word_ratio,
+        |    round(CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
+        |        / len(lines) END, 9) AS bullet_line_ratio,
+        |    round(CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE
+        |        / len(lines) END, 9) AS ellipsis_line_ratio,
+        |    round(CASE WHEN len(t) = 0 THEN 0.0
+        |      ELSE len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |        / len(t) END, 9) AS alpha_word_ratio,
+        |    CAST(len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_stop_hits
+        |  FROM base)
+        |SELECT *,
+        |  CAST(n_tokens BETWEEN 20 AND 100000
+        |   AND mean_word_len BETWEEN 3 AND 10
+        |   AND symbol_word_ratio < 0.1
+        |   AND bullet_line_ratio < 0.9
+        |   AND ellipsis_line_ratio < 0.3
+        |   AND alpha_word_ratio > 0.8
+        |   AND n_stop_hits >= 1 AS INT) AS keep
+        |FROM feat""".stripMargin,
 
     // the oracle groups k-token windows by their literal text where the
     // engine groups by xxhash64 of it — identical up to 64-bit collisions

@@ -101,6 +101,67 @@ object TextOps {
     "lang_guess" -> langGuess(c),
     "fingerprint" -> fingerprint(c))
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", appendix A1.1 — the published heuristic set most pretraining
+    * pipelines start from): per-document features for each rule plus the
+    * conjunction verdict. Thresholds are the paper's defaults,
+    * parameterised. Ratios are 9dp-rounded BEFORE thresholding so the
+    * verdict is engine-portable.
+    *
+    * One scan, no shuffle. The line/word filters use higher-order
+    * functions (interpreted, linear per document) — acceptable here
+    * because a rules gate runs once per corpus pass; route through
+    * [[metricsFrame]]'s native kernel when only the score features are
+    * needed at full 100 TB cadence.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1, maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3, minAlphaWordRatio: Double = 0.8,
+      minStopHits: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    val c = col(textCol)
+    val t = tokens(c)
+    val lines = split(c, "\n")
+    def ratio(num: Column, den: Column): Column =
+      round(when(den === 0, 0.0).otherwise(num.cast("double") / den), 9)
+    val nTok = size(t)
+    val meanLen = ratio(aggregate(t, lit(0), (acc, x) => acc + length(x)), nTok)
+    val hashCount = length(c) - length(translate(c, "#", ""))
+    val ellipsisCount = (length(c) -
+      length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = ratio(hashCount + ellipsisCount, nTok)
+    val bulletRatio = ratio(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))), size(lines))
+    val ellipsisLineRatio = ratio(
+      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))), size(lines))
+    val alphaRatio = ratio(
+      size(filter(t, x => x.rlike("[A-Za-z]"))), nTok)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(t, x => lower(x))),
+      array(stopwords.map(lit): _*))).cast("bigint")
+    df.select(col(idCol),
+        nTok.cast("bigint").as("n_tokens"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"),
+        bulletRatio.as("bullet_line_ratio"),
+        ellipsisLineRatio.as("ellipsis_line_ratio"),
+        alphaRatio.as("alpha_word_ratio"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("keep",
+        (col("n_tokens").between(minTokens, maxTokens) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_word_ratio") < maxSymbolWordRatio &&
+          col("bullet_line_ratio") < maxBulletLineRatio &&
+          col("ellipsis_line_ratio") < maxEllipsisLineRatio &&
+          col("alpha_word_ratio") > minAlphaWordRatio &&
+          col("n_stop_hits") >= minStopHits).cast("int"))
+  }
+
   /** Model-based quality filtering — the classifier stage of a pretraining
     * pipeline (a linear stand-in for the usual fastText/logreg scorer;
     * weights come from the caller, e.g. distilled offline from labels).
