@@ -547,6 +547,12 @@ object SparkEntry {
       TextOps.metricsFrame(pq(s, dir, "documents"), "text", Seq("doc_id"))
     }),
 
+    // text analysis: token budgeting — whitespace tokens vs BPE-ish
+    // pre-tokenizer matches (portable lookahead-free GPT-2-style pattern)
+    "q_token_counts" -> ((s, dir) => {
+      TextOps.tokenCounts(pq(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // text analysis: Gopher rule-based quality gate (Rae et al. 2021
     // A1.1), thresholds tuned to the synthetic corpus' short documents
     "q_gopher_rules" -> ((s, dir) => {
@@ -2318,6 +2324,23 @@ object SparkEntry {
         |         AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s'))
+        |    AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(CASE WHEN len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s')) = 0
+        |    THEN 0.0
+        |    ELSE length(text)::DOUBLE / len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s'))
+        |    END, 9) AS chars_per_token
+        |FROM documents""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH base AS (

@@ -18,6 +18,33 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** GPT-2-style pre-tokenizer pattern, lookahead-free so Java regex
+    * (Spark) and RE2 (DuckDB/Go tooling) agree match-for-match:
+    * contraction suffixes, space-prefixed letter/digit/punctuation runs,
+    * then single whitespace. Counting its matches approximates the token
+    * count a byte-pair encoder sees BEFORE merges — the standard cheap
+    * stand-in for budgeting corpus token counts without shipping a
+    * tokenizer model. */
+  val BpeIshPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s"
+
+  /** BPE-ish token count of a text column (see [[BpeIshPattern]]). */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeIshPattern))
+
+  /** Corpus token budgeting: whitespace tokens, BPE-ish pre-tokens,
+    * characters, and characters-per-pre-token — one codegen'd scan. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(col(idCol),
+      tokenCount(c).cast("bigint").as("ws_tokens"),
+      bpeTokenCount(c).cast("bigint").as("bpe_tokens"),
+      length(c).cast("bigint").as("n_chars"))
+      .withColumn("chars_per_token",
+        round(when(col("bpe_tokens") === 0, 0.0)
+          .otherwise(col("n_chars").cast("double") / col("bpe_tokens")), 9))
+  }
+
   /** Punctuation character ratio (0 for empty). */
   def punctRatio(c: Column): Column = {
     val punct = length(c) - length(regexp_replace(c, "[.,;:!?]", ""))

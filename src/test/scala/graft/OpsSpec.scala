@@ -257,4 +257,16 @@ class OpsSpec extends SparkSpec {
     assert(pairSet.exists(p => p._2 == 3L))
     assert(!pairSet.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("BPE-ish token counting: contraction splits, digit runs, punctuation") {
+    import graft.pipeline.TextOps
+    val out = TextOps.tokenCounts(
+      Seq((1L, "it's a test-case with 42 items,  ok?"), (2L, ""))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // pre-tokens: it|'s| a| test|-|case| with| 42| items|,|(space)| ok|?
+    assert(out(1L) == ((7L, 13L, 36L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+  }
 }
