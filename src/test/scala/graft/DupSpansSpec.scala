@@ -71,6 +71,41 @@ class DupSpansSpec extends SparkSpec {
     assert(out == Map(1L -> "", 2L -> "a b", 3L -> "a b"))
   }
 
+  test("property: spans match a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 5) {
+      val k = 2 + trial % 3 // k in 2..4
+      val corpus = (0L until 30L).map { id =>
+        id -> (0 until (3 + rnd.nextInt(18))).map(_ =>
+          vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      // brute force: window -> docs, dup windows, per-doc merged spans
+      val wins = corpus.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        (0 to t.length - k).map(p => (t.slice(p, p + k).mkString(" "), id, p))
+      }
+      val dupW = wins.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+        .values.flatten.toSeq
+      val expected = dupW.groupBy(_._2).flatMap { case (id, ws) =>
+        val sorted = ws.map(_._3).distinct.sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+        for (p <- sorted) {
+          if (spans.nonEmpty && p <= spans.last._2 + 1) {
+            val (s0, e0, n0) = spans.last
+            spans(spans.length - 1) = (s0, math.max(e0, p + k - 1), n0 + 1)
+          } else spans += ((p, p + k - 1, 1))
+        }
+        spans.map { case (s0, e0, n0) => (id, s0, e0, n0.toLong) }
+      }.toSet
+      val got = DedupOps.duplicatedSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      assert(got == expected, s"trial $trial k=$k")
+    }
+  }
+
   test("duplicatedTokenStats: covered-token counts and ratio, zero for clean docs") {
     val d = docs(
       (1L, "x1 x2 q w e r t x3 x4"), // 9 tokens, 5 duplicated
