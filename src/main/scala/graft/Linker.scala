@@ -232,12 +232,22 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
       * with the iteration's current u. */
     def estimateParametersUsingExpectationMaximisation(
         trainingRule: BlockingRule, fixU: Boolean = true,
-        withTermFrequencies: Boolean = false)
+        withTermFrequencies: Boolean = false, fixM: Boolean = false,
+        fixLambda: Boolean = false,
+        populateLambdaFromTrainedValues: Boolean = false)
         : Training.EMResult = {
       val result = Training.expectationMaximisation(inputs, settings,
         trainingRule, fixU, settings.maxIterations, settings.emConvergence,
-        withTermFrequencies = withTermFrequencies)
-      settings = result.settings
+        withTermFrequencies = withTermFrequencies, fixM = fixM,
+        fixLambda = fixLambda)
+      // populate_probability_two_random_records_match_from_trained_values
+      // (training.py:238): adopt the session's back-adjusted global λ as
+      // the model prior
+      settings =
+        if (populateLambdaFromTrainedValues)
+          result.settings.copy(
+            probabilityTwoRandomRecordsMatch = result.trainedLambdaGlobal)
+        else result.settings
       result
     }
 

@@ -263,7 +263,8 @@ object Training {
   def emCore(patterns: Seq[Pattern], mInit: Array[Map[Int, Double]],
       uInit: Array[Map[Int, Double]], lambdaInit: Double, fixU: Boolean,
       maxIterations: Int, tolerance: Double,
-      tfSpecs: Seq[TfSpec] = Nil): EMCore = {
+      tfSpecs: Seq[TfSpec] = Nil, fixM: Boolean = false,
+      fixLambda: Boolean = false): EMCore = {
     val nComp = mInit.length
     var m = mInit
     var u = uInit
@@ -323,10 +324,12 @@ object Training {
           init(i).keys.map(g => g -> (if (denom == 0) Model.UnobservedSentinel
             else math.max(byGamma.getOrElse(g, 0.0) / denom, 0.0))).toMap
         }
-      val newM = reestimate((p, n) => p * n, m)
+      val newM = if (fixM) m else reestimate((p, n) => p * n, m)
       val newU = if (fixU) u else reestimate((p, n) => (1 - p) * n, u)
       val totalN = patterns.map(_.count).sum.toDouble
-      val newLambda = scored.map { case (p, prob) => prob * p.count }.sum / totalN
+      val newLambda =
+        if (fixLambda) lambda
+        else scored.map { case (p, prob) => prob * p.count }.sum / totalN
       val deltas =
         (for (i <- 0 until nComp; g <- m(i).keys)
           yield math.abs(newM(i)(g) - m(i)(g))) ++
@@ -386,7 +389,8 @@ object Training {
       settings: LinkSettings, trainingRule: BlockingRule,
       fixU: Boolean = true, maxIterations: Int = 25,
       tolerance: Double = 1e-4, maxPairs: Option[Long] = None,
-      withTermFrequencies: Boolean = false): EMResult = {
+      withTermFrequencies: Boolean = false, fixM: Boolean = false,
+      fixLambda: Boolean = false): EMResult = {
     val concatFull = VerticalConcat(inputs, settings)
     // pair-cap sampling (`em_sampling.py:64-236`): probe a record fraction
     // q, estimate total pairs p_hat = count/q^2; when above the cap keep
@@ -454,7 +458,7 @@ object Training {
       odds2prob(prob2odds(settings.probabilityTwoRandomRecordsMatch) * blockingBf),
       1e-8), 1 - 1e-8)
     val core = emCore(patterns.toSeq, mInit, uInit, lambdaInit, fixU,
-      maxIterations, tolerance, tfSpecs)
+      maxIterations, tolerance, tfSpecs, fixM, fixLambda)
     val (m, u, lambda) = (core.m, core.u, core.lambda)
     val (iter, converged, history) = (core.iterations, core.converged, core.history)
 
@@ -481,7 +485,12 @@ object Training {
               val obs = seenGammas(i).contains(g)
               val mv = if (obs) m(i)(g) else Model.UnobservedSentinel
               val uv = if (obs) u(i)(g) else Model.UnobservedSentinel
-              val withM = lv.addTrainedM(mv, sessionDesc, observed = obs)
+              // a FIXED parameter family records no trained session —
+              // fixed values feeding the cross-session median would skew
+              // it toward the initial guess (`fix_m_probabilities` /
+              // `fix_u_probabilities`, training.py:235-237)
+              val withM =
+                if (fixM) lv else lv.addTrainedM(mv, sessionDesc, observed = obs)
               if (fixU) withM else withM.addTrainedU(uv, sessionDesc, observed = obs)
             }
           }

@@ -106,4 +106,32 @@ class TrainingSpec extends SparkSpec {
       settings, BlockingRule.blockOn("dob"))
     assert(r2.deactivated == Seq("dob"))
   }
+
+  test("fix_m / fix_lambda freeze their parameter families through EM") {
+    val mInit = Array(Map(1 -> 0.7, 0 -> 0.3), Map(1 -> 0.6, 0 -> 0.4))
+    val uInit = Array(Map(1 -> 0.2, 0 -> 0.8), Map(1 -> 0.3, 0 -> 0.7))
+    val patterns = for (g1 <- Seq(0, 1); g2 <- Seq(0, 1))
+      yield Pattern(Array(g1, g2), 100L + 50L * g1 + 30L * g2)
+    val fixedM = Training.emCore(patterns, mInit, uInit, 0.2,
+      fixU = false, maxIterations = 20, tolerance = 0.0, fixM = true)
+    assert(fixedM.m.toSeq == mInit.toSeq)      // m untouched
+    assert(fixedM.u.toSeq != uInit.toSeq)      // u trained
+    assert(fixedM.lambda != 0.2)               // lambda trained
+    val fixedLam = Training.emCore(patterns, mInit, uInit, 0.2,
+      fixU = true, maxIterations = 20, tolerance = 0.0, fixLambda = true)
+    assert(fixedLam.lambdaHistory.forall(_ == 0.2))
+    assert(fixedLam.m.toSeq != mInit.toSeq)
+  }
+
+  test("populateLambdaFromTrainedValues adopts the session's global lambda") {
+    val linker = new Linker(people, settings)
+    val before = linker.settings.probabilityTwoRandomRecordsMatch
+    val result = linker.training
+      .estimateParametersUsingExpectationMaximisation(
+        BlockingRule.blockOn("surname"),
+        populateLambdaFromTrainedValues = true)
+    assert(linker.settings.probabilityTwoRandomRecordsMatch ==
+      result.trainedLambdaGlobal)
+    assert(linker.settings.probabilityTwoRandomRecordsMatch != before)
+  }
 }
