@@ -211,9 +211,11 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   object training {
     import graft.training.Training
 
-    /** u from random sampling (`estimate_u.py:330-560`). */
-    def estimateU(maxPairs: Long = 1000000L): LinkSettings = {
-      settings = Training.estimateU(inputs, settings, maxPairs)
+    /** u from random sampling (`estimate_u.py:330-560`); `seed` draws an
+      * independent deterministic sample (`training.py:166`). */
+    def estimateU(maxPairs: Long = 1000000L,
+        seed: Option[Long] = None): LinkSettings = {
+      settings = Training.estimateU(inputs, settings, maxPairs, seed = seed)
       settings
     }
 

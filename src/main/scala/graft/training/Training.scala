@@ -49,18 +49,25 @@ object Training {
    */
   def estimateU(inputs: Seq[(String, DataFrame)], settings: LinkSettings,
       maxPairs: Long = 1000000L, numChunks: Int = 10,
-      minObsPerLevel: Long = 100L): LinkSettings = {
+      minObsPerLevel: Long = 100L, seed: Option[Long] = None): LinkSettings = {
     val concat = VerticalConcat(inputs, settings)
     val total = concat.count()
     val needed = rowsForPairCount(maxPairs)
+    // deterministic hash sample; an explicit seed salts the key so callers
+    // can draw an independent sample (`training.py:166` seed) — the
+    // unseeded path stays byte-identical run to run
+    val sampleKey = seed match {
+      case Some(s) => concat_ws("",
+        col(settings.uniqueIdColumn).cast("string"), lit(s.toString))
+      case None => col(settings.uniqueIdColumn).cast("string")
+    }
     // repartition-to-role before the persist (`spark/database_api.py:263`,
     // `__splink__df_concat_with_tf_sample` ÷4): the filter keeps input
     // partitioning, so a sparse sample would otherwise cache as many
     // near-empty partitions feeding the cartesian below
     val sampled = Repartition(
       if (needed >= total) concat
-      else concat.filter(TextOps.hashSample(
-        col(settings.uniqueIdColumn).cast("string"), needed.toDouble / total)),
+      else concat.filter(TextOps.hashSample(sampleKey, needed.toDouble / total)),
       Repartition.ConcatWithTfSample).persist()
     val uSettings = settings.copy(
       blockingRules = Seq(BlockingRule.CustomBlockingRule("1=1")))

@@ -123,6 +123,19 @@ class TrainingSpec extends SparkSpec {
     assert(fixedLam.m.toSeq != mInit.toSeq)
   }
 
+  test("estimateU seed draws a different but reproducible sample") {
+    val many = (0L until 400L).map(i =>
+      (i, s"n$i", s"s${i % 40}", s"d${i % 11}", s"e${i % 13}"))
+      .toDF("unique_id", "first_name", "surname", "dob", "email")
+    def uOf(seed: Option[Long]) =
+      Training.estimateU(Seq("t" -> many), settings, maxPairs = 500L,
+          seed = seed)
+        .comparisonByName("email").activeLevels.head.u.get
+    assert(uOf(None) == uOf(None))            // unseeded: stable
+    assert(uOf(Some(7L)) == uOf(Some(7L)))    // seeded: stable per seed
+    assert(uOf(Some(7L)) != uOf(Some(8L)))    // different seed, new sample
+  }
+
   test("populateLambdaFromTrainedValues adopts the session's global lambda") {
     val linker = new Linker(people, settings)
     val before = linker.settings.probabilityTwoRandomRecordsMatch
