@@ -139,6 +139,9 @@ object Blocking {
    */
   def blockedIdPairs(concat: DataFrame, settings: LinkSettings,
       twoFrames: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // custom rules may reference kernel functions by SQL name; register
+    // for Linker-less callers (idempotent)
+    graft.functions.funcs.registerAll(concat.sparkSession)
     val rules = if (settings.blockingRules.nonEmpty) settings.blockingRules
       else Seq(CustomBlockingRule("1=1"))
     val neededCols = (rules.flatMap(ruleColumns) ++
@@ -328,8 +331,13 @@ object ComparisonVectors {
       .select(projection: _*)
   }
 
-  /** Add gamma columns to a pairwise l/r frame. */
+  /** Add gamma columns to a pairwise l/r frame. Registers the kernel
+    * functions first: gamma CASE expressions parse names like
+    * `jaro_winkler` from SQL, and callers that reach this through
+    * `Training` (not a `Linker`, whose constructor registers) would
+    * otherwise fail resolution. Registration is idempotent. */
   def addGammas(pairs: DataFrame, settings: LinkSettings): DataFrame = {
+    graft.functions.funcs.registerAll(pairs.sparkSession)
     val gammas = settings.comparisons.map(c => c.gammaColumnName -> c.gammaColumn)
     pairs.withColumns(gammas.toMap)
   }
