@@ -305,6 +305,29 @@ object SparkEntry {
           round(col("match_weight"), 6).as("match_weight"))
     }),
 
+    // §2.9 trained model BETWEEN two new record collections
+    // (`inference.py:1260-1430` predict_between): cross-role blocking
+    // only (no within-side pairs by construction), strict registered TF
+    "q_predict_between" -> ((s, dir) => {
+      val settings = LinkSettings(
+        linkType = LinkType.DedupeOnly,
+        blockingRules = Seq(BlockingRule.blockOn("c_nationkey")),
+        comparisons = Seq(
+          Comparison("c_mktsegment", Seq(
+            ll.nullLevel("c_mktsegment"),
+            ll.exactMatch("c_mktsegment", tfAdjustment = true).withM(0.9).withU(0.2),
+            ll.elseLevel.withM(0.1).withU(0.8)))),
+        probabilityTwoRandomRecordsMatch = 0.01)
+      val c = customers(s, dir)
+      val linker = new Linker(c, settings)
+      linker.computeTfTable("c_mktsegment")
+      linker.predictBetween(c.filter(col("unique_id") % 5 === 0),
+          c.filter(col("unique_id") % 6 === 0))
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          col("gamma_c_mktsegment"),
+          round(col("match_weight"), 6).as("match_weight"))
+    }),
+
     // §2.12 find matches to new records: block + score a small batch of
     // incoming records against the corpus without re-linking the corpus to
     // itself (`find_matches_to_new_records.py:14-51`). No uid-ordering
@@ -1590,6 +1613,37 @@ object SparkEntry {
          |    tl.tf_v AS tf_l, tr.tf_v AS tf_r
          |  FROM batch l
          |  JOIN batch r ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+         |  LEFT JOIN tf tl ON l.c_mktsegment = tl.seg
+         |  LEFT JOIN tf tr ON r.c_mktsegment = tr.seg)
+         |SELECT uid_l, uid_r, g AS gamma_c_mktsegment,
+         |  round($prior
+         |    + CASE g WHEN -1 THEN 0.0::DOUBLE WHEN 1 THEN ${w(0.9, 0.2)}
+         |        ELSE ${w(0.1, 0.8)} END
+         |    + CASE WHEN g = 1 THEN
+         |        CASE WHEN coalesce(tf_l, tf_r) IS NULL THEN 0.0::DOUBLE
+         |          ELSE ($log2uExact - log2(greatest(coalesce(tf_l, tf_r),
+         |                coalesce(tf_r, tf_l), 0.0::DOUBLE))) * 1.0::DOUBLE END
+         |      ELSE 0.0::DOUBLE END, 6) AS match_weight
+         |FROM pairs""".stripMargin
+    },
+
+    "q_predict_between" -> {
+      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+      val prior = s"(${math.log(0.01 / 0.99) / math.log(2.0)})::DOUBLE"
+      val log2uExact = s"(${math.log(0.2) / math.log(2.0)})::DOUBLE"
+      s"""WITH tf AS (
+         |  SELECT c_mktsegment AS seg,
+         |    CAST(count(*) AS DOUBLE) / (SELECT count(c_mktsegment) FROM customer) AS tf_v
+         |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1),
+         |ls AS (SELECT * FROM customer WHERE c_custkey % 5 = 0),
+         |rs AS (SELECT * FROM customer WHERE c_custkey % 6 = 0),
+         |pairs AS (
+         |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r,
+         |    CASE WHEN l.c_mktsegment IS NULL OR r.c_mktsegment IS NULL THEN -1
+         |         WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS g,
+         |    tl.tf_v AS tf_l, tr.tf_v AS tf_r
+         |  FROM ls l
+         |  JOIN rs r ON l.c_nationkey = r.c_nationkey
          |  LEFT JOIN tf tl ON l.c_mktsegment = tl.seg
          |  LEFT JOIN tf tr ON r.c_mktsegment = tr.seg)
          |SELECT uid_l, uid_r, g AS gamma_c_mktsegment,

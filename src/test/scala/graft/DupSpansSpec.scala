@@ -106,6 +106,42 @@ class DupSpansSpec extends SparkSpec {
     }
   }
 
+  test("property: span removal matches a brute-force ownership replay") {
+    val rnd = new scala.util.Random(8141513)
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 4) {
+      val k = 2 + trial % 2
+      val corpus = (0L until 25L).map { id =>
+        id -> (0 until (2 + rnd.nextInt(15))).map(_ =>
+          vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      // brute force: window -> min owning doc; tokens covered by any
+      // window owned elsewhere are dropped
+      val wins = corpus.flatMap { case (id, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        (0 to t.length - k).map(p => (t.slice(p, p + k).mkString(" "), id, p))
+      }
+      val owner = wins.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.size >= 2)
+        .view.mapValues(_.map(_._2).min).toMap
+      val expected = corpus.map { case (id, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        val foreignCover = (0 to t.length - k)
+          .filter { p =>
+            val w = t.slice(p, p + k).mkString(" ")
+            owner.get(w).exists(_ != id)
+          }
+          .flatMap(p => p until p + k).toSet
+        val keptToks = t.indices.filterNot(foreignCover).map(t)
+        (id, keptToks.mkString(" "), foreignCover.size.toLong)
+      }.toSet
+      val got = DedupOps.removeDuplicatedSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected, s"trial $trial k=$k")
+    }
+  }
+
   test("duplicatedTokenStats: covered-token counts and ratio, zero for clean docs") {
     val d = docs(
       (1L, "x1 x2 q w e r t x3 x4"), // 9 tokens, 5 duplicated
