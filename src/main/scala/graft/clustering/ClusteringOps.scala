@@ -441,19 +441,20 @@ object ClusteringOps {
     val perThreshold = scala.collection.mutable.ArrayBuffer(sorted.head -> cc)
     sorted.sliding(2).foreach {
       case Seq(tPrev, t) =>
+        // per-cluster min edge probability: one INNER join on the left
+        // endpoint suffices — an edge's endpoints share a cluster at
+        // tPrev, so src alone attributes every edge exactly once; a
+        // cluster with no surviving edges is absent, i.e. stable (the
+        // reference's coalesce(min, 1.0))
         val relevant = e0.filter(col(probCol) >= tPrev)
-        val incident = cc
-          .join(relevant, cc("node_id") === relevant(srcCol), "left")
-          .select(col("cluster_id"), col(probCol))
-          .union(cc
-            .join(relevant, cc("node_id") === relevant(dstCol), "left")
-            .select(col("cluster_id"), col(probCol)))
-        val stableIds = incident.groupBy("cluster_id")
-          .agg(coalesce(min(col(probCol)), lit(1.0)).as("__minp"))
-          .filter(col("__minp") >= t)
+        val unstableIds = cc
+          .join(relevant, cc("node_id") === relevant(srcCol))
+          .groupBy(col("cluster_id"))
+          .agg(min(col(probCol)).as("__minp"))
+          .filter(col("__minp") < t)
           .select("cluster_id")
-        val stable = cc.join(stableIds, Seq("cluster_id"), "left_semi")
-        val unstableNodes = cc.join(stableIds, Seq("cluster_id"), "left_anti")
+        val stable = cc.join(unstableIds, Seq("cluster_id"), "left_anti")
+        val unstableNodes = cc.join(unstableIds, Seq("cluster_id"), "left_semi")
           .select(col("node_id"))
         val unstableEdges = e0.filter(col(probCol) >= t)
           .join(unstableNodes, e0(srcCol) === unstableNodes("node_id"),
