@@ -305,6 +305,19 @@ object SparkEntry {
           round(col("match_weight"), 6).as("match_weight"))
     }),
 
+    // embedding clustering: one distributed Lloyd iteration from the
+    // deterministic hash seeds, assignments after the mean update
+    // (centroids 9dp-rounded on both sides so float-sum ordering cannot
+    // flip an assignment)
+    "q_kmeans" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      val ctr = AnnOps.kmeansFit(e, "embedding", k = 4, iterations = 1)
+      val rounded = ctr.map(_.map(x =>
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      AnnOps.kmeansAssign(e, "embedding", rounded)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    }),
+
     // §2.9 trained model BETWEEN two new record collections
     // (`inference.py:1260-1430` predict_between): cross-role blocking
     // only (no within-side pairs by construction), strict registered TF
@@ -1626,6 +1639,22 @@ object SparkEntry {
          |      ELSE 0.0::DOUBLE END, 6) AS match_weight
          |FROM pairs""".stripMargin
     },
+
+    "q_kmeans" ->
+      """WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hh FROM embeddings),
+        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS cell, v AS sv
+        |  FROM h ORDER BY hh, vec_id LIMIT 4),
+        |a0 AS (SELECT h.vec_id, h.v,
+        |    (SELECT s.cell FROM seeds s
+        |     ORDER BY list_distance(h.v, s.sv), s.cell LIMIT 1) AS cell FROM h),
+        |dims AS (SELECT cell, i, sum(v[i]) AS s, count(*) AS n
+        |  FROM a0, unnest(range(1, len(v) + 1)) AS u(i) GROUP BY cell, i),
+        |ctr AS (SELECT cell, list(round(s / n, 9) ORDER BY i) AS cv FROM dims GROUP BY cell),
+        |a1 AS (SELECT h.vec_id,
+        |    (SELECT c.cell FROM ctr c ORDER BY list_distance(h.v, c.cv), c.cell LIMIT 1) AS cell
+        |  FROM h)
+        |SELECT vec_id, CAST(cell AS INT) AS cell FROM a1""".stripMargin,
 
     "q_predict_between" -> {
       def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"

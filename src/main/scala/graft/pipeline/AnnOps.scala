@@ -106,6 +106,53 @@ object AnnOps {
     centroids
   }
 
+  /** Fully distributed Lloyd's k-means over the WHOLE corpus (not the
+    * [[trainCentroids]] sample): per iteration, every vector is assigned
+    * to its nearest centroid with the codegen'd [[cellAssignment]] kernel
+    * (broadcast centroid literals), and the new means come from ONE
+    * `posexplode + groupBy(cell, dim)` aggregation — map-side partial
+    * aggregation means each partition ships only k x d partial sums, so
+    * an iteration costs one scan plus a k x d-row collect regardless of
+    * corpus size. Deterministic: seeded init from the portable-hash
+    * bottom-k ([[DedupOps.seedCentroids]]), ties in assignment break to
+    * the lower cell index. Empty cells keep their previous centroid.
+    *
+    * Use for curation-grade clustering of an embedding corpus (domain
+    * discovery, stratified mixing); [[trainCentroids]] remains the cheap
+    * sample-based quantizer for IVF.
+    */
+  def kmeansFit(corpus: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 10, idCol: String = "vec_id")
+      : Array[Array[Double]] = {
+    require(k >= 1 && iterations >= 0, "k and iterations must be positive")
+    val valid = corpus.filter(col(vecCol).isNotNull &&
+      size(col(vecCol)) > 0 && !exists(col(vecCol), _.isNull))
+    var centroids = graft.pipeline.DedupOps.seedCentroids(
+      corpus, idCol, vecCol, k)
+    for (_ <- 1 to iterations) {
+      val rows = valid
+        .select(cellAssignment(col(vecCol), centroids).as("cell"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = rows.groupBy(_.getAs[Number]("cell").intValue)
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rs) => rs.sortBy(_.getAs[Int]("i"))
+            .map(r => r.getAs[Double]("s") / r.getAs[Long]("n")).toArray
+          case None => centroids(c)
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Assign every row to its nearest [[kmeansFit]] centroid. */
+  def kmeansAssign(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("cell", cellAssignment(col(vecCol), centroids))
+
   /** Column: index of the nearest centroid (squared-L2, native kernel). */
   def cellAssignment(vec: Column, centroids: Array[Array[Double]]): Column = {
     val dists = centroids.map(ctr =>

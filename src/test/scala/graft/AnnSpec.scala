@@ -94,4 +94,41 @@ class AnnSpec extends SparkSpec {
     val ctr = AnnOps.trainCentroids(asDouble, "embedding", 4)
     assert(ctr.length == 4 && ctr.forall(_.nonEmpty))
   }
+
+  test("distributed kmeansFit matches an in-memory Lloyd reference exactly") {
+    import spark.implicits._
+    // integer coordinates -> every sum/mean is exact in double, so the
+    // distributed partial-sum order cannot perturb assignments
+    val rnd = new scala.util.Random(99)
+    val data = (0L until 120L).map { id =>
+      val cx = (id % 3).toInt * 50
+      (id, Seq(cx + rnd.nextInt(5).toDouble, rnd.nextInt(5).toDouble))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = AnnOps.kmeansFit(df, "embedding", k = 3, iterations = 5)
+
+    // reference: same seeded init, same argmin tie-break (lower index)
+    var ref = graft.pipeline.DedupOps.seedCentroids(df, "vec_id", "embedding", 3)
+    def d2(a: Array[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (_ <- 1 to 5) {
+      val assigned = data.map { case (_, v) =>
+        val ds = ref.map(c => d2(c, v))
+        (ds.indices.minBy(i => (ds(i), i)), v)
+      }
+      ref = ref.indices.map { c =>
+        val vs = assigned.filter(_._1 == c).map(_._2)
+        if (vs.isEmpty) ref(c)
+        else vs.transpose.map(xs => xs.sum / vs.size).toArray
+      }.toArray
+    }
+    assert(got.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq)
+    // assignment column puts each point in its planted cluster's cell
+    val cells = AnnOps.kmeansAssign(df, "embedding", got)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byPlant = data.groupBy(_._1 % 3).map { case (g, rows) =>
+      rows.map(r => cells(r._1)).distinct.size }
+    assert(byPlant.forall(_ == 1)) // each planted cluster maps to one cell
+  }
 }
