@@ -105,6 +105,46 @@ class EndToEndSpec extends SparkSpec {
     assert(recall > 0.6, s"recall $recall")
   }
 
+  test("missing-cluster-edge scoring completes every cluster's edge set") {
+    val data = generate(60, seed = 11).cache()
+    val settings = LinkSettings(
+      linkType = LinkType.DedupeOnly,
+      blockingRules = Seq(BlockingRule.blockOn("surname")),
+      comparisons = Seq(
+        Comparison("first_name", Seq(
+          ll.nullLevel("first_name"),
+          ll.exactMatch("first_name").withM(0.9).withU(0.01),
+          ll.elseLevel.withM(0.1).withU(0.99)))),
+      probabilityTwoRandomRecordsMatch = 0.05)
+    val linker = new Linker(data.drop("cluster"), settings)
+    val preds = linker.predict()
+    val clusters = linker.clusterPairwisePredictionsAtThreshold(preds, 0.5)
+      .select(col("unique_id"), col("cluster_id"))
+    val missing = linker.scoreMissingClusterEdges(clusters, Some(preds))
+
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("unique_id_l", "unique_id_r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val predKeys = keySet(preds)
+    val missingKeys = keySet(missing)
+    // disjoint from the already-scored edges
+    assert((predKeys intersect missingKeys).isEmpty)
+    // together they cover EXACTLY the intra-cluster pair sets
+    val members = clusters.collect()
+      .map(r => r.getAs[Any]("cluster_id").toString -> r.getAs[Long]("unique_id"))
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val allIntra = members.flatMap { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    val clusterOf = clusters.collect()
+      .map(r => r.getAs[Long]("unique_id") -> r.getAs[Any]("cluster_id").toString)
+      .toMap
+    val intraPredKeys = predKeys.filter { case (a, b) =>
+      clusterOf(a) == clusterOf(b) }
+    assert((missingKeys union intraPredKeys) == allIntra)
+  }
+
   test("two-dataset link_only fast path joins frames directly") {
     val a = generate(40, seed = 1).drop("cluster")
     val b = generate(40, seed = 1).drop("cluster")
