@@ -764,6 +764,24 @@ object SparkEntry {
       ClusteringOps.atMultipleThresholds(edges, Seq(0.3, 0.7))
     }),
 
+    // §2.11 incremental cluster maintenance (beyond the reference): fold
+    // the 0.5..0.7 edges into the 0.7 clustering; result must equal a
+    // fresh solve at 0.5 (the oracle replays exactly that)
+    "q_incremental_cluster" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"),
+          (((col("prev") + col("o_orderkey")) % 97) / 96.0).as("match_probability"))
+      val existing = graft.clustering.ConnectedComponents.run(
+        edges.filter(col("match_probability") >= 0.7))
+      ClusteringOps.incrementalCluster(existing,
+        edges.filter(col("match_probability") >= 0.5 &&
+          col("match_probability") < 0.7))
+    }),
+
     // §2.11 multi-threshold cluster summary stats
     // (`clustering.py:291-345` output_cluster_summary_stats)
     "q_multi_threshold_stats" -> ((s, dir) => {
@@ -2221,6 +2239,24 @@ object SparkEntry {
            |WHERE coalesce(prev_ok, 0) = 1 OR coalesce(next_ok, 0) = 1""".stripMargin
       s"${oneThreshold(0.3)}\nUNION ALL\n${oneThreshold(0.7)}"
     },
+
+    "q_incremental_cluster" ->
+      """SELECT o_orderkey AS node_id,
+        |  min(o_orderkey) OVER (PARTITION BY o_custkey, segment) AS cluster_id
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, prev_ok, next_ok,
+        |    sum(CASE WHEN prev_ok IS NULL OR prev_ok = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS segment
+        |  FROM (
+        |    SELECT o_custkey, o_orderkey,
+        |      CASE WHEN lag(o_orderkey) OVER w IS NULL THEN NULL
+        |        WHEN ((lag(o_orderkey) OVER w + o_orderkey) % 97) / 96.0 >= 0.5
+        |        THEN 1 ELSE 0 END AS prev_ok,
+        |      CASE WHEN lead(o_orderkey) OVER w IS NULL THEN NULL
+        |        WHEN ((o_orderkey + lead(o_orderkey) OVER w) % 97) / 96.0 >= 0.5
+        |        THEN 1 ELSE 0 END AS next_ok
+        |    FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)))
+        |WHERE coalesce(prev_ok, 0) = 1 OR coalesce(next_ok, 0) = 1""".stripMargin,
 
     "q_multi_threshold_stats" -> {
       def oneThreshold(t: Double) =

@@ -469,6 +469,54 @@ object ClusteringOps {
       .reduce(_.unionByName(_))
   }
 
+  /** Incrementally fold NEW edges into an EXISTING clustering without
+    * re-solving the full graph — the append-pipeline companion to
+    * find-matches-to-new-records (beyond the reference, which always
+    * re-clusters from scratch). Each new edge's endpoints collapse to
+    * their current cluster representative (nodes unseen before represent
+    * themselves), connected components runs on the rep graph — bounded by
+    * the NEW edge count, not the corpus — and members remap through their
+    * rep's new label. Labels stay canonical (min node id), so the result
+    * is bit-identical to a full re-solve over (old spanning edges + new
+    * edges); connectivity through the old clustering is exactly
+    * connectivity through the original edges.
+    *
+    * @param existing (node_id, cluster_id) from a previous clustering
+    * @param newEdges new edge list; endpoints may be known or new nodes
+    * @return (node_id, cluster_id) covering existing nodes plus every new
+    *         edge endpoint
+    */
+  def incrementalCluster(existing: DataFrame, newEdges: DataFrame,
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r")
+      : DataFrame = {
+    val reps = existing.select(col("node_id"), col("cluster_id"))
+    def repOf(side: String, out: String) = reps
+      .withColumnRenamed("node_id", side)
+      .withColumnRenamed("cluster_id", out)
+    // collapse endpoints to their representative; unknown nodes stand for
+    // themselves
+    val repEdges = newEdges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .join(repOf("__a", "__ra"), Seq("__a"), "left")
+      .join(repOf("__b", "__rb"), Seq("__b"), "left")
+      .select(coalesce(col("__ra"), col("__a")).as("rep_l"),
+        coalesce(col("__rb"), col("__b")).as("rep_r"))
+      .filter(col("rep_l") =!= col("rep_r"))
+    val repCc = ConnectedComponents.run(repEdges, "rep_l", "rep_r")
+      .withColumnRenamed("node_id", "__rep")
+      .withColumnRenamed("cluster_id", "__new_label")
+    // every node this call must label: existing members + new endpoints
+    val newNodes = newEdges
+      .select(explode(array(col(srcCol), col(dstCol))).as("node_id"))
+      .distinct()
+      .join(reps, Seq("node_id"), "left_anti")
+      .select(col("node_id"), col("node_id").as("cluster_id"))
+    reps.unionByName(newNodes)
+      .join(repCc, col("cluster_id") === col("__rep"), "left")
+      .select(col("node_id"),
+        coalesce(col("__new_label"), col("cluster_id")).as("cluster_id"))
+  }
+
   /** Per-threshold cluster summary statistics instead of full membership —
     * the reference's `output_cluster_summary_stats=True`
     * (`clustering.py:291-345,520-540`): cluster count, max and mean size,

@@ -56,4 +56,39 @@ class MultiThresholdSpec extends SparkSpec {
     val out = ClusteringOps.atMultipleThresholds(edgeFrame(edges), Seq(0.5))
     assert(rows(out) == Set((0.5, 1L, 1L), (0.5, 2L, 1L)))
   }
+
+  private def ccRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("node_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incrementalCluster equals a full re-solve over old + new edges") {
+    val rnd = new scala.util.Random(424242)
+    for (trial <- 1 to 4) {
+      val e1 = (0 until 150).map(_ =>
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+      val e2 = (0 until 60).map(_ =>
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) // some NEW nodes
+        .filter(p => p._1 != p._2)
+      val f1 = e1.toDF("unique_id_l", "unique_id_r")
+      val f2 = e2.toDF("unique_id_l", "unique_id_r")
+      val existing = ConnectedComponents.run(f1)
+      val inc = ClusteringOps.incrementalCluster(existing, f2)
+      val full = ConnectedComponents.run(f1.unionByName(f2))
+      // full re-solve covers endpoints of e1+e2; incremental covers the
+      // same set (existing members + new endpoints) — identical labels
+      assert(ccRows(inc) == ccRows(full), s"trial $trial")
+    }
+  }
+
+  test("incrementalCluster: edges between known clusters, new nodes, no-ops") {
+    val existing = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node_id", "cluster_id")
+    // merge clusters 1 and 5; attach brand-new node 9 to cluster 1;
+    // intra-cluster edge (1,2) is a no-op
+    val newEdges = Seq((2L, 6L), (9L, 2L), (1L, 2L))
+      .toDF("unique_id_l", "unique_id_r")
+    val out = ccRows(ClusteringOps.incrementalCluster(existing, newEdges))
+    assert(out == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (9L, 1L)))
+  }
 }
