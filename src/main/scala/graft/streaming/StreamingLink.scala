@@ -324,4 +324,55 @@ object StreamingLink {
     findMatchesStream(linker, newRecords, threshold) { (scored, _) =>
       out ++= scored.collect()
     }.trigger(Trigger.AvailableNow()).start()
+
+  /**
+   * Streaming entity resolution: maintain a LIVE clustering across
+   * micro-batches. Each batch of new records is blocked + scored against
+   * the linker's corpus (find-matches), edges at or above `threshold`
+   * fold into the maintained clustering via
+   * [[graft.clustering.ClusteringOps.incrementalCluster]] — per batch the
+   * connected-components work is bounded by that batch's edge count, not
+   * the corpus. The maintained frame is persisted and swapped atomically
+   * per batch (old copy released). Batch records that match nothing stay
+   * out of the frame — absence means singleton, as in the batch API.
+   *
+   * Returns a handle whose `clusters()` reads the current
+   * (node_id, cluster_id) state; call after `processAllAvailable()` (or
+   * any time — you get the latest completed batch's view).
+   */
+  final class LiveClustering private[streaming] (
+      @volatile private[streaming] var state: DataFrame) {
+    def clusters(): DataFrame = state
+  }
+
+  def incrementalClusterStream(linker: Linker, newRecords: DataFrame,
+      threshold: Double,
+      initial: Option[DataFrame] = None): (DataStreamWriter[Row], LiveClustering) = {
+    val spark = linker.spark
+    import org.apache.spark.sql.types._
+    val uid = linker.settings.uniqueIdColumn
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq(StructField("node_id", LongType),
+        StructField("cluster_id", LongType))))
+    val live = new LiveClustering(initial.getOrElse(empty).persist())
+    val writer = newRecords.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val edges = linker.findMatchesToNewRecords(batch, Some(threshold))
+            .select(org.apache.spark.sql.functions.col(s"${uid}_l"),
+              org.apache.spark.sql.functions.col(s"${uid}_r"))
+          val next = graft.clustering.ClusteringOps
+            .incrementalCluster(live.state, edges, s"${uid}_l", s"${uid}_r")
+            .persist()
+          next.count() // materialise BEFORE releasing the predecessor
+          val old = live.state
+          live.state = next
+          old.unpersist()
+          ()
+        }
+      }
+    (writer, live)
+  }
 }

@@ -221,6 +221,40 @@ class StreamingSpec extends SparkSpec {
     assert(all.contains((2L, ts(10, 0).getTime, ts(10, 0).getTime, 1L, 9000000L)))
   }
 
+  test("incremental clustering stream maintains live clusters across batches") {
+    val corpus = Seq(
+      (0L, "John", "Smith"), (1L, "Mary", "Jones"), (2L, "Peter", "Brown"))
+      .toDF("unique_id", "first_name", "surname")
+    val settings = LinkSettings(
+      linkType = LinkType.DedupeOnly,
+      blockingRules = Seq(BlockingRule.blockOn("surname")),
+      comparisons = Seq(Comparison("first_name", Seq(
+        ll.nullLevel("first_name"),
+        ll.exactMatch("first_name").withM(0.9).withU(0.01),
+        ll.elseLevel.withM(0.1).withU(0.99)))),
+      probabilityTwoRandomRecordsMatch = 0.1)
+    val linker = new Linker(corpus, settings)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val (writer, live) = StreamingLink.incrementalClusterStream(linker,
+      stream.toDF.toDF("unique_id", "first_name", "surname"), threshold = 0.5)
+    val query = writer.start()
+    def state(): Set[(Long, Long)] = live.clusters()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    stream.addData((100L, "John", "Smith"), (200L, "Zoe", "Nguyen"))
+    query.processAllAvailable()
+    // 100 matched corpus record 0; 200 matched nothing (stays out)
+    assert(state() == Set((0L, 0L), (100L, 0L)))
+
+    stream.addData((101L, "John", "Smith"))
+    query.processAllAvailable()
+    // 101 also matches 0 -> joins the live cluster through its rep
+    assert(state() == Set((0L, 0L), (100L, 0L), (101L, 0L)))
+    query.stop()
+  }
+
   test("stateful duplicated-window detection marks cross-batch foreign spans") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
