@@ -57,4 +57,23 @@ class GopherRulesSpec extends SparkSpec {
     assert(out.getAs[Long]("n_tokens") == 0L)
     assert(out.getAs[Int]("keep") == 0)
   }
+
+  test("null text propagates null features and a null verdict (oracle-consistent)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Some("the be to of and that have with more words here")),
+        (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, "doc_id", "text",
+        minTokens = 5, minStopHits = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") == 1)
+    // DuckDB's NULL-text row yields NULL features and a NULL keep; the
+    // engine must agree or the hash compare would diverge
+    assert(out(2L).isNullAt(out(2L).fieldIndex("n_tokens")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("keep")))
+    val tc = TextOps.tokenCounts(df, "doc_id", "text")
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(tc.isNullAt(tc.fieldIndex("ws_tokens")))
+    assert(tc.isNullAt(tc.fieldIndex("bpe_tokens")))
+  }
 }
