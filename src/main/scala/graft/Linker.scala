@@ -323,6 +323,40 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     chunks.reduce(_.unionByName(_))
   }
 
+  /** Grid-chunked predict (`inference.py:298-420` `num_chunks_left` x
+    * `num_chunks_right`): the INPUT RECORDS are hash-split on both sides
+    * and each (left-chunk, right-chunk) combination re-runs blocking over
+    * its subsets — unlike [[predictChunked]], which materialises the full
+    * blocked-pairs table once, this bounds the BLOCKING join's memory per
+    * chunk as well as the scoring's. The uid-ordering filter assigns
+    * every pair to exactly one combination, so the union equals an
+    * unchunked predict. */
+  def predictChunked(numChunksLeft: Int, numChunksRight: Int,
+      thresholdMatchProbability: Option[Double]): DataFrame = {
+    require(numChunksLeft >= 1 && numChunksRight >= 1)
+    if (registeredBlockedPairs.nonEmpty) throw new IllegalStateException(
+      "predictChunked cannot be used when blocked pairs have been " +
+        "registered with registerBlockedPairsForPredict / " +
+        "computeBlockedPairsForPredict; call predict() to score the " +
+        "registered table, or invalidateCache() first")
+    if (numChunksLeft == 1 && numChunksRight == 1)
+      return predict(thresholdMatchProbability)
+    def chunkOf(n: Int) = pmod(hash(Blocking.joinKeyCol(settings)), lit(n))
+    val chunks = for {
+      i <- 0 until numChunksLeft
+      j <- 0 until numChunksRight
+    } yield {
+      val pairs = Blocking.blockedIdPairsBetween(
+        concatWithTf.filter(chunkOf(numChunksLeft) === i),
+        concatWithTf.filter(chunkOf(numChunksRight) === j), settings)
+      Predict.score(
+        ComparisonVectors.compute(pairs, concatWithTf, settings),
+        settings, None, thresholdMatchProbability)
+        .breakLineage(true) // eager: chunks run one after another
+    }
+    chunks.reduce(_.unionByName(_))
+  }
+
   /** Block + score new records against the existing corpus without
     * re-linking the corpus to itself
     * (`find_matches_to_new_records.py:14-51`). */

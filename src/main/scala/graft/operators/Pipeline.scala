@@ -165,6 +165,29 @@ object Blocking {
     }
   }
 
+  /** Blocked pairs BETWEEN two record subsets under the standard
+    * link-type ordering — the reference's per-chunk blocking
+    * (`inference.py:368-420`): with both sides restricted to a hash
+    * chunk, the blocking join's memory is bounded by the chunk sizes,
+    * not the corpus. The uid-ordering filter still applies, so a pair
+    * lands in exactly one (left-chunk, right-chunk) combination. */
+  def blockedIdPairsBetween(left: DataFrame, right: DataFrame,
+      settings: LinkSettings): DataFrame = {
+    graft.functions.funcs.registerAll(left.sparkSession)
+    val rules = if (settings.blockingRules.nonEmpty) settings.blockingRules
+      else Seq(CustomBlockingRule("1=1"))
+    val neededCols = (rules.flatMap(ruleColumns) ++
+      (settings.linkType match {
+        case LinkType.DedupeOnly => Seq.empty
+        case _ => Seq(settings.sourceDatasetColumn)
+      })).distinct
+    def narrow(df: DataFrame) = Repartition.ensureMinParallel(df.select(
+      (joinKeyCol(settings).as("__join_key") +:
+        neededCols.filter(df.columns.contains).map(col)): _*))
+    pairsUnderRules(narrow(left), narrow(right), rules,
+      Some(linkTypeFilter(settings)))
+  }
+
   /**
    * Per-rule join with NOT-previous dedupe and match_key union, over
    * already-projected l/r frames carrying `__join_key`. `extraFilter` is

@@ -44,6 +44,16 @@ class InferenceSpec extends SparkSpec {
     assert(whole == chunked && whole.nonEmpty)
   }
 
+  test("grid-chunked predict (left x right record chunks) equals unchunked") {
+    val linker = new Linker(people, settings)
+    val whole = linker.predict().collect().map(key).toSet
+    val grid = linker.predictChunked(2, 3, None).collect().map(key).toSet
+    assert(whole == grid && whole.nonEmpty)
+    // degenerate grid = plain predict
+    val one = linker.predictChunked(1, 1, None).collect().map(key).toSet
+    assert(one == whole)
+  }
+
   test("find matches to new records scores only corpus-x-new pairs") {
     val linker = new Linker(people, settings)
     val newRec = Seq((100L, "Johnn", "Smith", "1990-01-01"))
