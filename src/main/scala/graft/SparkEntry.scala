@@ -356,6 +356,15 @@ object SparkEntry {
           round(col("match_probability"), 6).as("match_probability"))
     }),
 
+    // misc query_sql (`misc.py:52`): arbitrary SQL over the linker's
+    // named intermediates registered as views
+    "q_query_sql" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      linker.querySql(
+        """SELECT c_mktsegment, count(*) AS n, min(c_acctbal) AS min_bal
+          |FROM `__splink__df_concat` GROUP BY c_mktsegment""".stripMargin)
+    }),
+
     // §2.12 score missing intra-cluster edges (`inference.py:574-744`
     // _score_missing_cluster_edges): every same-cluster pair the model's
     // blocking rules never generated, scored through the trained model;
@@ -1735,6 +1744,10 @@ object SparkEntry {
          |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
          |FROM mw""".stripMargin
     },
+
+    "q_query_sql" ->
+      """SELECT c_mktsegment, count(*) AS n, min(c_acctbal) AS min_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_missing_cluster_edges" ->
       s"""WITH sub AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
