@@ -560,6 +560,15 @@ object SparkEntry {
       DedupOps.exactDedup(pq(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // dedup: asymmetric containment |A∩B|/|A| — boilerplate/quotation
+    // detection Jaccard misses; NO length bucket in the block key (it
+    // would separate exactly the short-in-long pairs this finds)
+    "q_containment_pairs" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      DedupOps.containmentPairs(d, "doc_id", "text",
+        Seq(col("lang"), col("source")), threshold = 0.5)
+    }),
+
     // dedup: cross-document duplicated token spans (exact-substring dedup,
     // Lee et al. arXiv:2107.06499 re-shaped as window-hash + islands)
     "q_dup_spans" -> ((s, dir) => {
@@ -2513,6 +2522,22 @@ object SparkEntry {
         |   AND alpha_word_ratio > 0.8
         |   AND n_stop_hits >= 1 AS INT) AS keep
         |FROM feat""".stripMargin,
+
+    "q_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+        |  round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(l.toks), 9)
+        |    AS containment_l_in_r,
+        |  round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(r.toks), 9)
+        |    AS containment_r_in_l
+        |FROM t l JOIN t r
+        |  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+        |WHERE len(list_intersect(l.toks, r.toks)) > 0
+        |  AND (CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(l.toks) >= 0.5
+        |    OR CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(r.toks) >= 0.5)""".stripMargin,
 
     // the oracle groups k-token windows by their literal text where the
     // engine groups by xxhash64 of it — identical up to 64-bit collisions

@@ -24,6 +24,47 @@ object ArrayJaccardKernel {
     }
     inter.toDouble / (n + m - inter)
   }
+
+  /** Intersection SIZE of two sorted distinct long arrays (same linear
+    * merge) — feeds asymmetric containment |A∩B|/|A|, which jaccard alone
+    * cannot express. */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** intersection size of two sorted array<bigint> columns -> bigint. */
+case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "intersect_sorted_longs"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"intersect_sorted_longs requires (array<bigint>, array<bigint>), got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayJaccardKernel.intersectCountSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArrayJaccardKernel.intersectCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongArrayIntersectCount =
+    copy(left = l, right = r)
 }
 
 /** jaccard of two sorted array<bigint> columns -> double. */

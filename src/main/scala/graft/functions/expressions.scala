@@ -169,6 +169,8 @@ object funcs {
   def hashed_tokens(c: Column): Column = expr(HashedTokens(ex(c)))
   def jaccard_sorted_longs(l: Column, r: Column): Column =
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
+  def intersect_sorted_longs(l: Column, r: Column): Column =
+    expr(SortedLongArrayIntersectCount(ex(l), ex(r)))
   def minhash_sig(c: Column, q: Int, k: Int): Column = expr(MinHashSig(ex(c), q, k))
   def shingles_minhash(c: Column, q: Int, k: Int): Column =
     expr(ShinglesMinhash(ex(c), q, k))
@@ -209,6 +211,7 @@ object funcs {
       es(1).eval(null).asInstanceOf[Int])),
     "hashed_tokens" -> (es => HashedTokens(es(0))),
     "jaccard_sorted_longs" -> (es => SortedLongArrayJaccard(es(0), es(1))),
+    "intersect_sorted_longs" -> (es => SortedLongArrayIntersectCount(es(0), es(1))),
     "text_stats" -> (es => TextStats(es(0))),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "compression_ratio" -> (es => CompressionRatio(es(0))),

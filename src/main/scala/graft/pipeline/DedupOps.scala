@@ -68,6 +68,40 @@ object DedupOps {
         round(jac, 9).as("jaccard"))
   }
 
+  /** Asymmetric containment pairs: containment(A⊂B) = |A∩B| / |A| — the
+    * boilerplate/quotation detector Jaccard cannot express (a short doc
+    * fully contained in a long one has low Jaccard but containment 1).
+    * Same blocked-join shape as [[tokenJaccardPairs]] (hashed sorted
+    * longs, one native linear-merge intersection per candidate pair);
+    * emits a pair when EITHER direction clears the threshold, with both
+    * directions reported. Empty-token docs never qualify. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockKeys: Seq[Column], threshold: Double): DataFrame = {
+    val raw = widened(df, col(idCol).as("id") +: col(textCol).as("__text") +:
+      blockKeys.zipWithIndex.map { case (k, i) => k.as(s"bk$i") })
+    val withTok = raw.select(
+      (col("id") +:
+        graft.functions.funcs.hashed_tokens(col("__text")).as("toks") +:
+        blockKeys.indices.map(i => col(s"bk$i"))): _*)
+    val keys = blockKeys.indices.map(i => s"bk$i")
+    val l = withTok.alias("l")
+    val r = withTok.alias("r")
+    val joinCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduce(_ && _) && col("l.id") < col("r.id")
+    val inter = graft.functions.funcs
+      .intersect_sorted_longs(col("l.toks"), col("r.toks"))
+    val nl = size(col("l.toks")).cast("double")
+    val nr = size(col("r.toks")).cast("double")
+    // unrounded filter, rounded projection — see tokenJaccardPairs
+    l.join(r, joinCond)
+      .withColumn("__inter", inter)
+      .filter(col("__inter") > 0 &&
+        (col("__inter") / nl >= threshold || col("__inter") / nr >= threshold))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        round(col("__inter") / nl, 9).as("containment_l_in_r"),
+        round(col("__inter") / nr, 9).as("containment_r_in_l"))
+  }
+
   /** Character n-gram Jaccard pairs: same blocked-join shape as
     * [[tokenJaccardPairs]] but over shingle sets (hashed + sorted, linear-
     * merge verify) — catches near-dups that word-level sets miss

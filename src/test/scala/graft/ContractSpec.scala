@@ -54,6 +54,8 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       "dmetaphone_alt" -> "dmetaphone_alt('smith')",
       "qgram_tokenise" -> "qgram_tokenise('abcd', 2)",
       "simhash64" -> "simhash64(array('ab', 'cd'))",
+      "intersect_sorted_longs" ->
+        "intersect_sorted_longs(array(1L, 2L, 3L), array(2L, 3L, 4L))",
       "char_shingles" -> "char_shingles('abcdef', 3)",
       "hashed_shingles" -> "hashed_shingles('abcdef', 3)",
       "hashed_tokens" -> "hashed_tokens('a b c')",

@@ -258,6 +258,27 @@ class OpsSpec extends SparkSpec {
     assert(!pairSet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("containment pairs: short doc inside long doc, low jaccard, both directions") {
+    import graft.pipeline.DedupOps
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma"),           // fully contained in 1
+      (3L, "unrelated words entirely"),   // nothing shared
+      (4L, "beta alpha gamma"))           // same set as 2 (reordered)
+      .toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, "doc_id", "text",
+        Seq(lit(1)), threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // 2-in-1: containment 1.0 one way, 0.3 the other; jaccard is only 0.3
+    assert(out((1L, 2L)) == ((0.3, 1.0)))
+    assert(out((1L, 4L)) == ((0.3, 1.0)))
+    assert(out((2L, 4L)) == ((1.0, 1.0)))
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
   test("BPE-ish token counting: contraction splits, digit runs, punctuation") {
     import graft.pipeline.TextOps
     val out = TextOps.tokenCounts(
