@@ -569,6 +569,15 @@ object SparkEntry {
         Seq(col("lang"), col("source")), threshold = 0.5)
     }),
 
+    // dedup: MOSS winnowing fingerprints (Schleimer et al. 2003) — the
+    // guarantee-bearing document fingerprint selection (~2/(w+1) of the
+    // q-gram hashes, every match of length >= w+q-1 shares one)
+    "q_winnow" -> ((s, dir) => {
+      pq(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.funcs.winnow_fingerprints(col("text"), 8, 4))
+          .as("fp"))
+    }),
+
     // dedup: cross-document duplicated token spans (exact-substring dedup,
     // Lee et al. arXiv:2107.06499 re-shaped as window-hash + islands)
     "q_dup_spans" -> ((s, dir) => {
@@ -2522,6 +2531,28 @@ object SparkEntry {
         |   AND alpha_word_ratio > 0.8
         |   AND n_stop_hits >= 1 AS INT) AS keep
         |FROM feat""".stripMargin,
+
+    "q_winnow" -> {
+      def fnv(g: String) =
+        s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+          s"list_transform(range(1, len($g)+1), i2 -> ord(substr($g, CAST(i2 AS INT), 1))::HUGEINT)), " +
+          s"(h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $M64)"
+      s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+         |hs AS (SELECT doc_id,
+         |    CASE WHEN len(t) <= 8 THEN [${fnv("t")}]
+         |         ELSE list_transform(range(1, len(t) - 6), i -> ${fnv("substr(t, CAST(i AS INT), 8)")}) END AS h
+         |  FROM norm WHERE len(t) > 0),
+         |wins AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) <= 4 THEN [list_aggregate(h, 'min')]
+         |         ELSE list_transform(range(1, len(h) - 2),
+         |           s -> list_aggregate(h[s : s + 3], 'min')) END AS fps
+         |  FROM hs),
+         |fp AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM wins)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN f >= $Neg THEN f - $M64 ELSE f END AS BIGINT) AS fp
+         |FROM fp""".stripMargin
+    },
 
     "q_containment_pairs" ->
       """WITH t AS (

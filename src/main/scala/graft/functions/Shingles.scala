@@ -52,6 +52,55 @@ object ShingleKernel {
     new GenericArrayData(set.toArray(new Array[AnyRef](set.size)))
   }
 
+  /** Winnowed fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    * positional q-gram FNV hashes, then the MINIMUM (unsigned order) of
+    * every w-consecutive-hash window; distinct selected values, sorted
+    * (signed) for determinism. Guarantees every match of length
+    * >= w + q - 1 shares a fingerprint while storing ~2/(w+1) of the
+    * hashes. Documents shorter than one window yield the single minimum
+    * over all their hashes; empty text yields an empty array. One JVM
+    * pass, no per-window allocation. */
+  def winnowFingerprints(s: UTF8String, q: Int, w: Int): ArrayData = {
+    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = norm.length
+    val last = if (n <= q) 0 else n - q
+    val m = last + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + q, n)
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < end) { h ^= norm.charAt(j); h *= 0x100000001b3L; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var best = hs(0)
+      var k = 1
+      while (k < m) {
+        if (java.lang.Long.compareUnsigned(hs(k), best) < 0) best = hs(k)
+        k += 1
+      }
+      out.add(best)
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var best = hs(start)
+        var k = start + 1
+        while (k < start + w) {
+          if (java.lang.Long.compareUnsigned(hs(k), best) < 0) best = hs(k)
+          k += 1
+        }
+        out.add(best)
+        start += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** Sorted distinct FNV-1a 64 hashes of the lowercased whitespace-token
     * set — the token twin of [[hashedShingles]] (replaces the interpreted
     * `transform(array_distinct(split(...)), hash)` chain with one pass).
@@ -183,6 +232,22 @@ case class HashedShingles(child: Expression, q: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.hashedShingles($v, $q)")
   override protected def withNewChildInternal(c: Expression): HashedShingles = copy(child = c)
+}
+
+/** winnow_fingerprints(str, q, w) -> sorted distinct array<long> of the
+  * MOSS-winnowed q-gram fingerprint selection. */
+case class WinnowFingerprints(child: Expression, q: Int, w: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.winnowFingerprints(v.asInstanceOf[UTF8String], q, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.ShingleKernel.winnowFingerprints($v, $q, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
 }
 
 /** hashed_tokens(str) -> sorted distinct array<long> (FNV-1a 64). */

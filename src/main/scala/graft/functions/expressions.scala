@@ -171,6 +171,8 @@ object funcs {
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
   def intersect_sorted_longs(l: Column, r: Column): Column =
     expr(SortedLongArrayIntersectCount(ex(l), ex(r)))
+  def winnow_fingerprints(c: Column, q: Int, w: Int): Column =
+    expr(WinnowFingerprints(ex(c), q, w))
   def minhash_sig(c: Column, q: Int, k: Int): Column = expr(MinHashSig(ex(c), q, k))
   def shingles_minhash(c: Column, q: Int, k: Int): Column =
     expr(ShinglesMinhash(ex(c), q, k))
@@ -212,6 +214,8 @@ object funcs {
     "hashed_tokens" -> (es => HashedTokens(es(0))),
     "jaccard_sorted_longs" -> (es => SortedLongArrayJaccard(es(0), es(1))),
     "intersect_sorted_longs" -> (es => SortedLongArrayIntersectCount(es(0), es(1))),
+    "winnow_fingerprints" -> (es => WinnowFingerprints(es(0),
+      es(1).eval(null).asInstanceOf[Int], es(2).eval(null).asInstanceOf[Int])),
     "text_stats" -> (es => TextStats(es(0))),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "compression_ratio" -> (es => CompressionRatio(es(0))),

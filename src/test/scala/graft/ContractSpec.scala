@@ -56,6 +56,7 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       "simhash64" -> "simhash64(array('ab', 'cd'))",
       "intersect_sorted_longs" ->
         "intersect_sorted_longs(array(1L, 2L, 3L), array(2L, 3L, 4L))",
+      "winnow_fingerprints" -> "winnow_fingerprints('abcdefgh', 3, 4)",
       "char_shingles" -> "char_shingles('abcdef', 3)",
       "hashed_shingles" -> "hashed_shingles('abcdef', 3)",
       "hashed_tokens" -> "hashed_tokens('a b c')",

@@ -93,4 +93,37 @@ class StringSimSpec extends AnyFunSuite {
     assert(Phonetics.soundex("Honeyman") == "H555")
   }
 
+  test("winnowed fingerprints match an independent MOSS reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent FNV-1a + winnow implementation (not the kernel's code)
+    def fnv(s: String): Long =
+      s.foldLeft(0xcbf29ce484222325L)((h, c) => (h ^ c) * 0x100000001b3L)
+    def reference(text: String, q: Int, w: Int): Set[Long] = {
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (norm.isEmpty) return Set.empty
+      val grams =
+        if (norm.length <= q) Seq(norm)
+        else (0 to norm.length - q).map(i => norm.substring(i, i + q))
+      val hs = grams.map(fnv)
+      if (hs.length <= w) Set(hs.minBy(h => (h ^ Long.MinValue)))
+      else hs.sliding(w).map(_.minBy(h => (h ^ Long.MinValue))).toSet
+    }
+    def kernel(text: String, q: Int, w: Int): Set[Long] = {
+      val arr = graft.functions.ShingleKernel
+        .winnowFingerprints(UTF8String.fromString(text), q, w)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    val rnd = new scala.util.Random(3)
+    val samples = Seq("", "ab", "the quick brown fox jumps over the lazy dog",
+      "AAAA aaaa AAAA", "unicode: café naïve über") ++
+      (1 to 20).map(_ => (1 to rnd.nextInt(60)).map(_ =>
+        ('a' + rnd.nextInt(4)).toChar).mkString)
+    for (s <- samples; (q, w) <- Seq((3, 4), (8, 4), (5, 2)))
+      assert(kernel(s, q, w) == reference(s, q, w), s"text='$s' q=$q w=$w")
+    // the MOSS guarantee: any shared substring of length >= w + q - 1
+    // produces at least one shared fingerprint
+    val a = "prefix material SHARED COMMON RUN OF TEXT trailing bits"
+    val b = "other document start SHARED COMMON RUN OF TEXT and its end"
+    assert((kernel(a, 5, 4) intersect kernel(b, 5, 4)).nonEmpty)
+  }
 }
