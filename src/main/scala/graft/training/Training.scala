@@ -355,6 +355,125 @@ object Training {
       lambdaHistory.toSeq, mHistory.toSeq, uHistory.toSeq)
   }
 
+  /**
+   * The same EM fixed-point as [[emCore]], but with the E-step and M-step
+   * executed ON THE CLUSTER over a persisted agreement-pattern frame, so
+   * training survives a TF vocabulary too large to collect (the pattern
+   * count is bounded by the TF column's cardinality, which at 100 TB can
+   * be hundreds of millions). Per iteration: ONE Spark job evaluates the
+   * E-step probability as a codegen'd column expression (chained `when`
+   * lookups over the current driver-side m/u tables — no UDF) and reduces
+   * every per-level numerator/denominator plus λ in a single global
+   * aggregate; only that one row is collected. Arithmetic mirrors
+   * [[emCore]] term for term (same floors, sentinel defaults, TF
+   * recombination with the iteration's current u), so both paths converge
+   * to identical parameters up to float summation order.
+   *
+   * @param patternDf persisted frame with the gamma columns, the
+   *                  `__tft{j}` TF-term columns and a `n` pair count
+   */
+  def emCoreDistributed(patternDf: DataFrame, gammaColNames: Seq[String],
+      tfColNames: Seq[String], mInit: Array[Map[Int, Double]],
+      uInit: Array[Map[Int, Double]], lambdaInit: Double, fixU: Boolean,
+      maxIterations: Int, tolerance: Double, tfSpecs: Seq[TfSpec] = Nil,
+      fixM: Boolean = false, fixLambda: Boolean = false): EMCore = {
+    import org.apache.spark.sql.Column
+    val nComp = mInit.length
+    var m = mInit
+    var u = uInit
+    var lambda = lambdaInit
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val lambdaHistory = scala.collection.mutable.ArrayBuffer(lambdaInit)
+    val mHistory = scala.collection.mutable.ArrayBuffer(mInit)
+    val uHistory = scala.collection.mutable.ArrayBuffer(uInit)
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      iter += 1
+      // E-step column: p = pm / (pm + pu), factors in the same order as
+      // emCore (gamma lookups first, then TF adjustments)
+      def lookup(g: Column, tbl: Map[Int, Double]): Column = {
+        val default = lit(math.max(Model.UnobservedSentinel, Model.ProbFloor))
+        tbl.toSeq.sortBy(_._1).foldLeft(default: Column) {
+          case (acc, (k, v)) =>
+            when(g === lit(k), lit(math.max(v, Model.ProbFloor))).otherwise(acc)
+        }
+      }
+      var pm: Column = lit(lambda)
+      var pu: Column = lit(1 - lambda)
+      for (i <- 0 until nComp) {
+        val g = col(gammaColNames(i))
+        pm = pm * when(g >= 0, lookup(g, m(i))).otherwise(lit(1.0))
+        pu = pu * when(g >= 0, lookup(g, u(i))).otherwise(lit(1.0))
+      }
+      for (j <- tfSpecs.indices) {
+        val spec = tfSpecs(j)
+        val g = col(gammaColNames(spec.activeIdx))
+        val tft = col(tfColNames(j))
+        val adj = spec.weightByGamma.toSeq.sortBy(_._1)
+          .foldLeft(lit(1.0): Column) { case (acc, (gv, w)) =>
+            val uCur = math.max(
+              u(spec.activeIdx).getOrElse(gv, Model.UnobservedSentinel),
+              Model.ProbFloor)
+            val log2u = math.log(uCur) / math.log(2.0)
+            when(g === lit(gv) && !isnan(tft),
+              pow(lit(2.0), lit(w) * (lit(log2u) - tft))).otherwise(acc)
+          }
+        pm = pm * adj
+      }
+      val p = pm / (pm + pu)
+      val nCol = col("n").cast("double")
+      // one global aggregate: λ numerator, total n, and for every
+      // comparison the per-gamma numerators plus the g>=0 denominators
+      val aggs = scala.collection.mutable.ArrayBuffer[Column](
+        sum(col("__p") * nCol).as("__pn"), sum(nCol).as("__tot"))
+      for (i <- 0 until nComp) {
+        val g = col(gammaColNames(i))
+        aggs += sum(when(g >= 0, col("__p") * nCol).otherwise(lit(0.0)))
+          .as(s"__md_$i")
+        aggs += sum(when(g >= 0, (lit(1.0) - col("__p")) * nCol)
+          .otherwise(lit(0.0))).as(s"__ud_$i")
+        for (gv <- m(i).keys.toSeq.sorted) {
+          aggs += sum(when(g === lit(gv), col("__p") * nCol)
+            .otherwise(lit(0.0))).as(s"__mn_${i}_$gv")
+          aggs += sum(when(g === lit(gv), (lit(1.0) - col("__p")) * nCol)
+            .otherwise(lit(0.0))).as(s"__un_${i}_$gv")
+        }
+      }
+      val row = patternDf.withColumn("__p", p)
+        .agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+      def d(name: String): Double =
+        if (row.isNullAt(row.fieldIndex(name))) 0.0
+        else row.getDouble(row.fieldIndex(name))
+      val newM = if (fixM) m else Array.tabulate(nComp) { i =>
+        val denom = d(s"__md_$i")
+        m(i).keys.map(g => g -> (if (denom == 0) Model.UnobservedSentinel
+          else math.max(d(s"__mn_${i}_$g") / denom, 0.0))).toMap
+      }
+      val newU = if (fixU) u else Array.tabulate(nComp) { i =>
+        val denom = d(s"__ud_$i")
+        u(i).keys.map(g => g -> (if (denom == 0) Model.UnobservedSentinel
+          else math.max(d(s"__un_${i}_$g") / denom, 0.0))).toMap
+      }
+      val newLambda = if (fixLambda) lambda else d("__pn") / d("__tot")
+      val deltas =
+        (for (i <- 0 until nComp; g <- m(i).keys)
+          yield math.abs(newM(i)(g) - m(i)(g))) ++
+        (for (i <- 0 until nComp; g <- u(i).keys)
+          yield math.abs(newU(i)(g) - u(i)(g))) :+
+        math.abs(newLambda - lambda)
+      val maxDelta = deltas.max
+      history += maxDelta
+      m = newM; u = newU; lambda = newLambda
+      lambdaHistory += lambda
+      mHistory += m
+      uHistory += u
+      if (maxDelta < tolerance) converged = true
+    }
+    EMCore(m, u, lambda, iter, converged, history.toSeq,
+      lambdaHistory.toSeq, mHistory.toSeq, uHistory.toSeq)
+  }
+
   /** Result of one EM training session.
     * @param trainedLambda λ of the BLOCKED pair population the session saw
     * @param trainedLambdaGlobal λ mapped back to the full population by
@@ -440,14 +559,27 @@ object Training {
     val keyCols = gammaCols.map(col) ++
       tfComparisons.zipWithIndex.map { case ((c, _), j) =>
         c.tfTermColumn.as(s"__tft$j") }
-    val patternRows = cv.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("n")).collect()
-    val patterns = patternRows.map { r =>
-      Pattern(gammaCols.indices.map(i => r.getInt(i)).toArray,
-        r.getLong(keyCols.size),
-        tfComparisons.indices.map(j =>
-          r.getDouble(gammaCols.size + j)).toArray)
-    }
+    val tfColNames = tfComparisons.indices.map(j => s"__tft$j")
+    val patternDf = cv.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n")).persist()
+    // the pattern count is bounded by gamma-combination x TF-vocabulary
+    // cardinality; at 100 TB a high-cardinality TF column can push it past
+    // what the driver can hold, so above the cap the EM loop runs
+    // distributed and only per-level aggregates ever reach the driver
+    val spark = cv.sparkSession
+    val maxPatterns =
+      spark.conf.get("spark.graft.em.maxPatterns", "2000000").toLong
+    val nPatterns = patternDf.count()
+    val collectPatterns = nPatterns <= maxPatterns
+    val patterns: Array[Pattern] =
+      if (collectPatterns)
+        patternDf.collect().map { r =>
+          Pattern(gammaCols.indices.map(i => r.getInt(i)).toArray,
+            r.getLong(keyCols.size),
+            tfComparisons.indices.map(j =>
+              r.getDouble(gammaCols.size + j)).toArray)
+        }
+      else Array.empty
 
     // driver-side parameter tables
     val mInit = active.map { c =>
@@ -464,8 +596,13 @@ object Training {
     val lambdaInit = math.min(math.max(
       odds2prob(prob2odds(settings.probabilityTwoRandomRecordsMatch) * blockingBf),
       1e-8), 1 - 1e-8)
-    val core = emCore(patterns.toSeq, mInit, uInit, lambdaInit, fixU,
-      maxIterations, tolerance, tfSpecs, fixM, fixLambda)
+    val core =
+      if (collectPatterns)
+        emCore(patterns.toSeq, mInit, uInit, lambdaInit, fixU,
+          maxIterations, tolerance, tfSpecs, fixM, fixLambda)
+      else
+        emCoreDistributed(patternDf, gammaCols, tfColNames, mInit, uInit,
+          lambdaInit, fixU, maxIterations, tolerance, tfSpecs, fixM, fixLambda)
     val (m, u, lambda) = (core.m, core.u, core.lambda)
     val (iter, converged, history) = (core.iterations, core.converged, core.history)
 
@@ -476,10 +613,24 @@ object Training {
     // gammas this session actually saw: levels absent from every agreement
     // pattern record an observed=false session (excluded from the median),
     // mirroring LEVEL_NOT_OBSERVED_TEXT (`em_training_session.py:336-353`)
-    val seenGammas: Array[Set[Int]] = Array.tabulate(active.size) { i =>
-      patterns.iterator.filter(p => p.count > 0 && p.gammas(i) >= 0)
-        .map(_.gammas(i)).toSet
-    }
+    val seenGammas: Array[Set[Int]] =
+      if (collectPatterns)
+        Array.tabulate(active.size) { i =>
+          patterns.iterator.filter(p => p.count > 0 && p.gammas(i) >= 0)
+            .map(_.gammas(i)).toSet
+        }
+      else {
+        // one tiny aggregate: the distinct non-null gammas each active
+        // comparison actually saw (collect_set skips nulls from the when)
+        val row = patternDf.where(col("n") > 0)
+          .agg(collect_set(when(col(gammaCols.head) >= 0,
+              col(gammaCols.head))).as("s0"),
+            gammaCols.toIndexedSeq.zipWithIndex.drop(1).map { case (g, i) =>
+              collect_set(when(col(g) >= 0, col(g))).as(s"s$i") }: _*)
+          .collect()(0)
+        Array.tabulate(active.size)(i => row.getSeq[Int](i).toSet)
+      }
+    patternDf.unpersist()
     val trainedComparisons = settings.comparisons.map { c =>
       active.indexWhere(_.outputColumnName == c.outputColumnName) match {
         case -1 => c

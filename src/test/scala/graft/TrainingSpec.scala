@@ -136,6 +136,60 @@ class TrainingSpec extends SparkSpec {
     assert(uOf(Some(7L)) != uOf(Some(8L)))    // different seed, new sample
   }
 
+  test("EM above the pattern cap runs the distributed M-step and matches " +
+      "the driver path parameter-for-parameter") {
+    // high-cardinality TF column (email, 53 distinct values): with
+    // withTermFrequencies the agreement-pattern key extends by the TF term,
+    // so the pattern frame is big enough that a cap of 1 forces the
+    // distributed path while the default (2M) keeps the driver path
+    val many = (0 until 200).map(i =>
+      (i.toLong, s"n${i % 6}", s"s${i % 8}", s"d${i % 4}", s"e${i % 53}"))
+      .toDF("unique_id", "first_name", "surname", "dob", "email")
+    val s = LinkSettings(
+      linkType = LinkType.DedupeOnly,
+      blockingRules = Seq(BlockingRule.blockOn("surname")),
+      comparisons = Seq(
+        Comparison("dob", Seq(ll.nullLevel("dob"),
+          ll.exactMatch("dob"), ll.elseLevel)),
+        Comparison("email", Seq(ll.nullLevel("email"),
+          ll.exactMatch("email", tfAdjustment = true), ll.elseLevel))),
+      probabilityTwoRandomRecordsMatch = 0.05)
+    // tolerance 0 -> both paths run exactly maxIterations iterations, so
+    // the comparison is never sensitive to a convergence-boundary flip
+    def run() = Training.expectationMaximisation(Seq("t" -> many), s,
+      BlockingRule.blockOn("surname"), fixU = false, maxIterations = 6,
+      tolerance = 0.0, withTermFrequencies = true)
+    val driver = run()
+    spark.conf.set("spark.graft.em.maxPatterns", "1")
+    val dist =
+      try run() finally spark.conf.unset("spark.graft.em.maxPatterns")
+    assert(driver.iterations == 6 && dist.iterations == 6)
+    driver.lambdaHistory.zip(dist.lambdaHistory).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"λ $a vs $b") }
+    def compareHist(a: Seq[Array[Map[Int, Double]]],
+        b: Seq[Array[Map[Int, Double]]], what: String): Unit =
+      a.zip(b).zipWithIndex.foreach { case ((ma, mb), it) =>
+        ma.zip(mb).foreach { case (ta, tb) =>
+          assert(ta.keySet == tb.keySet)
+          ta.foreach { case (g, v) =>
+            assert(math.abs(v - tb(g)) < 1e-9,
+              s"$what iter $it gamma $g: $v vs ${tb(g)}") }
+        }
+      }
+    compareHist(driver.mHistory, dist.mHistory, "m")
+    compareHist(driver.uHistory, dist.uHistory, "u")
+    // trained sessions merged back identically (incl. unobserved handling)
+    driver.settings.comparisons.zip(dist.settings.comparisons).foreach {
+      case (ca, cb) => ca.levels.zip(cb.levels).foreach { case (la, lb) =>
+        assert(la.m.isDefined == lb.m.isDefined)
+        for (va <- la.m; vb <- lb.m)
+          assert(math.abs(va - vb) < 1e-9, s"${ca.outputColumnName} m")
+        for (va <- la.u; vb <- lb.u)
+          assert(math.abs(va - vb) < 1e-9, s"${ca.outputColumnName} u")
+      }
+    }
+  }
+
   test("populateLambdaFromTrainedValues adopts the session's global lambda") {
     val linker = new Linker(people, settings)
     val before = linker.settings.probabilityTwoRandomRecordsMatch
