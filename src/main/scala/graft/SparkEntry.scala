@@ -1025,6 +1025,36 @@ object SparkEntry {
           col("unique_id_r").cast("bigint").as("uid_r"), col("is_bridge"))
     }),
 
+    // §2.11 articulation (cut) vertices over the same closed-form family as
+    // q_bridges: even clusters are triangles (no cut vertex), odd clusters
+    // a triangle at a hub carrying two pendants (only the hub cuts).
+    // maxClusterSize=3 sends every odd cluster through the distributed
+    // Tarjan–Vishkin pass and every even one through the task-side Tarjan,
+    // so the oracle covers both physical paths.
+    "q_articulation" -> ((s, dir) => {
+      val base = pq(s, dir, "customer")
+        .select((col("c_custkey").cast("long") * 10).as("b"),
+          (col("c_custkey") % 2).as("odd"))
+      def e(l: Column, r: Column) = struct(l.as("l"), r.as("r"))
+      val edges = base.select(explode(when(col("odd") === 0, array(
+            e(col("b"), col("b") + 1), e(col("b") + 1, col("b") + 2),
+            e(col("b"), col("b") + 2)))
+          .otherwise(array(
+            e(col("b"), col("b") + 1), e(col("b"), col("b") + 2),
+            e(col("b"), col("b") + 3), e(col("b"), col("b") + 4),
+            e(col("b") + 1, col("b") + 2))))
+          .as("ed"))
+        .select(col("ed.l").as("unique_id_l"), col("ed.r").as("unique_id_r"))
+      val clusters = base.select(col("b"), explode(when(col("odd") === 0,
+          sequence(col("b"), col("b") + 2))
+          .otherwise(sequence(col("b"), col("b") + 4))).as("node_id"))
+        .select(col("node_id"), col("b").as("cluster_id"))
+      ClusteringOps.articulationPoints(clusters, edges, maxClusterSize = 3,
+          distributeOversize = true)
+        .select(col("cluster_id"), col("node_id").cast("bigint"),
+          col("is_articulation"))
+    }),
+
     // §2.3 deterministic (rules-only) link: blocked pairs re-joined to full
     // records without scoring (`linker_components/inference.py`
     // deterministic_link)
@@ -2182,6 +2212,19 @@ object SparkEntry {
         |              ELSE [b+1, b+2, b+3, b+4, b+2] END) AS uid_r,
         |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
         |              ELSE [false, false, true, true, false] END) AS is_bridge
+        |FROM k""".stripMargin,
+
+    "q_articulation" ->
+      """WITH k AS (
+        |  SELECT CAST(c_custkey AS BIGINT) * 10 AS b, c_custkey % 2 AS odd
+        |  FROM customer
+        |)
+        |SELECT CAST(b AS VARCHAR) AS cluster_id,
+        |  unnest(CASE WHEN odd = 0 THEN [b, b+1, b+2]
+        |              ELSE [b, b+1, b+2, b+3, b+4] END) AS node_id,
+        |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
+        |              ELSE [true, false, false, false, false] END)
+        |    AS is_articulation
         |FROM k""".stripMargin,
 
     "q_node_metrics" ->

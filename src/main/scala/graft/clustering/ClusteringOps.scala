@@ -544,20 +544,36 @@ object ClusteringOps {
    * size, size-adjusted centrality degree/(size-1).
    */
   def nodeMetrics(clusters: DataFrame, edges: DataFrame,
-      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r"): DataFrame = {
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
+      withArticulation: Boolean = false): DataFrame = {
     // one explode, not a union of two selects: a union evaluates the edge
     // plan (often a full predict pipeline) twice
     val deg = edges
       .select(explode(array(col(srcCol), col(dstCol))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("degree"))
     val w = Window.partitionBy("cluster_id")
-    clusters.join(deg, Seq("node_id"), "left")
+    val base = clusters.join(deg, Seq("node_id"), "left")
       .withColumn("degree", coalesce(col("degree"), lit(0L)))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("centrality",
         when(col("cluster_size") > 1,
           col("degree").cast("double") / (col("cluster_size") - 1))
           .otherwise(lit(0.0)))
+    if (!withArticulation) base
+    else {
+      // igraph-parity column (`graph_metrics.py:116-170` users call
+      // igraph.articulation_points next to these metrics); size-adaptive,
+      // no ceiling — oversize clusters go through the distributed pass
+      val cuts = articulationPoints(clusters, edges, srcCol, dstCol,
+          distributeOversize = true)
+        .select(col("cluster_id").cast("string").as("__ap_cid"),
+          col("node_id"), col("is_articulation"))
+      base.join(cuts,
+          base("node_id") === cuts("node_id") &&
+            base("cluster_id").cast("string") === col("__ap_cid"), "left")
+        .select(base.columns.map(base(_)).toIndexedSeq :+
+          coalesce(col("is_articulation"), lit(false)).as("is_cut_vertex"): _*)
+    }
   }
 
   /**
@@ -684,6 +700,127 @@ object ClusteringOps {
               }
           }
         }
+      }
+    }
+    out.toSet
+  }
+
+  /**
+   * Articulation (cut) vertices per cluster — the vertex analogue of
+   * [[edgeBridges]], matching what igraph's `articulation_points` gives
+   * reference users next to bridges (`edge_metrics.py:28-60`,
+   * `graph_metrics.py:116-170`). Same size-adaptive shape: clusters up to
+   * `maxClusterSize` run a task-side linear-time Tarjan inside flatMap
+   * (parallel across clusters, no driver collect); above it the call
+   * fails loudly, keeps nodes with NULL (`skipOversize`), or solves
+   * exactly with the fully distributed Tarjan–Vishkin pass in
+   * [[DistributedBridges.articulationPoints]] (`distributeOversize`, no
+   * size ceiling).
+   *
+   * @return one row per clustered node: (cluster_id, node_id, is_articulation)
+   */
+  def articulationPoints(clusters: DataFrame, edges: DataFrame,
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
+      maxClusterSize: Int = 10000, skipOversize: Boolean = false,
+      distributeOversize: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val withCluster = edges.alias("e")
+      .join(clusters.alias("c"), col(s"e.$srcCol") === col("c.node_id"))
+      .select(col("c.cluster_id").as("cluster_id"),
+        col(s"e.$srcCol").cast("long").as("a"), col(s"e.$dstCol").cast("long").as("b"))
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .breakLineage()
+    val oversizedIds = sizes.filter(col("n") > maxClusterSize)
+    if (!skipOversize && !distributeOversize) {
+      val oversized = oversizedIds.orderBy(desc("n")).limit(5).collect()
+      if (oversized.nonEmpty) {
+        val desc = oversized.map(r => s"${r.get(0)} (${r.get(1)} nodes)")
+          .mkString(", ")
+        throw new IllegalArgumentException(
+          s"articulationPoints: cluster(s) exceed maxClusterSize=" +
+            s"$maxClusterSize: $desc. Pass distributeOversize=true to solve " +
+            "them exactly with the distributed algorithm (no size ceiling), " +
+            "raise maxClusterSize, or pass skipOversize=true to keep their " +
+            "nodes with is_articulation=NULL.")
+      }
+    }
+    val small = withCluster.join(sizes.filter(col("n") <= maxClusterSize),
+      Seq("cluster_id"), "left_semi")
+    val perCluster = small.groupBy("cluster_id")
+      .agg(collect_list(struct(col("a"), col("b"))).as("es"))
+    val flagged = perCluster.flatMap { row =>
+      val cid = row.get(0)
+      val es = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val cuts = findArticulationPoints(es)
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => (cid.toString, n, Option(cuts.contains(n))))
+    }.toDF("cluster_id", "node_id", "is_articulation")
+    if (distributeOversize) {
+      if (oversizedIds.limit(1).collect().isEmpty) return flagged
+      val big = withCluster.join(oversizedIds, Seq("cluster_id"), "left_semi")
+        .select(col("cluster_id"), col("a").as(srcCol), col("b").as(dstCol))
+      val distributed = DistributedBridges
+        .articulationPoints(big, srcCol, dstCol)
+        .select(col("cluster_id").cast("string"), col("node").as("node_id"),
+          col("is_articulation").cast("boolean"))
+      // rebuild from the RDD before the union (same Catalyst
+      // originConstraints hazard as edgeBridges)
+      val clean = spark.createDataFrame(distributed.rdd, distributed.schema)
+      flagged.unionByName(clean)
+    } else if (skipOversize) flagged.unionByName(withCluster
+      .join(oversizedIds, Seq("cluster_id"), "left_semi")
+      .select(col("cluster_id").cast("string"),
+        explode(array(col("a"), col("b"))).as("node_id"))
+      .distinct()
+      .select(col("cluster_id"), col("node_id"),
+        lit(null).cast("boolean").as("is_articulation")))
+    else flagged
+  }
+
+  /** Tarjan DFS articulation points over an undirected edge list
+    * (task-side). Parallel edges and self-loops never change vertex
+    * connectivity, so the input is deduped up front. */
+  def findArticulationPoints(edges: Seq[(Long, Long)]): Set[Long] = {
+    val uniq = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.filter { case (a, b) => a != b }
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, Int)]]
+    uniq.zipWithIndex.foreach { case ((a, b), i) =>
+      adj(a) = (b, i) :: adj.getOrElse(a, Nil)
+      adj(b) = (a, i) :: adj.getOrElse(b, Nil)
+    }
+    val disc = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val rootChildren = scala.collection.mutable.Map.empty[Long, Int]
+    val out = scala.collection.mutable.Set.empty[Long]
+    var timer = 0
+    adj.keys.foreach { root =>
+      if (!disc.contains(root)) {
+        val stack = scala.collection.mutable.Stack[(Long, Int, List[(Long, Int)])]()
+        disc(root) = timer; low(root) = timer; timer += 1
+        stack.push((root, -1, adj(root)))
+        while (stack.nonEmpty) {
+          val (v, pe, rest) = stack.pop()
+          rest match {
+            case (w, ei) :: tail =>
+              stack.push((v, pe, tail))
+              if (!disc.contains(w)) {
+                disc(w) = timer; low(w) = timer; timer += 1
+                stack.push((w, ei, adj(w)))
+              } else if (ei != pe) {
+                low(v) = math.min(low(v), disc(w))
+              }
+            case Nil =>
+              if (stack.nonEmpty) {
+                val (p, ppe, _) = stack.top
+                low(p) = math.min(low(p), low(v))
+                if (ppe == -1) rootChildren(p) = rootChildren.getOrElse(p, 0) + 1
+                else if (low(v) >= disc(p)) out += p
+              }
+          }
+        }
+        if (rootChildren.getOrElse(root, 0) >= 2) out += root
       }
     }
     out.toSet

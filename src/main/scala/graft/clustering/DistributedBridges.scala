@@ -1,6 +1,7 @@
 package graft.clustering
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Materialise.Ops
 
@@ -51,13 +52,17 @@ object DistributedBridges {
   private def freshen(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
 
-  /**
-   * @param edges frame with columns (cluster_id, srcCol, dstCol); every
-   *              cluster must be connected (the contract of CC output)
-   * @return one row per input edge: (cluster_id, srcCol, dstCol, is_bridge)
-   */
-  def bridges(edges: DataFrame, srcCol: String = "unique_id_l",
-      dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame = {
+  /** BFS spanning forest shared by [[bridges]] and [[articulationPoints]].
+    * @param in      (cluster_id, a, b) original edges, lineage-free
+    * @param pairs   (cluster_id, u, v, mult) distinct undirected pairs
+    * @param visited (cluster_id, node, parent, depth) one row per node;
+    *                parent null at the root (= min node id of the cluster)
+    * @param depth   max BFS depth reached */
+  private case class Forest(in: DataFrame, pairs: DataFrame,
+      visited: DataFrame, depth: Int)
+
+  private def buildForest(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int): Forest = {
     val spark = edges.sparkSession
     // materialise once, then rebuild from the RDD: the caller's lineage can
     // carry join constraints referencing attributes pruned from this
@@ -133,6 +138,21 @@ object DistributedBridges {
       frontier = next
     }
     val visited = levels.map(freshen).reduce(_.unionByName(_))
+    Forest(in, pairs, visited, depth)
+  }
+
+  /**
+   * @param edges frame with columns (cluster_id, srcCol, dstCol); every
+   *              cluster must be connected (the contract of CC output)
+   * @return one row per input edge: (cluster_id, srcCol, dstCol, is_bridge)
+   */
+  def bridges(edges: DataFrame, srcCol: String = "unique_id_l",
+      dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame = {
+    val forest = buildForest(edges, srcCol, dstCol, maxRounds)
+    val in = forest.in
+    val pairs = forest.pairs
+    val visited = forest.visited
+    val depth = forest.depth
 
     // tree edges as undirected pairs, keyed by their CHILD node (no
     // checkpoint: visited is a union of materialised level RDDs)
@@ -216,5 +236,193 @@ object DistributedBridges {
       .select(col("i.cluster_id").as("cluster_id"),
         col("i.a").as(srcCol), col("i.b").as(dstCol),
         coalesce(col("is_bridge"), lit(false)).as("is_bridge"))
+  }
+
+  /**
+   * Fully distributed articulation (cut) vertices — the scale companion to
+   * [[bridges]] for graphs too large for the per-task Tarjan in
+   * [[ClusteringOps.articulationPoints]] (the reference's igraph driver
+   * path, `graph_metrics.py:116-170` / `edge_metrics.py:28-60`, has no
+   * distributed story at all).
+   *
+   * Algorithm: Tarjan–Vishkin biconnectivity (1985) over the same BFS
+   * spanning forest as [[bridges]] — chosen precisely because it works on
+   * an ARBITRARY rooted spanning tree (its original point was avoiding
+   * DFS, which doesn't parallelise). Aux graph over tree edges (each
+   * identified with its child endpoint):
+   *
+   *  - rule A: each non-tree edge {x,y} with x,y unrelated links tree
+   *    edges (p(x),x)—(p(y),y). In a BFS tree non-tree edges connect
+   *    nodes whose depths differ by at most one, so EVERY non-tree edge
+   *    is an unrelated pair (a depth-1 difference with ancestry would be
+   *    the tree edge itself; duplicate copies of tree pairs form 2-cycles
+   *    that link nothing and are excluded).
+   *  - rule B: tree edge (v,c) links to (p(v),v) iff some non-tree edge
+   *    leaves subtree(c) to strictly outside subtree(v) — tested exactly
+   *    with preorder intervals: low(c) < pre(v) or high(c) >= pre(v)+nd(v).
+   *
+   * Biconnected components = connected components of the aux graph; a
+   * non-root v is a cut vertex iff some child edge lies in a different
+   * component than v's parent edge, and the root iff its child edges span
+   * more than one component.
+   *
+   * nd (subtree size) folds bottom-up, preorder numbers fold top-down,
+   * low/high fold bottom-up — each by the same depth-peeling as the XOR
+   * fold in [[bridges]] (O(V) work per fold across `depth` rounds), and
+   * the aux component solve reuses [[ConnectedComponents]] (driver
+   * union-find below its small-graph gate, distributed loop above). All
+   * shuffles key on (cluster_id, node): no cluster ever materialises on
+   * one machine.
+   *
+   * @param edges (cluster_id, srcCol, dstCol); clusters must be connected
+   * @return one row per node: (cluster_id, node, is_articulation)
+   */
+  def articulationPoints(edges: DataFrame, srcCol: String = "unique_id_l",
+      dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame = {
+    val forest = buildForest(edges, srcCol, dstCol, maxRounds)
+    val pairs = forest.pairs
+    val visited = forest.visited.breakLineage()
+    val depth = forest.depth
+    val peelCadence = math.max(8, math.ceil(depth / 12.0).toInt)
+
+    val tree = visited.filter(col("parent").isNotNull)
+    val treeKeys = tree.select(col("cluster_id"),
+      least(col("node"), col("parent")).as("u"),
+      greatest(col("node"), col("parent")).as("v"))
+    // duplicate copies of tree pairs form 2-cycles through no internal
+    // vertex — they affect bridges but never cut vertices, so they are
+    // excluded here outright
+    val nonTree = pairs
+      .join(treeKeys, Seq("cluster_id", "u", "v"), "left_anti")
+      .select(col("cluster_id"), col("u"), col("v"))
+      .breakLineage()
+
+    // ---- fold 1 (bottom-up): subtree sizes nd ------------------------
+    val byDepthNd = scala.collection.mutable.Map[Int, DataFrame]()
+    (0 to depth).foreach(d => byDepthNd(d) =
+      freshen(visited.filter(col("depth") === d).withColumn("nd", lit(1L))))
+    var d = depth
+    while (d >= 1) {
+      val up = byDepthNd(d).groupBy(col("cluster_id"),
+          col("parent").as("node")).agg(sum(col("nd")).as("up"))
+      byDepthNd(d - 1) = byDepthNd(d - 1).alias("l")
+        .join(up.alias("f"), Seq("cluster_id", "node"), "left")
+        .select(col("cluster_id").as("cluster_id"), col("node").as("node"),
+          col("parent").as("parent"), col("depth").as("depth"),
+          (col("nd") + coalesce(col("up"), lit(0L))).as("nd"))
+      if (d % peelCadence == 0) byDepthNd(d - 1) = byDepthNd(d - 1).breakLineage()
+      d -= 1
+    }
+    val nd = byDepthNd.values.reduce(_.unionByName(_))
+      .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
+        col("nd")).breakLineage()
+
+    // ---- fold 2 (top-down): preorder numbers, children in id order ---
+    // offset(c) = total subtree size of smaller-id siblings
+    val sibW = Window.partitionBy("cluster_id", "parent").orderBy("node")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kids = nd.filter(col("parent").isNotNull)
+      .withColumn("offset", coalesce(sum(col("nd")).over(sibW), lit(0L)))
+    val preByDepth = scala.collection.mutable.Map[Int, DataFrame](
+      0 -> freshen(nd.filter(col("depth") === 0)
+        .select(col("cluster_id"), col("node"), lit(0L).as("pre"))))
+    d = 1
+    while (d <= depth) {
+      preByDepth(d) = kids.filter(col("depth") === d).alias("k")
+        .join(preByDepth(d - 1).alias("p"),
+          col("k.cluster_id") === col("p.cluster_id") &&
+            col("k.parent") === col("p.node"))
+        .select(col("k.cluster_id").as("cluster_id"),
+          col("k.node").as("node"),
+          (col("p.pre") + lit(1L) + col("k.offset")).as("pre"))
+      if (d % peelCadence == 0) preByDepth(d) = preByDepth(d).breakLineage()
+      d += 1
+    }
+    val pre = preByDepth.values.map(freshen).reduce(_.unionByName(_))
+      .breakLineage()
+
+    // ---- fold 3 (bottom-up): low/high of non-tree-neighbour preorders -
+    val ntAdj = nonTree.select(col("cluster_id"), explode(array(
+        struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("cluster_id"), col("e.node"), col("e.nbr"))
+      .join(pre.select(col("cluster_id"), col("node").as("nbr"),
+        col("pre").as("nbr_pre")), Seq("cluster_id", "nbr"))
+      .groupBy("cluster_id", "node")
+      .agg(min(col("nbr_pre")).as("nt_min"), max(col("nbr_pre")).as("nt_max"))
+    val lhInit = nd.join(pre, Seq("cluster_id", "node"))
+      .join(ntAdj, Seq("cluster_id", "node"), "left")
+      .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
+        least(col("pre"), coalesce(col("nt_min"), col("pre"))).as("low"),
+        greatest(col("pre"), coalesce(col("nt_max"), col("pre"))).as("high"))
+      .breakLineage()
+    val byDepthLh = scala.collection.mutable.Map[Int, DataFrame]()
+    (0 to depth).foreach(dd => byDepthLh(dd) =
+      freshen(lhInit.filter(col("depth") === dd)))
+    d = depth
+    while (d >= 1) {
+      val up = byDepthLh(d).groupBy(col("cluster_id"),
+          col("parent").as("node"))
+        .agg(min(col("low")).as("low_up"), max(col("high")).as("high_up"))
+      byDepthLh(d - 1) = byDepthLh(d - 1).alias("l")
+        .join(up.alias("f"), Seq("cluster_id", "node"), "left")
+        .select(col("cluster_id").as("cluster_id"), col("node").as("node"),
+          col("parent").as("parent"), col("depth").as("depth"),
+          least(col("low"), coalesce(col("low_up"), col("low"))).as("low"),
+          greatest(col("high"), coalesce(col("high_up"), col("high")))
+            .as("high"))
+      if (d % peelCadence == 0) byDepthLh(d - 1) = byDepthLh(d - 1).breakLineage()
+      d -= 1
+    }
+    val lowHigh = byDepthLh.values.reduce(_.unionByName(_))
+      .select(col("cluster_id"), col("node"), col("parent"), col("low"),
+        col("high"))
+
+    // ---- aux graph links + component solve ---------------------------
+    // rule B needs the PARENT's preorder interval next to each child
+    val parentIv = nd.filter(col("depth") >= 1)
+      .join(pre, Seq("cluster_id", "node"))
+      .select(col("cluster_id"), col("node").as("parent"),
+        col("pre").as("p_pre"), col("nd").as("p_nd"))
+    val ruleB = lowHigh.filter(col("parent").isNotNull)
+      .join(parentIv, Seq("cluster_id", "parent"))
+      .filter(col("low") < col("p_pre") ||
+        col("high") >= col("p_pre") + col("p_nd"))
+      .select(col("cluster_id"), col("node").as("x"), col("parent").as("y"))
+    val ruleA = nonTree
+      .select(col("cluster_id"), col("u").as("x"), col("v").as("y"))
+    val auxEdges = ruleA.unionByName(ruleB)
+      .select(xxhash64(col("cluster_id"), col("x")).as("s"),
+        xxhash64(col("cluster_id"), col("y")).as("t"))
+    val auxComp = ConnectedComponents.run(auxEdges, "s", "t")
+      .select(col("node_id").as("aux_id"), col("cluster_id").as("comp"))
+
+    // parent-edge component per non-root node; aux-isolated nodes keep
+    // their own id as a singleton component
+    val comp = visited.filter(col("parent").isNotNull)
+      .withColumn("aux_id", xxhash64(col("cluster_id"), col("node")))
+      .join(auxComp, Seq("aux_id"), "left")
+      .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
+        coalesce(col("comp"), col("aux_id")).as("comp"))
+      .breakLineage()
+
+    // ---- verdicts ----------------------------------------------------
+    val childComps = comp.select(col("cluster_id"),
+      col("parent").as("node"), col("comp").as("child_comp"))
+    val verdict = visited.alias("n")
+      .join(comp.select(col("cluster_id"), col("node"),
+        col("comp").as("own_comp")).alias("oc"),
+        Seq("cluster_id", "node"), "left")
+      .join(childComps, Seq("cluster_id", "node"), "left")
+      .groupBy(col("cluster_id"), col("node"))
+      .agg(first(col("own_comp")).as("own_comp"),
+        count(col("child_comp")).as("n_children"),
+        countDistinct(col("child_comp")).as("n_child_comps"),
+        max(when(col("child_comp") =!= col("own_comp"), 1)
+          .otherwise(0)).as("any_foreign"))
+    verdict.select(col("cluster_id"), col("node"),
+      when(col("n_children") === 0, lit(false))
+        .when(col("own_comp").isNull, col("n_child_comps") > 1)
+        .otherwise(col("any_foreign") === 1).as("is_articulation"))
   }
 }
