@@ -90,6 +90,14 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
       try df.unpersist() catch { case _: Throwable => () }
     }
     concatWithTfCache = None
+    // release the materialised pairs copy, not just the reference: under
+    // persist/checkpoint Materialise policies the eager breakLineage in
+    // computeBlockedPairsForPredict holds storage the reference's
+    // delete_tables_created_by_splink_from_db would drop
+    registeredBlockedPairs.foreach { df =>
+      try Materialise.release(df) catch { case _: Throwable => () } // parquet
+      try df.unpersist() catch { case _: Throwable => () }          // persist
+    }
     registeredBlockedPairs = None
     tfLookups.clear()
   }
@@ -211,6 +219,44 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   object training {
     import graft.training.Training
 
+    /** EM sessions recorded on this linker: (session's final λ in the
+      * blocked population, deactivated comparison names). Accumulated
+      * across calls like the reference's `_em_training_sessions`. */
+    private val emSessions =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[String])]
+
+    /** The reference's populate_probability_two_random_records_match_
+      * from_trained_values (`linker.py:383-457`): for EVERY accumulated EM
+      * session, reverse the blocked population's enrichment by dividing the
+      * session λ's Bayes factor by each deactivated comparison's exact-level
+      * factor — using the CURRENT trained m/u medians when the level has
+      * estimated values, its default factor otherwise — then adopt
+      * 1/median(1/p) over the per-session estimates as the model prior. */
+    def populateProbabilityTwoRandomRecordsMatchFromTrainedValues()
+        : LinkSettings = {
+      require(emSessions.nonEmpty,
+        "populateProbabilityTwoRandomRecordsMatchFromTrainedValues needs at " +
+          "least one EM training session on this linker")
+      val recips = emSessions.toSeq.map { case (lam, deactivated) =>
+        val clamped = math.min(math.max(lam, 1e-12), 1 - 1e-12)
+        var bf = clamped / (1 - clamped)
+        deactivated.foreach { name =>
+          val c = settings.comparisonByName(name)
+          val lv = c.activeLevelsWithGamma.maxBy(_._2)._1
+          val levelBf =
+            if (lv.trainedM.exists(_.observed) && lv.trainedU.exists(_.observed))
+              math.max(Model.medianObserved(lv.trainedM), Model.ProbFloor) /
+                math.max(Model.medianObserved(lv.trainedU), Model.ProbFloor)
+            else math.pow(2.0, lv.matchWeight)
+          bf = bf / levelBf
+        }
+        (1 + bf) / bf  // 1/p for p = bf/(1+bf)
+      }
+      settings = settings.copy(
+        probabilityTwoRandomRecordsMatch = 1.0 / Model.median(recips))
+      settings
+    }
+
     /** u from random sampling (`estimate_u.py:330-560`); `seed` draws an
       * independent deterministic sample (`training.py:166`). */
     def estimateU(maxPairs: Long = 1000000L,
@@ -242,14 +288,14 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
         trainingRule, fixU, settings.maxIterations, settings.emConvergence,
         withTermFrequencies = withTermFrequencies, fixM = fixM,
         fixLambda = fixLambda)
+      settings = result.settings
+      emSessions += ((result.trainedLambda, result.deactivated))
       // populate_probability_two_random_records_match_from_trained_values
-      // (training.py:238): adopt the session's back-adjusted global λ as
-      // the model prior
-      settings =
-        if (populateLambdaFromTrainedValues)
-          result.settings.copy(
-            probabilityTwoRandomRecordsMatch = result.trainedLambdaGlobal)
-        else result.settings
+      // (training.py:238 -> linker.py:383-457): the prior becomes
+      // 1/median(1/p) over ALL accumulated sessions' back-adjusted λs,
+      // re-reversed against the settings as trained so far
+      if (populateLambdaFromTrainedValues)
+        populateProbabilityTwoRandomRecordsMatchFromTrainedValues()
       result
     }
 

@@ -494,13 +494,19 @@ object DedupOps {
         col("n_windows"))
   }
 
-  /** Remove cross-document duplicated spans, keeping one copy corpus-wide
-    * — the "apply" step of exact-substring dedup (Lee et al.
-    * arXiv:2107.06499 remove all-but-one occurrence). Each duplicated
-    * k-token window is owned by the smallest document id that contains it;
-    * every token of a window occurring in a NON-owning document is
-    * dropped, so the owning document always retains the text. Output text
-    * is single-space re-joined tokens (whitespace-normalised).
+  /** Remove cross-document duplicated spans — the "apply" step of
+    * exact-substring dedup (Lee et al. arXiv:2107.06499 remove
+    * all-but-one occurrence). Each duplicated k-token window is owned by
+    * the smallest document id that contains it; every token of a window
+    * occurring in a NON-owning document is dropped. Retention is
+    * PER-WINDOW, not per-span: a document keeps the tokens of windows it
+    * owns unless a DIFFERENT overlapping duplicated window owned by a
+    * third document covers them, so an exact duplicated substring can in
+    * principle vanish from every document when ownership of its
+    * overlapping windows is split (same property as the reference
+    * implementation of the paper, which cuts each marked byte range
+    * independently). Output text is single-space re-joined tokens
+    * (whitespace-normalised).
     *
     * Same scale shape as [[duplicatedSpans]], plus one bounded
     * `collect_set` of foreign window starts per document (list size <=

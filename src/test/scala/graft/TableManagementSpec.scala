@@ -60,6 +60,22 @@ class TableManagementSpec extends SparkSpec {
     assert(linker.predictChunked(2).count() == linker.predict().count())
   }
 
+  test("invalidateCache releases the materialised blocked-pairs copy " +
+      "(persist policy: storage freed, not just the reference dropped)") {
+    import graft.operators.Materialise
+    Materialise.withSessionPolicy(spark, Materialise.PersistPolicy) {
+      val linker = new Linker(records, settings)
+      val pairs = linker.computeBlockedPairsForPredict()
+      assert(pairs.storageLevel.useMemory || pairs.storageLevel.useDisk,
+        "compute should have persisted the pairs frame")
+      linker.invalidateCache()
+      assert(pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "invalidateCache must unpersist the materialised pairs copy")
+      // and predict still works from scratch afterwards
+      assert(linker.predict().count() == 4)
+    }
+  }
+
   test("registerBlockedPairsForPredict validates the frame's columns") {
     val linker = new Linker(records, settings)
     val bad = Seq((0L, 2L)).toDF("join_key_l", "join_key_r")

@@ -197,8 +197,48 @@ class TrainingSpec extends SparkSpec {
       .estimateParametersUsingExpectationMaximisation(
         BlockingRule.blockOn("surname"),
         populateLambdaFromTrainedValues = true)
-    assert(linker.settings.probabilityTwoRandomRecordsMatch ==
-      result.trainedLambdaGlobal)
+    // single session, no deactivated comparisons (surname is not a
+    // comparison column): the median-of-reciprocals degenerates to the
+    // session's own back-adjusted global lambda
+    assert(math.abs(linker.settings.probabilityTwoRandomRecordsMatch -
+      result.trainedLambdaGlobal) < 1e-12)
     assert(linker.settings.probabilityTwoRandomRecordsMatch != before)
+  }
+
+  test("populateLambdaFromTrainedValues takes 1/median(1/p) over ALL " +
+      "accumulated EM sessions, reversing with trained medians") {
+    // two sessions with different blocking rules; each deactivates one
+    // comparison, so the reversal path (trained-median Bayes factors)
+    // exercises both branches of linker.py:383-457
+    val linker = new Linker(people, settings)
+    val r1 = linker.training.estimateParametersUsingExpectationMaximisation(
+      BlockingRule.blockOn("dob"))
+    val r2 = linker.training.estimateParametersUsingExpectationMaximisation(
+      BlockingRule.blockOn("email"))
+    linker.training.populateProbabilityTwoRandomRecordsMatchFromTrainedValues()
+    // replay the reference formula by hand against the final settings
+    def recip(lam: Double, deactivated: Seq[String]): Double = {
+      var bf = lam / (1 - lam)
+      deactivated.foreach { name =>
+        val lv = linker.settings.comparisonByName(name)
+          .activeLevelsWithGamma.maxBy(_._2)._1
+        val levelBf =
+          if (lv.trainedM.exists(_.observed) && lv.trainedU.exists(_.observed))
+            Model.medianObserved(lv.trainedM) / Model.medianObserved(lv.trainedU)
+          else math.pow(2.0, lv.matchWeight)
+        bf = bf / levelBf
+      }
+      (1 + bf) / bf
+    }
+    val expected = 1.0 / Model.median(Seq(
+      recip(r1.trainedLambda, r1.deactivated),
+      recip(r2.trainedLambda, r2.deactivated)))
+    assert(math.abs(linker.settings.probabilityTwoRandomRecordsMatch -
+      expected) < 1e-12,
+      s"got ${linker.settings.probabilityTwoRandomRecordsMatch}, " +
+        s"expected $expected")
+    // and it is genuinely a multi-session value: neither session's own
+    // global lambda alone
+    assert(r1.deactivated == Seq("dob") && r2.deactivated == Seq("email"))
   }
 }
