@@ -890,6 +890,28 @@ object SparkEntry {
           size(col("feature")).as("feature_len"))
     }),
 
+    // multimodal: perceptual image near-dup (aHash band join). Each
+    // customer contributes TWO real 8x8 BMP files whose pixel pattern is
+    // the bit pattern of FNV-1a(custkey) — the second with one pixel
+    // flipped, so aHash hamming(pair) = 1. The whole pipeline (BMP encode
+    // -> real pixel decode -> aHash -> 4x16 band join -> hamming verify)
+    // runs in Spark; DuckDB replays FNV + banding + hamming closed-form.
+    "q_image_neardup" -> ((s, dir) => {
+      import graft.pipeline.Codecs
+      val mk = udf((k: Long) => {
+        val h = graft.functions.SimHashKernel.fnv1a64(k.toString)
+        def bmp(hh: Long) = Codecs.encodeBmp24(Array.tabulate(64)(p =>
+          if (((hh >> (63 - p)) & 1L) == 1L) 200.toByte else 40.toByte), 8, 8)
+        Seq((2 * k, bmp(h)), (2 * k + 1, bmp(h ^ 1L)))
+      })
+      val media = pq(s, dir, "customer")
+        .select(explode(mk(col("c_custkey").cast("long"))).as("m"))
+        .select(col("m._1").as("media_id"), col("m._2").as("payload"))
+      DedupOps.imageNearDuplicates(media, maxHamming = 3)
+        .select(col("id_l").cast("bigint"), col("id_r").cast("bigint"),
+          col("hamming").cast("bigint"))
+    }),
+
     // dedup: MinHash-LSH near-dup pairs. Fully oracle-able: the shingle
     // hash is FNV-1a (portable), the k universal-hash params are fixed JVM
     // literals exported into the oracle SQL, and band equality reduces to
@@ -2463,6 +2485,38 @@ object SparkEntry {
          |  CASE WHEN hv IS NULL THEN NULL ELSE 3 END AS n_channels,
          |  CASE WHEN hv IS NULL THEN NULL ELSE 8 END AS feature_len
          |FROM s""".stripMargin,
+
+    // Perceptual image near-dup replay: the BMP pixel pattern IS the bit
+    // pattern of FNV-1a(custkey), and the real decode -> aHash round-trip
+    // reproduces it exactly (two-level image: cells above the mean are
+    // precisely the bright ones), so the oracle replays FNV, the 4x16-bit
+    // banding and the hamming verify in closed form.
+    "q_image_neardup" -> {
+      val divs = Seq("1::HUGEINT", "65536::HUGEINT", "4294967296::HUGEINT",
+        "281474976710656::HUGEINT")
+      val bandDiv = "CASE band WHEN 0 THEN 1::HUGEINT WHEN 1 THEN " +
+        "65536::HUGEINT WHEN 2 THEN 4294967296::HUGEINT ELSE " +
+        "281474976710656::HUGEINT END"
+      val hamming = divs.map(d =>
+        s"bit_count(CAST((xor(lh, rh) // $d) % 65536 AS BIGINT))")
+        .mkString(" + ")
+      s"""WITH ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+         |h AS (SELECT k, ${fnvSql("CAST(k AS VARCHAR)")} AS hv FROM ks),
+         |imgs AS (
+         |  SELECT 2 * k AS id, hv FROM h
+         |  UNION ALL
+         |  SELECT 2 * k + 1 AS id, xor(hv, 1::HUGEINT) AS hv FROM h),
+         |banded AS (
+         |  SELECT id, hv, CAST((hv // ($bandDiv)) % 65536 AS BIGINT) AS bv,
+         |    band
+         |  FROM imgs, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS id_l, r.id AS id_r, l.hv AS lh, r.hv AS rh
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bv = r.bv AND l.id < r.id)
+         |SELECT id_l, id_r, CAST($hamming AS BIGINT) AS hamming
+         |FROM cand WHERE $hamming <= 3""".stripMargin
+    },
 
     // Full MinHash-LSH replay: FNV shingle hashes -> 32 universal-hash
     // slots (params exported from ShingleKernel.hashParams — signed-long

@@ -193,4 +193,251 @@ object Codecs {
     else if (isBmp(b)) parseBmp(b)
     else if (isWav(b)) parseWav(b)
     else None
+
+  // ------------------------------------------------- grayscale pixel decode
+
+  /** Grayscale image: row-major top-down luma in [0,1]. */
+  final case class Gray(width: Int, height: Int, px: Array[Float])
+
+  private def inflateAll(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Full PNG pixel decode for 8-bit-depth gray / RGB / gray+alpha / RGBA:
+    * walks IDAT, inflates, reverses the per-scanline filters (None / Sub /
+    * Up / Average / Paeth, PNG spec §9), averages the colour channels.
+    * Palette and 16-bit images return None (callers fall back). */
+  def pngGray(b: Array[Byte]): Option[Gray] = {
+    if (!isPng(b)) return None
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val width = beInt(b, 16)
+    val height = beInt(b, 20)
+    val bitDepth = b(24) & 0xFF
+    val colorType = b(25) & 0xFF
+    if (width <= 0 || height <= 0 || bitDepth != 8) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None // palette needs PLTE handling
+    }
+    if ((b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0 || (b(28) & 0xFF) != 0)
+      return None // non-default compression/filter/interlace
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    var walking = true
+    while (walking && off + 8 <= b.length) {
+      val len = beInt(b, off)
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      if (len < 0 || off + 8 + len > b.length) walking = false
+      else {
+        if (typ == "IDAT") idat.write(b, off + 8, len)
+        if (typ == "IEND") walking = false
+        off += 8 + len + 4
+      }
+    }
+    if (idat.size == 0) return None
+    val raw = try inflateAll(idat.toByteArray)
+      catch { case _: Exception => return None }
+    val stride = width * channels
+    if (raw.length < height * (stride + 1)) return None
+    val recon = new Array[Int](height * stride)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xFF
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * (stride + 1) + 1 + i) & 0xFF
+        val left = if (i >= channels) recon(y * stride + i - channels) else 0
+        val up = if (y > 0) recon((y - 1) * stride + i) else 0
+        val ul = if (y > 0 && i >= channels)
+          recon((y - 1) * stride + i - channels) else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        recon(y * stride + i) = v & 0xFF
+        i += 1
+      }
+      y += 1
+    }
+    val colourCh = if (colorType == 2 || colorType == 6) 3 else 1
+    val px = new Array[Float](width * height)
+    var p = 0
+    while (p < width * height) {
+      var s = 0
+      var c = 0
+      while (c < colourCh) { s += recon(p * channels + c); c += 1 }
+      px(p) = s.toFloat / (colourCh * 255.0f)
+      p += 1
+    }
+    Some(Gray(width, height, px))
+  }
+
+  /** Uncompressed BMP pixel decode (8 / 24 / 32 bpp): rows are stored
+    * bottom-up (top-down when the header height is negative) and padded to
+    * 4-byte boundaries; colour channels are averaged. */
+  def bmpGray(b: Array[Byte]): Option[Gray] = {
+    if (!isBmp(b)) return None
+    val pixelOffset = leInt(b, 10)
+    if (leInt(b, 14) < 40) return None
+    val width = leInt(b, 18)
+    val rawHeight = leInt(b, 22)
+    val height = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    val bpp = leShort(b, 28)
+    if (width <= 0 || height == 0 || leInt(b, 30) != 0) return None
+    val bytesPerPx = bpp match {
+      case 8 => 1; case 24 => 3; case 32 => 4
+      case _ => return None
+    }
+    val stride = ((width * bytesPerPx + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset + stride * height > b.length) return None
+    val colourCh = math.min(bytesPerPx, 3)
+    val px = new Array[Float](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      var x = 0
+      while (x < width) {
+        var s = 0
+        var c = 0
+        while (c < colourCh) {
+          s += b(pixelOffset + srcRow * stride + x * bytesPerPx + c) & 0xFF
+          c += 1
+        }
+        px(y * width + x) = s.toFloat / (colourCh * 255.0f)
+        x += 1
+      }
+      y += 1
+    }
+    Some(Gray(width, height, px))
+  }
+
+  /** Grayscale decode dispatch (PNG / BMP only — audio has no pixels). */
+  def gray(b: Array[Byte]): Option[Gray] =
+    if (isPng(b)) pngGray(b)
+    else if (isBmp(b)) bmpGray(b)
+    else None
+
+  // --------------------------------------------------- perceptual hashing
+
+  /** Box-average downsample to exactly (w x h) cells. */
+  def downsample(g: Gray, w: Int, h: Int): Array[Float] = {
+    val out = new Array[Float](w * h)
+    var cy = 0
+    while (cy < h) {
+      val y0 = cy * g.height / h
+      val y1 = math.max((cy + 1) * g.height / h, y0 + 1)
+      var cx = 0
+      while (cx < w) {
+        val x0 = cx * g.width / w
+        val x1 = math.max((cx + 1) * g.width / w, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < math.min(y1, g.height)) {
+          var x = x0
+          while (x < math.min(x1, g.width)) { s += g.px(y * g.width + x); x += 1 }
+          y += 1
+        }
+        out(cy * w + cx) =
+          (s / ((math.min(y1, g.height) - y0) * (math.min(x1, g.width) - x0))).toFloat
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** aHash (average hash): 8x8 box downsample, bit p set iff cell p is
+    * strictly brighter than the mean; cell (0,0) lands in bit 63 so the
+    * hash reads top-left-first. Robust to uniform brightness/contrast
+    * shifts; 64-bit signature feeds the same band-join machinery as
+    * SimHash. */
+  def aHash64(g: Gray): Long = {
+    val cells = downsample(g, 8, 8)
+    var mean = 0.0
+    cells.foreach(mean += _)
+    mean /= 64.0
+    var h = 0L
+    var p = 0
+    while (p < 64) {
+      if (cells(p) > mean) h |= (1L << (63 - p))
+      p += 1
+    }
+    h
+  }
+
+  /** dHash (difference hash): 9x8 downsample, bit p (row r, col c) set iff
+    * cell (r,c) is brighter than its right neighbour (r,c+1); same
+    * top-left-first bit order as [[aHash64]]. */
+  def dHash64(g: Gray): Long = {
+    val cells = downsample(g, 9, 8)
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h |= (1L << (63 - (r * 8 + c)))
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Encode a grayscale image as a REAL 24-bpp uncompressed BMP (the
+    * format [[bmpGray]] reads back bit-for-bit) — used by tests and the
+    * synthetic image corpora of the oracle queries.
+    * @param px row-major TOP-DOWN byte luma */
+  def encodeBmp24(px: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(px.length == width * height, "px must be width*height lumas")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val dataSize = stride * height
+    val out = new Array[Byte](54 + dataSize)
+    def putLeInt(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLeInt(2, 54 + dataSize)  // file size
+    putLeInt(10, 54)            // pixel offset
+    putLeInt(14, 40)            // BITMAPINFOHEADER
+    putLeInt(18, width)
+    putLeInt(22, height)        // positive = bottom-up
+    out(26) = 1                 // planes
+    out(28) = 24                // bpp
+    putLeInt(34, dataSize)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // write bottom-up
+      var x = 0
+      while (x < width) {
+        val v = px(srcRow * width + x)
+        val off = 54 + y * stride + x * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

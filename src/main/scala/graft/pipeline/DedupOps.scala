@@ -338,6 +338,43 @@ object DedupOps {
       .distinct()
   }
 
+  /**
+   * Perceptual image near-duplicates: decode pixels, hash with aHash (or
+   * dHash), then EXACTLY the SimHash scale shape — 4x16-bit band blocking
+   * over the 64-bit signature, hamming verify at `maxHamming`. A pair
+   * within hamming distance < 4 always shares an exact band; the banded
+   * frame carries only (id, hash, band) scalars, never pixels, so the
+   * shuffle is as narrow as the text path's. Makes multimodal columns
+   * first-class dedup citizens: brightness/contrast-shifted or lightly
+   * edited copies land within a few bits of each other.
+   *
+   * @param media  frame with (media_id, payload binary) — see
+   *               [[MultimodalOps.imageHashes]]
+   * @param useDHash verify on the difference hash instead of aHash
+   * @return (id_l, id_r, hamming), id_l < id_r, undecodable payloads absent
+   */
+  def imageNearDuplicates(media: DataFrame, maxHamming: Int = 3,
+      useDHash: Boolean = false): DataFrame = {
+    val hashCol = if (useDHash) "dhash" else "ahash"
+    val base = MultimodalOps.imageHashes(media)
+      .filter(col(hashCol).isNotNull)
+      .select(col("media_id").as("id"), col(hashCol).as("sh"))
+    val banded = base.select(col("id"), col("sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+        }: _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.band_val"))
+    banded.alias("l").join(banded.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // --------------------------------------------------- embedding cosine
 
   /** Cosine similarity of two float/double-array columns (double

@@ -104,4 +104,34 @@ object MultimodalOps {
     }
     spark.createDataFrame(rdd, decodedSchema)
   }
+
+  /** Schema produced by [[imageHashes]]. */
+  val imageHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("ahash", LongType, nullable = true),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Perceptual 64-bit image hashes (aHash + dHash, [[Codecs.aHash64]] /
+    * [[Codecs.dHash64]]) from the real pixel decode: one partition-wise
+    * pass, one output row per media item; payloads with no decodable
+    * pixels keep NULL hashes. The signatures feed the same band-join
+    * near-dup machinery as SimHash
+    * ([[DedupOps.imageNearDuplicates]]). */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Codecs.gray(payload) match {
+          case Some(g) =>
+            val fmt = if (Codecs.isPng(payload)) "png" else "bmp"
+            Row(id, fmt, Codecs.aHash64(g), Codecs.dHash64(g))
+          case None => Row(id, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageHashSchema)
+  }
 }

@@ -109,4 +109,114 @@ class CodecSpec extends SparkSpec {
     }
     assert(Codecs.parse(null).isEmpty)
   }
+
+  // ---------------------------------------------- pixels + perceptual hash
+
+  /** Deterministic 16x16 gradient-with-blocks test image. */
+  private def gradientPx(bright: Int => Boolean): Array[Byte] =
+    Array.tabulate(256) { p =>
+      val base = (p * 200 / 255) + 20
+      (if (bright(p / 32)) math.min(base + 55, 255) else base).toByte
+    }
+
+  test("BMP encode -> gray decode round-trips the pixel array") {
+    val px = Array.tabulate(64)(i => (i * 4).toByte)
+    val bytes = Codecs.encodeBmp24(px, 8, 8)
+    val g = Codecs.bmpGray(bytes).get
+    assert(g.width == 8 && g.height == 8)
+    px.indices.foreach(i =>
+      assert(math.abs(g.px(i) - (px(i) & 0xFF) / 255.0f) < 1e-6,
+        s"pixel $i diverged"))
+    // the general parse sees the same container
+    assert(Codecs.parse(bytes).get.format == "bmp")
+  }
+
+  test("PNG gray decode reverses Sub/Up/Average/Paeth filters exactly") {
+    // 4x4 grayscale image, one row per filter type, pixel values chosen so
+    // every filter's reconstruction is exercised with carries
+    val width = 4
+    val rows = Array(
+      Array(10, 60, 110, 160),   // filter 0 (None)
+      Array(20, 70, 120, 170),   // filter 1 (Sub): deltas vs left
+      Array(30, 80, 130, 180),   // filter 2 (Up): deltas vs up
+      Array(40, 90, 140, 190))   // filter 4 (Paeth)
+    def enc(y: Int, f: Int): Array[Byte] = {
+      val cur = rows(y)
+      val up = if (y > 0) rows(y - 1) else Array.fill(width)(0)
+      f.toByte +: Array.tabulate(width) { x =>
+        val left = if (x > 0) cur(x - 1) else 0
+        val ul = if (x > 0) up(x - 1) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up(x)
+          case 3 => (left + up(x)) / 2
+          case 4 =>
+            val p = left + up(x) - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up(x))
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up(x) else ul
+        }
+        ((cur(x) - pred) & 0xFF).toByte
+      }
+    }
+    val raw = Array(enc(0, 0), enc(1, 1), enc(2, 2), enc(3, 4)).flatten
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length)); out.write(typ.getBytes("US-ASCII"))
+      out.write(data); out.write(be32(0))
+    }
+    chunk("IHDR", be32(4) ++ be32(4) ++ Array[Byte](8, 0, 0, 0, 0)) // gray
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](256)
+    val z = new ByteArrayOutputStream()
+    while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    val g = Codecs.pngGray(out.toByteArray).get
+    assert(g.width == 4 && g.height == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(math.abs(g.px(y * 4 + x) - rows(y)(x) / 255.0f) < 1e-6,
+        s"($y,$x): ${g.px(y * 4 + x)} vs ${rows(y)(x) / 255.0f}")
+  }
+
+  test("aHash is invariant to brightness shift; dHash to contrast scale") {
+    val a = gradientPx(b => (b % 3) == 0)
+    val brighter = a.map(v => math.min((v & 0xFF) + 30, 255).toByte)
+    def gr(px: Array[Byte]) = Codecs.bmpGray(Codecs.encodeBmp24(px, 16, 16)).get
+    assert(Codecs.aHash64(gr(a)) == Codecs.aHash64(gr(brighter)))
+    assert(Codecs.dHash64(gr(a)) == Codecs.dHash64(gr(brighter)))
+    val scaled = a.map(v => ((v & 0xFF) * 4 / 5).toByte)
+    assert(Codecs.dHash64(gr(a)) == Codecs.dHash64(gr(scaled)))
+  }
+
+  test("imageNearDuplicates recall: edited copy found, distinct image not") {
+    val original = gradientPx(b => (b % 3) == 0)
+    // light edit: bump one 32-pixel block slightly (survives hashing)
+    val edited = original.clone()
+    (0 until 8).foreach(i => edited(i) =
+      math.min((edited(i) & 0xFF) + 12, 255).toByte)
+    // genuinely different structure
+    val other = gradientPx(b => (b % 2) == 0).reverse
+    val media = Seq(
+      (1L, Codecs.encodeBmp24(original, 16, 16)),
+      (2L, Codecs.encodeBmp24(edited, 16, 16)),
+      (3L, Codecs.encodeBmp24(other, 16, 16)),
+      (4L, "not an image".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val pairs = graft.pipeline.DedupOps.imageNearDuplicates(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "edited copy must be recalled")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "structurally different image must not pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "undecodable payload must be absent")
+    // hashes surface per-item too
+    val hs = MultimodalOps.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(hs(1L).isDefined && hs(4L).isEmpty)
+  }
 }
