@@ -354,6 +354,123 @@ class SplinkParitySpec extends SparkSpec {
     assert(scored.count() > 0)
   }
 
+  test("EVERY reference model/settings JSON sweeps through load -> " +
+      "round-trip -> predict with identical scores") {
+    // discovered at runtime, so new files in the reference repo are swept
+    // automatically; each one is the reference's own in-the-wild surface
+    val dir = new java.io.File("/root/reference/docs/demos/demo_settings")
+    val files = dir.listFiles().filter(_.getName.endsWith(".json"))
+      .map(_.getAbsolutePath).sorted
+    assert(files.length >= 3, s"expected the known model files, got " +
+      files.mkString(", "))
+    files.foreach { path =>
+      val loaded = SettingsJson.load(path)
+      val roundTripped = SettingsJson.fromJson(SettingsJson.toJson(loaded))
+      // synthetic input covering every column the model touches; every
+      // other record is a near-duplicate so blocking always fires
+      val cols = (loaded.allInputColumns ++
+        loaded.blockingRules.flatMap(graft.operators.Blocking.ruleColumns) ++
+        loaded.additionalColumnsToRetain)
+        .distinct.filterNot(_ == loaded.uniqueIdColumn)
+      val rows = (0 until 120).map { i =>
+        val base = i / 2 // pairs of duplicates
+        org.apache.spark.sql.Row.fromSeq(i.toLong +: cols.map { c =>
+          val lc = c.toLowerCase
+          if (lc.contains("dob") || lc.contains("date"))
+            f"19${50 + base % 40}%02d-0${1 + base % 9}-1${base % 9}"
+          else if (lc.contains("postcode")) s"SE${base % 20} ${base % 9}AB"
+          else s"${c}_v${base % 25}"
+        })
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(loaded.uniqueIdColumn,
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+          cols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+      def run(s: LinkSettings) = new Linker(df, s).predict()
+        .select(col("unique_id_l"), col("unique_id_r"),
+          round(col("match_weight"), 9).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val original = run(loaded)
+      assert(original.nonEmpty, s"$path: predict smoke produced no pairs")
+      assert(run(roundTripped) == original,
+        s"$path: round-tripped settings diverged from loaded settings")
+    }
+  }
+
+  test("the reference test suite's canonical settings dict " +
+      "(tests/basic_settings.py get_settings_dict) loads verbatim and " +
+      "scores fake_1000 identically to the native model") {
+    // the dict the reference uses across dozens of its own tests, as JSON
+    val json =
+      """{
+        |  "probability_two_random_records_match": 0.045454545454545456,
+        |  "link_type": "dedupe_only",
+        |  "blocking_rules_to_generate_predictions": ["l.surname = r.surname"],
+        |  "comparisons": [
+        |    {"output_column_name": "first_name", "comparison_levels": [
+        |      {"sql_condition": "first_name_l IS NULL OR first_name_r IS NULL",
+        |       "label_for_charts": "null", "is_null_level": true},
+        |      {"sql_condition": "first_name_l = first_name_r",
+        |       "label_for_charts": "Exact match",
+        |       "m_probability": 0.7, "u_probability": 0.1,
+        |       "tf_adjustment_column": "first_name", "tf_adjustment_weight": 0.6},
+        |      {"sql_condition": "levenshtein(first_name_l, first_name_r) <= 2",
+        |       "label_for_charts": "levenshtein <= 2",
+        |       "m_probability": 0.2, "u_probability": 0.1},
+        |      {"sql_condition": "ELSE", "label_for_charts": "else",
+        |       "m_probability": 0.1, "u_probability": 0.8}]},
+        |    {"output_column_name": "surname", "comparison_levels": [
+        |      {"sql_condition": "surname_l IS NULL OR surname_r IS NULL",
+        |       "label_for_charts": "null", "is_null_level": true},
+        |      {"sql_condition": "surname_l = surname_r",
+        |       "label_for_charts": "Exact match",
+        |       "m_probability": 0.9, "u_probability": 0.1},
+        |      {"sql_condition": "ELSE", "label_for_charts": "else",
+        |       "m_probability": 0.1, "u_probability": 0.9}]},
+        |    {"output_column_name": "dob", "comparison_levels": [
+        |      {"sql_condition": "dob_l IS NULL OR dob_r IS NULL",
+        |       "label_for_charts": "null", "is_null_level": true},
+        |      {"sql_condition": "dob_l = dob_r",
+        |       "label_for_charts": "Exact match",
+        |       "m_probability": 0.9, "u_probability": 0.1},
+        |      {"sql_condition": "ELSE", "label_for_charts": "else",
+        |       "m_probability": 0.1, "u_probability": 0.9}]},
+        |    {"output_column_name": "email", "comparison_levels": [
+        |      {"sql_condition": "email_l IS NULL OR email_r IS NULL",
+        |       "label_for_charts": "null", "is_null_level": true},
+        |      {"sql_condition": "email_l = email_r",
+        |       "label_for_charts": "Exact match",
+        |       "m_probability": 0.9, "u_probability": 0.1},
+        |      {"sql_condition": "ELSE", "label_for_charts": "else",
+        |       "m_probability": 0.1, "u_probability": 0.9}]},
+        |    {"output_column_name": "city", "comparison_levels": [
+        |      {"sql_condition": "city_l IS NULL OR city_r IS NULL",
+        |       "label_for_charts": "null", "is_null_level": true},
+        |      {"sql_condition": "city_l = city_r",
+        |       "label_for_charts": "Exact match",
+        |       "m_probability": 0.9, "u_probability": 0.1},
+        |      {"sql_condition": "ELSE", "label_for_charts": "else",
+        |       "m_probability": 0.1, "u_probability": 0.9}]}
+        |  ],
+        |  "em_convergence": 0.001,
+        |  "max_iterations": 20
+        |}""".stripMargin
+    val fromJson = SettingsJson.fromJson(json)
+    def run(s: LinkSettings) = new Linker(fake1000, s).predict()
+      .select(col("unique_id_l"), col("unique_id_r"),
+        round(col("match_weight"), 9).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaJson = run(fromJson)
+    assert(viaJson == run(settings),
+      "JSON-loaded basic settings must score identically to the native model")
+    // and the anchor pair still reproduces splink2's published weight
+    assert(viaJson.exists { case (l, r, w) =>
+      l == 479L && r == 481L && math.abs(w - 0.510149357) < 1e-6 })
+  }
+
   test("EM free-u blocked on surname reproduces splink2's λ and m paths") {
     val r = Training.expectationMaximisation(
       Seq("fake_1000" -> fake1000), settings, BlockingRule.blockOn("surname"),
