@@ -23,8 +23,24 @@ case class BucketState(seen: Boolean)
 /** One event on the sessionization stream. */
 case class WindowObs(docId: String, pos: Int, h: Long,
   eventTime: java.sql.Timestamp)
-case class WindowVerdict(docId: String, pos: Int, foreign: Boolean)
-case class WindowOwnerState(owner: String)
+case class WindowVerdict(docId: String, pos: Int, foreign: Boolean,
+  eventTime: java.sql.Timestamp = null)
+/** Ownership state per window hash: the earliest observed
+  * (eventTime, docId) plus the owner's positions, so a later batch can
+  * demote an arrival-order owner and emit corrections. */
+case class WindowOwnerState(owner: String, ownerTime: Long = 0L,
+  ownerPositions: Seq[Int] = Nil)
+/** Union row for [[StreamingLink.dedupSpansApplyStream]]: either a doc
+  * (tokens) or one foreign-window verdict (pos). */
+case class DedupApplyObs(docId: String, isDoc: Boolean, pos: Int,
+  tokens: Seq[String], eventTime: java.sql.Timestamp)
+/** Per-doc apply state: tokens + foreign starts seen so far. */
+case class DedupApplyState(tokens: Seq[String], foreignStarts: Seq[Int],
+  emitted: Boolean)
+/** One deduped document; `corrected = true` re-emissions supersede the
+  * earlier row for the same doc (late ownership corrections). */
+case class DedupedDoc(docId: String, textDeduped: String, nRemoved: Int,
+  corrected: Boolean)
 
 case class SessEvent(entity: Long, eventTime: java.sql.Timestamp, value: Double)
 /** Open-session state per entity (epoch millis bounds). */
@@ -157,17 +173,23 @@ object StreamingLink {
    * of [[graft.pipeline.DedupOps.duplicatedSpans]] /
    * [[graft.pipeline.DedupOps.removeDuplicatedSpans]], over the SAME
    * [[graft.pipeline.DedupOps.windowHashes]] kernel: each k-token window
-   * hash is a state key owned by the FIRST document observed with it (by
-   * event time, then doc id — the streaming analogue of the batch
-   * operator's min-id ownership); every later occurrence in a DIFFERENT
+   * hash is a state key owned by the document with the smallest
+   * (eventTime, docId) observed so far — the streaming analogue of the
+   * batch operator's min-id ownership. Ownership holds ACROSS batches: a
+   * late record still inside the watermark whose event time is strictly
+   * earlier than the current owner's TAKES the ownership, and the demoted
+   * owner's previously-owned positions are re-emitted as corrections
+   * (`foreign = true`), so verdicts converge to the event-time order
+   * regardless of arrival order. Every occurrence in a non-owning
    * document emits `foreign = true` at its token position. Downstream
-   * consumers aggregate foreign hits into per-doc dup ratios or a
-   * removal mask (gaps-and-islands over `pos`, exactly as the batch
-   * operator does).
+   * consumers aggregate foreign hits into per-doc dup ratios or a removal
+   * mask (gaps-and-islands over `pos`, exactly as the batch operator
+   * does); [[dedupSpansApplyStream]] is the packaged apply half.
    *
-   * State per window hash is one owner id with an event-time timeout a
-   * full watermark delay past its last hit — long-running-stream safe,
-   * the same discipline as [[simhashBandDedupStream]].
+   * State per window hash is the owner (id, event time, owned positions)
+   * with an event-time timeout a full watermark delay past its last hit —
+   * long-running-stream safe, the same discipline as
+   * [[simhashBandDedupStream]].
    */
   def dupWindowStream(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, k: Int = 10, watermarkDelay: String = "1 hour")
@@ -191,12 +213,118 @@ object StreamingLink {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toSeq.sortBy(o => (o.eventTime.getTime, o.docId, o.pos))
-            val owner = state.getOption.map(_.owner).getOrElse(batch.head.docId)
-            if (!state.exists) state.update(WindowOwnerState(owner))
+            val head = batch.head
+            val prev = state.getOption
+            // owner = smallest (eventTime, docId) across state and batch
+            val keepPrev = prev.exists(s =>
+              s.ownerTime < head.eventTime.getTime ||
+                (s.ownerTime == head.eventTime.getTime && s.owner <= head.docId))
+            val (owner, ownerTime) =
+              if (keepPrev) (prev.get.owner, prev.get.ownerTime)
+              else (head.docId, head.eventTime.getTime)
+            // the demoted owner's previously-owned positions turn foreign
+            val corrections = prev match {
+              case Some(s) if s.owner != owner =>
+                s.ownerPositions.map(p => WindowVerdict(s.owner, p,
+                  foreign = true, head.eventTime))
+              case _ => Nil
+            }
+            val verdicts = batch.map(o =>
+              WindowVerdict(o.docId, o.pos, foreign = o.docId != owner,
+                o.eventTime))
+            val carried =
+              prev.collect { case s if s.owner == owner => s.ownerPositions }
+                .getOrElse(Nil)
+            state.update(WindowOwnerState(owner, ownerTime,
+              (carried ++ batch.filter(_.docId == owner).map(_.pos)).distinct))
             state.setTimeoutTimestamp(
               batch.map(_.eventTime.getTime).max, watermarkDelay)
-            batch.iterator.map(o =>
-              WindowVerdict(o.docId, o.pos, foreign = o.docId != owner))
+            (corrections ++ verdicts).iterator
+          }
+      }
+  }
+
+  /**
+   * The APPLY half of streaming span dedup — the cross-batch twin of
+   * [[graft.pipeline.DedupOps.removeDuplicatedSpans]]: every document is
+   * emitted with the tokens of its foreign duplicated windows dropped
+   * (single-space re-joined, whitespace-normalised, `n_removed` counting
+   * dropped tokens, exactly the batch operator's output shape). Built as
+   * two chained stateful stages: [[dupWindowStream]] produces per-window
+   * ownership verdicts (hash-keyed state), then a per-document stage
+   * unions those verdicts with the document rows and masks covered
+   * tokens. A document and its own verdicts land in the same micro-batch,
+   * so the normal path emits each doc once, immediately; a LATE ownership
+   * correction (an earlier-event-time claimant arriving in a later batch)
+   * re-emits the affected doc with `corrected = true` — consumers keep
+   * the last row per doc. Per-doc token state is held until the
+   * event-time timeout (one watermark delay past the doc's last
+   * activity), which is what buys the cross-batch correction.
+   *
+   * Spark's static chained-stateful check must be opted out
+   * (`spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`,
+   * enforced with a clear error here): the check guards against a stateful
+   * stage emitting rows OLDER than the watermark into a downstream
+   * stateful stage, but every row this pipeline emits — verdicts and
+   * corrections alike — carries the event time of the micro-batch that
+   * triggered it, so nothing arrives late at the per-doc stage.
+   */
+  def dedupSpansApplyStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int = 10, watermarkDelay: String = "1 hour")
+      : org.apache.spark.sql.Dataset[DedupedDoc] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    require(spark.conf.get(checkKey, "true") == "false",
+      s"dedupSpansApplyStream chains two stateful operators (window-hash " +
+        s"ownership, then per-doc assembly); Spark's static checker rejects " +
+        s"that shape even though every emitted row carries the triggering " +
+        s"batch's event time. Set $checkKey=false to run it.")
+    val verdictObs = dupWindowStream(docs, idCol, textCol, tsCol, k,
+        watermarkDelay)
+      .filter(_.foreign)
+      .map(v => DedupApplyObs(v.docId, isDoc = false, v.pos, Nil, v.eventTime))
+    // stays COLUMNAR so the watermark tag on the event-time column
+    // survives into the union (an object map would strip it, and a fresh
+    // withWatermark after the stateful stage is a disallowed redefinition)
+    val docObs = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("string").as("docId"),
+        lit(true).as("isDoc"), lit(-1).as("pos"),
+        graft.pipeline.TextOps.tokens(col(textCol)).as("tokens"),
+        col(tsCol).as("eventTime"))
+      .as[DedupApplyObs]
+    docObs.union(verdictObs)
+      .groupByKey(_.docId)
+      .flatMapGroupsWithState[DedupApplyState, DedupedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (docId, rows, state: GroupState[DedupApplyState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq
+            val prev = state.getOption
+              .getOrElse(DedupApplyState(Nil, Nil, emitted = false))
+            val tokens = batch.find(_.isDoc).map(_.tokens)
+              .getOrElse(prev.tokens)
+            val starts = (prev.foreignStarts ++
+              batch.filterNot(_.isDoc).map(_.pos)).distinct
+            state.setTimeoutTimestamp(
+              batch.map(_.eventTime.getTime).max, watermarkDelay)
+            if (tokens.isEmpty) {
+              // verdict before doc (possible only if the doc row itself is
+              // missing from the stream) — hold the starts, emit nothing
+              state.update(DedupApplyState(tokens, starts, prev.emitted))
+              Iterator.empty
+            } else {
+              state.update(DedupApplyState(tokens, starts, emitted = true))
+              val kept = tokens.zipWithIndex.collect {
+                case (t, i) if !starts.exists(s => i >= s && i <= s + k - 1) => t
+              }
+              Iterator.single(DedupedDoc(docId, kept.mkString(" "),
+                tokens.size - kept.size, corrected = prev.emitted))
+            }
           }
       }
   }

@@ -287,4 +287,75 @@ class StreamingSpec extends SparkSpec {
     val d3 = perDoc("3").map(v => v._2 -> v._3).toMap
     assert(d3 == Map(0 -> false, 1 -> true, 2 -> true, 3 -> true, 4 -> false))
   }
+
+  test("streaming span-dedup APPLY strips foreign spans in-stream and " +
+      "agrees with the batch operator on the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val corpus = Seq(
+      (1L, "q w e r t x1 x2", ts(0)), (2L, "a b c d e", ts(1)),
+      (3L, "y1 q w e r t y2", ts(2)), (4L, "m n o p", ts(3)))
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val deduped = StreamingLink.dedupSpansApplyStream(
+      stream.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", k = 3)
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_apply_out").outputMode("append").start()
+    stream.addData(corpus.take(2))
+    query.processAllAvailable()
+    stream.addData(corpus.drop(2)) // doc 3 arrives AFTER its owner
+    query.processAllAvailable()
+    query.stop()
+    spark.conf.unset(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    // last row per doc wins (corrections supersede)
+    val got = spark.table("dedup_apply_out").collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[String]("textDeduped"),
+        r.getAs[Int]("nRemoved")))
+      .groupBy(_._1).map { case (d, rows) => d -> (rows.last._2, rows.last._3) }
+    // batch operator on the same corpus (ownership = min doc id == the
+    // event-time order here) must agree doc for doc
+    import spark.implicits._
+    val batch = graft.pipeline.DedupOps.removeDuplicatedSpans(
+        corpus.map(c => (c._1, c._2)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .collect().map(r => (r.get(0).toString,
+        (r.getAs[String]("text_deduped"), r.getAs[Long]("n_removed").toInt)))
+      .toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got("3") == (("y1 y2", 5))) // the shared run vanished downstream
+    assert(got("1")._2 == 0)           // the owner keeps its text
+  }
+
+  test("a late record with an earlier event time takes window ownership " +
+      "and the demoted doc is re-emitted corrected") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val deduped = StreamingLink.dedupSpansApplyStream(
+      stream.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", k = 3)
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_apply_late").outputMode("append").start()
+    // doc 10 arrives first but carries the LATER event time
+    stream.addData((10L, "p q r s t", ts(5)))
+    query.processAllAvailable()
+    // doc 9, same content, earlier event time, still inside the watermark:
+    // it must take ownership and demote doc 10 retroactively
+    stream.addData((9L, "p q r s t", ts(4)))
+    query.processAllAvailable()
+    query.stop()
+    spark.conf.unset(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    val rows = spark.table("dedup_apply_late").collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[String]("textDeduped"),
+        r.getAs[Int]("nRemoved"), r.getAs[Boolean]("corrected")))
+    val last = rows.groupBy(_._1).map { case (d, rs) => d -> rs.last }
+    assert(last("9") == (("9", "p q r s t", 0, false)))   // owner: intact
+    assert(last("10") == (("10", "", 5, true)))           // demoted, corrected
+    // and the correction is a RE-emission: doc 10 appeared uncorrected first
+    assert(rows.exists(r => r._1 == "10" && !r._4 && r._3 == 0))
+  }
 }
