@@ -30,12 +30,15 @@ object ConnectedComponents {
 
   /** Edge-count threshold below which the component solve runs on the
     * driver (collect + union-find) instead of the iterative distributed
-    * loop. ~2M edges ≈ tens of MB on the driver, while the distributed
-    * loop would pay ~10 scheduled jobs of latency for the same answer.
-    * Above the threshold (the 100TB regime) the distributed loop runs.
-    * Same adaptive-execution idea as AQE: pick the physical strategy from
-    * the observed size. */
-  val SmallGraphEdgeThreshold: Long = 2000000L
+    * loop. 8M symmetric edges ≈ 128MB on the driver and a ~linear
+    * union-find, while the distributed loop pays several shuffles of the
+    * full edge frame per round — measured 2-3x slower at this size even
+    * after co-partitioning the propagation join. Above the threshold (the
+    * 100TB regime, where per-round fixed costs amortise) the distributed
+    * loop runs. Same adaptive-execution idea as AQE: pick the physical
+    * strategy from the observed size. Override per session with
+    * `spark.graft.cc.smallGraphThreshold`. */
+  val SmallGraphEdgeThreshold: Long = 8000000L
 
   /**
    * @param edges frame with two node-id columns (self-loops and duplicates ok)
@@ -45,7 +48,14 @@ object ConnectedComponents {
   def run(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxIterations: Int = 60,
       eager: Boolean = false,
-      smallGraphThreshold: Long = SmallGraphEdgeThreshold): DataFrame = {
+      smallGraphThreshold: Long = -1L): DataFrame = {
+    // gate override: spark.graft.cc.smallGraphThreshold (edges); callers
+    // passing an explicit threshold keep it
+    val smallGate =
+      if (smallGraphThreshold >= 0) smallGraphThreshold
+      else edges.sparkSession.conf
+        .get("spark.graft.cc.smallGraphThreshold", SmallGraphEdgeThreshold.toString)
+        .toLong
 
     // Already-materialised input (checkpoint/local relation, optionally
     // under cheap Project/Filter — the shape every caller that pre-persists
@@ -66,7 +76,7 @@ object ConnectedComponents {
       // symmetric+deduped count <= 2*raw count, so this gate only ever
       // sends borderline graphs to the distributed loop — never a too-big
       // graph to the driver
-      if (rawCount * 2 <= smallGraphThreshold)
+      if (rawCount * 2 <= smallGate)
         return driverUnionFindRaw(raw)
     }
 
@@ -96,7 +106,7 @@ object ConnectedComponents {
       .breakLineage(eager)
 
     val edgeCount = neighbours.count()
-    if (edgeCount <= smallGraphThreshold)
+    if (edgeCount <= smallGate)
       return driverUnionFind(neighbours)
 
     // exchange-free: the checkpointed neighbours frame carries its
@@ -108,18 +118,32 @@ object ConnectedComponents {
       .breakLineage(eager)
 
     val finalised = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val verbose = sys.env.get("SPARK_GRAFT_CC_VERBOSE").contains("1")
     var iteration = 0
     var done = false
     while (!done && iteration < maxIterations) {
       iteration += 1
-      // new rep = min(own rep, min of neighbours' reps)
+      val itT0 = System.nanoTime()
+      // new rep = min(own rep, min of neighbours' reps). The edge list is
+      // SYMMETRIC (both directions present), so "each node takes its
+      // neighbours' reps" can be computed by joining each edge's OWN node
+      // to reps and emitting the rep to the neighbour — same multiset,
+      // but the join key is node_id, the checkpointed frame's hash
+      // partitioning, so the 2x-edge frame never reshuffles for this join
+      // (the old neighbour-keyed join paid a full exchange every round).
       val neighbourReps = neighbours.alias("n")
-        .join(reps.alias("r"), col("n.neighbour") === col("r.node_id"))
-        .select(col("n.node_id").as("node_id"), col("r.representative").as("rep"))
+        .join(reps.alias("r"), col("n.node_id") === col("r.node_id"))
+        .select(col("n.neighbour").as("node_id"), col("r.representative").as("rep"))
       val propagated = reps.select(col("node_id"), col("representative").as("rep"))
         .unionByName(neighbourReps)
         .groupBy("node_id")
         .agg(min("rep").as("representative"))
+        // the pointer-jump below joins this frame with ITSELF, and Spark
+        // does not CSE across self-join branches — unpersisted, the whole
+        // neighbour-join + groupBy would run twice per round (measured ~2x
+        // round cost at 2.7M edges); released right after the round's
+        // materialisation point
+        .persist()
       // pointer jumping (rep := rep(rep)) — contracts paths geometrically,
       // so a diameter-D component converges in O(log D) rounds instead of
       // O(D) (small-star/large-star idea from arXiv:1802.09478).
@@ -144,7 +168,9 @@ object ConnectedComponents {
         .distinct()
         .persist() // small frame, reused 3x below; job 2 via isEmpty
 
-      if (openGroups.isEmpty) {
+      val noOpen = openGroups.isEmpty // triggers the round's materialisation
+      propagated.unpersist()
+      if (noOpen) {
         finalised += reps
         done = true
         openGroups.unpersist()
@@ -171,6 +197,9 @@ object ConnectedComponents {
         // frame no longer needs the old files)
         graft.operators.Materialise.release(prevNeighbours)
       }
+      if (verbose) System.err.println(
+        f"[cc] iteration $iteration done=${done} " +
+          f"${(System.nanoTime() - itT0) / 1e9}%.2fs")
     }
     if (!done) finalised += reps // maxIterations safety valve
     // The union carries one partition set per finalised round (hundreds of
