@@ -321,8 +321,11 @@ object DistributedBridges {
     // offset(c) = total subtree size of smaller-id siblings
     val sibW = Window.partitionBy("cluster_id", "parent").orderBy("node")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // materialised once: every depth round of the top-down fold filters
+    // this frame, and the window would otherwise recompute per round
     val kids = nd.filter(col("parent").isNotNull)
       .withColumn("offset", coalesce(sum(col("nd")).over(sibW), lit(0L)))
+      .breakLineage()
     val preByDepth = scala.collection.mutable.Map[Int, DataFrame](
       0 -> freshen(nd.filter(col("depth") === 0)
         .select(col("cluster_id"), col("node"), lit(0L).as("pre"))))
