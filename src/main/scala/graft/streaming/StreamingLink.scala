@@ -126,6 +126,39 @@ object StreamingLink {
   }
 
   /**
+   * Stateful streaming PERCEPTUAL IMAGE near-dup — the streaming twin of
+   * [[graft.pipeline.DedupOps.imageNearDuplicates]]: payloads decode to
+   * pixels in-stream (real PNG/BMP parsers, [[graft.pipeline.Codecs]]),
+   * hash to a 64-bit aHash, and band-collide against live bucket state
+   * exactly like [[simhashBandDedupStream]] (any pair within hamming < 4
+   * shares one of the 4x16-bit bands, so brightness/contrast-shifted or
+   * lightly edited copies collide). Undecodable payloads are dropped.
+   * Bucket state carries the same event-time timeout discipline.
+   */
+  def imageBandDedupStream(media: DataFrame, idCol: String,
+      payloadCol: String, tsCol: String, watermarkDelay: String = "1 hour")
+      : org.apache.spark.sql.Dataset[BandVerdict] = {
+    import org.apache.spark.sql.functions._
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ah = udf((b: Array[Byte]) =>
+      graft.pipeline.Codecs.gray(b).map(graft.pipeline.Codecs.aHash64))
+    val banded = media
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("string").as("docId"),
+        ah(col(payloadCol)).as("sh"), col(tsCol).as("eventTime"))
+      .filter(col("sh").isNotNull)
+      .select(col("docId"), col("eventTime"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bandVal"))
+        }: _*)).as("b"))
+      .select(col("docId"), col("b.band"), col("b.bandVal"), col("eventTime"))
+      .as[BandObs]
+    bandBucketVerdicts(banded, watermarkDelay)
+  }
+
+  /**
    * Stateful streaming MinHash-LSH near-dup detection — the streaming twin
    * of [[graft.pipeline.DedupOps.minhashDedupPairs]], over the SAME
    * [[graft.pipeline.DedupOps.lshBands]] banding kernel (k minhash slots,

@@ -288,6 +288,42 @@ class StreamingSpec extends SparkSpec {
     assert(d3 == Map(0 -> false, 1 -> true, 2 -> true, 3 -> true, 4 -> false))
   }
 
+  test("stateful perceptual-image band dedup flags shifted copies " +
+      "across batches and drops non-images") {
+    import graft.pipeline.Codecs
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    def px(bright: Int => Boolean): Array[Byte] =
+      Array.tabulate(256) { p =>
+        val base = (p * 200 / 255) + 20
+        (if (bright(p / 32)) math.min(base + 55, 255) else base).toByte
+      }
+    val original = Codecs.encodeBmp24(px(b => b % 3 == 0), 16, 16)
+    val shifted = Codecs.encodeBmp24(
+      px(b => b % 3 == 0).map(v => math.min((v & 0xFF) + 25, 255).toByte),
+      16, 16)
+    val other = Codecs.encodeBmp24(px(b => b % 2 == 0).reverse, 16, 16)
+    val verdicts = StreamingLink.imageBandDedupStream(
+      stream.toDF.toDF("media_id", "payload", "ts"), "media_id", "payload", "ts")
+    val query = verdicts.writeStream.format("memory")
+      .queryName("img_band_out").outputMode("append").start()
+    stream.addData((1L, original, ts(0)), (2L, other, ts(1)))
+    query.processAllAvailable()
+    // batch 2: brightness-shifted copy of 1 (same aHash -> every band
+    // collides); fresh structure; a non-image payload (dropped)
+    stream.addData((3L, shifted, ts(2)),
+      (4L, "not an image".getBytes("UTF-8"), ts(3)))
+    query.processAllAvailable()
+    query.stop()
+    val perDoc = spark.table("img_band_out").collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[Boolean]("firstInBucket")))
+      .groupBy(_._1).view.mapValues(vs => vs.count(_._2)).toMap
+    assert(perDoc.keySet == Set("1", "2", "3")) // non-image absent
+    assert(perDoc("1") == 4 && perDoc("2") == 4) // batch 1 fresh
+    assert(perDoc("3") == 0, "shifted copy must collide on every band")
+  }
+
   test("streaming span-dedup APPLY strips foreign spans in-stream and " +
       "agrees with the batch operator on the same corpus") {
     implicit val sqlCtx = spark.sqlContext
