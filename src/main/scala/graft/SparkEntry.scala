@@ -68,6 +68,23 @@ object SparkEntry {
   private def customers(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "customer").withColumnRenamed("c_custkey", "unique_id")
 
+  /** One EM iteration over blocked customer pairs, parameters flattened to
+    * rows — shared by q_em_mstep (driver M-step) and q_em_mstep_dist
+    * (forced distributed M-step). */
+  private def emMstep(s: SparkSession, dir: String): DataFrame = {
+    val res = Training.expectationMaximisation(
+      Seq("customer" -> customers(s, dir)), customerSettings,
+      BlockingRule.blockOn("c_nationkey", "c_mktsegment"),
+      fixU = false, maxIterations = 1)
+    val rows = res.settings.comparisons.flatMap { cmp =>
+      cmp.activeLevelsWithGamma.flatMap { case (lv, g) =>
+        Seq(("m", cmp.outputColumnName, g, lv.m.get),
+          ("u", cmp.outputColumnName, g, lv.u.get)) } } :+
+      (("lambda", "", -1, res.trainedLambda))
+    s.createDataFrame(rows).toDF("param", "comparison", "gamma", "value")
+      .withColumn("value", round(col("value"), 9))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val linker = new Linker(customers(spark, "/root/testdata/sf0.001"), customerSettings)
@@ -1188,18 +1205,17 @@ object SparkEntry {
     // entire iteration in SQL from the same literal init params, so the
     // engine's driver-side emCore math is cross-checked end to end; a
     // level no pattern observed records the 1e-6 unobserved sentinel.
-    "q_em_mstep" -> ((s, dir) => {
-      val res = Training.expectationMaximisation(
-        Seq("customer" -> customers(s, dir)), customerSettings,
-        BlockingRule.blockOn("c_nationkey", "c_mktsegment"),
-        fixU = false, maxIterations = 1)
-      val rows = res.settings.comparisons.flatMap { cmp =>
-        cmp.activeLevelsWithGamma.flatMap { case (lv, g) =>
-          Seq(("m", cmp.outputColumnName, g, lv.m.get),
-            ("u", cmp.outputColumnName, g, lv.u.get)) } } :+
-        (("lambda", "", -1, res.trainedLambda))
-      s.createDataFrame(rows).toDF("param", "comparison", "gamma", "value")
-        .withColumn("value", round(col("value"), 9))
+    "q_em_mstep" -> ((s, dir) => emMstep(s, dir)),
+
+    // the SAME one-iteration M-step forced through the DISTRIBUTED path
+    // (pattern cap 1 -> Training.emCoreDistributed): the codegen'd E-step
+    // column + single global aggregate per iteration sits under the same
+    // DuckDB replay as the driver path — both must round to identical
+    // 9-decimal parameters
+    "q_em_mstep_dist" -> ((s, dir) => {
+      s.conf.set("spark.graft.em.maxPatterns", "1")
+      try emMstep(s, dir)
+      finally s.conf.unset("spark.graft.em.maxPatterns")
     }),
 
     // §2.10/§2.12 estimate-u: deterministic hash sample sized for ~1M
@@ -1543,6 +1559,53 @@ object SparkEntry {
       |FROM cum""".stripMargin
 
   /** DuckDB-dialect oracle SQL per query (tables registered by name). */
+  /** Shared by q_em_mstep (driver path) and q_em_mstep_dist (forced
+    * distributed M-step) — identical semantics, one replay. */
+  private lazy val emMstepOracleSql: String =
+    s"""WITH pr AS (
+         |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
+         |  FROM customer l JOIN customer r
+         |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+         |   AND l.c_custkey < r.c_custkey),
+         |g AS (
+         |  SELECT $oracleGammaName AS gn, $oracleGammaBal AS gb, count(*) AS n
+         |  FROM pr p JOIN customer l ON p.uid_l = l.c_custkey
+         |            JOIN customer r ON p.uid_r = r.c_custkey
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT gn, gb, n, pm / (pm + pu) AS prob FROM (
+         |    SELECT gn, gb, n,
+         |      CAST(0.001 AS DOUBLE)
+         |        * CAST(CASE gn WHEN 3 THEN 0.9 WHEN 2 THEN 0.05 WHEN 1 THEN 0.03 WHEN 0 THEN 0.02 ELSE 1.0 END AS DOUBLE)
+         |        * CAST(CASE gb WHEN 2 THEN 0.7 WHEN 1 THEN 0.2 WHEN 0 THEN 0.1 ELSE 1.0 END AS DOUBLE) AS pm,
+         |      CAST(0.999 AS DOUBLE)
+         |        * CAST(CASE gn WHEN 3 THEN 0.001 WHEN 2 THEN 0.01 WHEN 1 THEN 0.05 WHEN 0 THEN 0.939 ELSE 1.0 END AS DOUBLE)
+         |        * CAST(CASE gb WHEN 2 THEN 0.02 WHEN 1 THEN 0.03 WHEN 0 THEN 0.95 ELSE 1.0 END AS DOUBLE) AS pu
+         |    FROM g)),
+         |agg AS (
+         |  SELECT 'c_name' AS comparison, gn AS gamma,
+         |         sum(prob * n) AS mw, sum((1 - prob) * n) AS uw
+         |  FROM p WHERE gn >= 0 GROUP BY gn
+         |  UNION ALL
+         |  SELECT 'c_acctbal', gb, sum(prob * n), sum((1 - prob) * n)
+         |  FROM p WHERE gb >= 0 GROUP BY gb),
+         |tot AS (SELECT comparison, sum(mw) AS md, sum(uw) AS ud
+         |        FROM agg GROUP BY comparison),
+         |lv AS (SELECT * FROM (VALUES ('c_name', 3), ('c_name', 2), ('c_name', 1), ('c_name', 0),
+         |    ('c_acctbal', 2), ('c_acctbal', 1), ('c_acctbal', 0)) AS t(comparison, gamma))
+         |SELECT 'm' AS param, lv.comparison, CAST(lv.gamma AS INT) AS gamma,
+         |  round(CASE WHEN agg.mw IS NULL THEN 1e-6 ELSE agg.mw / tot.md END, 9) AS value
+         |FROM lv LEFT JOIN agg ON lv.comparison = agg.comparison AND lv.gamma = agg.gamma
+         |        JOIN tot ON lv.comparison = tot.comparison
+         |UNION ALL
+         |SELECT 'u', lv.comparison, CAST(lv.gamma AS INT),
+         |  round(CASE WHEN agg.uw IS NULL THEN 1e-6 ELSE agg.uw / tot.ud END, 9)
+         |FROM lv LEFT JOIN agg ON lv.comparison = agg.comparison AND lv.gamma = agg.gamma
+         |        JOIN tot ON lv.comparison = tot.comparison
+         |UNION ALL
+         |SELECT 'lambda', '', CAST(-1 AS INT),
+         |  round(sum(prob * n) / sum(n), 9) FROM p""".stripMargin
+
   def oracleSql: Map[String, String] = scala.collection.immutable.ListMap(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2995,50 +3058,9 @@ object SparkEntry {
     // probability per pattern from the literal init m/u/λ -> M-step
     // shares and λ. Literals are cast to DOUBLE so both engines run the
     // same IEEE arithmetic; outputs round to 9 decimals on both sides.
-    "q_em_mstep" ->
-      s"""WITH pr AS (
-         |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
-         |  FROM customer l JOIN customer r
-         |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
-         |   AND l.c_custkey < r.c_custkey),
-         |g AS (
-         |  SELECT $oracleGammaName AS gn, $oracleGammaBal AS gb, count(*) AS n
-         |  FROM pr p JOIN customer l ON p.uid_l = l.c_custkey
-         |            JOIN customer r ON p.uid_r = r.c_custkey
-         |  GROUP BY 1, 2),
-         |p AS (
-         |  SELECT gn, gb, n, pm / (pm + pu) AS prob FROM (
-         |    SELECT gn, gb, n,
-         |      CAST(0.001 AS DOUBLE)
-         |        * CAST(CASE gn WHEN 3 THEN 0.9 WHEN 2 THEN 0.05 WHEN 1 THEN 0.03 WHEN 0 THEN 0.02 ELSE 1.0 END AS DOUBLE)
-         |        * CAST(CASE gb WHEN 2 THEN 0.7 WHEN 1 THEN 0.2 WHEN 0 THEN 0.1 ELSE 1.0 END AS DOUBLE) AS pm,
-         |      CAST(0.999 AS DOUBLE)
-         |        * CAST(CASE gn WHEN 3 THEN 0.001 WHEN 2 THEN 0.01 WHEN 1 THEN 0.05 WHEN 0 THEN 0.939 ELSE 1.0 END AS DOUBLE)
-         |        * CAST(CASE gb WHEN 2 THEN 0.02 WHEN 1 THEN 0.03 WHEN 0 THEN 0.95 ELSE 1.0 END AS DOUBLE) AS pu
-         |    FROM g)),
-         |agg AS (
-         |  SELECT 'c_name' AS comparison, gn AS gamma,
-         |         sum(prob * n) AS mw, sum((1 - prob) * n) AS uw
-         |  FROM p WHERE gn >= 0 GROUP BY gn
-         |  UNION ALL
-         |  SELECT 'c_acctbal', gb, sum(prob * n), sum((1 - prob) * n)
-         |  FROM p WHERE gb >= 0 GROUP BY gb),
-         |tot AS (SELECT comparison, sum(mw) AS md, sum(uw) AS ud
-         |        FROM agg GROUP BY comparison),
-         |lv AS (SELECT * FROM (VALUES ('c_name', 3), ('c_name', 2), ('c_name', 1), ('c_name', 0),
-         |    ('c_acctbal', 2), ('c_acctbal', 1), ('c_acctbal', 0)) AS t(comparison, gamma))
-         |SELECT 'm' AS param, lv.comparison, CAST(lv.gamma AS INT) AS gamma,
-         |  round(CASE WHEN agg.mw IS NULL THEN 1e-6 ELSE agg.mw / tot.md END, 9) AS value
-         |FROM lv LEFT JOIN agg ON lv.comparison = agg.comparison AND lv.gamma = agg.gamma
-         |        JOIN tot ON lv.comparison = tot.comparison
-         |UNION ALL
-         |SELECT 'u', lv.comparison, CAST(lv.gamma AS INT),
-         |  round(CASE WHEN agg.uw IS NULL THEN 1e-6 ELSE agg.uw / tot.ud END, 9)
-         |FROM lv LEFT JOIN agg ON lv.comparison = agg.comparison AND lv.gamma = agg.gamma
-         |        JOIN tot ON lv.comparison = tot.comparison
-         |UNION ALL
-         |SELECT 'lambda', '', CAST(-1 AS INT),
-         |  round(sum(prob * n) / sum(n), 9) FROM p""".stripMargin,
+    "q_em_mstep" -> emMstepOracleSql,
+
+    "q_em_mstep_dist" -> emMstepOracleSql,
 
     // estimate-u replay: portable-hash sample (trunc to match Scala's
     // toLong), cartesian l<r, u = per-level share of non-null gammas;

@@ -597,12 +597,16 @@ object Training {
       odds2prob(prob2odds(settings.probabilityTwoRandomRecordsMatch) * blockingBf),
       1e-8), 1 - 1e-8)
     val core =
-      if (collectPatterns)
-        emCore(patterns.toSeq, mInit, uInit, lambdaInit, fixU,
-          maxIterations, tolerance, tfSpecs, fixM, fixLambda)
-      else
-        emCoreDistributed(patternDf, gammaCols, tfColNames, mInit, uInit,
-          lambdaInit, fixU, maxIterations, tolerance, tfSpecs, fixM, fixLambda)
+      try {
+        if (collectPatterns)
+          emCore(patterns.toSeq, mInit, uInit, lambdaInit, fixU,
+            maxIterations, tolerance, tfSpecs, fixM, fixLambda)
+        else
+          emCoreDistributed(patternDf, gammaCols, tfColNames, mInit, uInit,
+            lambdaInit, fixU, maxIterations, tolerance, tfSpecs, fixM, fixLambda)
+      } catch {
+        case e: Throwable => patternDf.unpersist(); throw e
+      }
     val (m, u, lambda) = (core.m, core.u, core.lambda)
     val (iter, converged, history) = (core.iterations, core.converged, core.history)
 
