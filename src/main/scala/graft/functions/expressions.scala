@@ -147,6 +147,53 @@ case class QgramTokenise(child: Expression, q: Int) extends StringUnaryExpressio
 }
 
 /** Column-level API, mirroring `org.apache.spark.sql.functions`. */
+/** Perceptual image hashes as native expressions over binary payloads:
+  * `ahash64`/`dhash64` return the 64-bit signature for decodable PNG/BMP
+  * bytes and NULL otherwise. The pixel decode is inherently scalar JVM
+  * work (`graft.pipeline.Codecs` — same compilation unit, so the
+  * functions->pipeline reference is fine); the expressions stay inside
+  * whole-stage codegen via a static call, no UDF serde. */
+abstract class ImageHashExpression extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${child.dataType}")
+  protected def staticMethod: String
+  protected def kernel(b: Array[Byte]): java.lang.Long
+  override def nullSafeEval(b: Any): Any = {
+    val r = kernel(b.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val boxed = ctx.freshName("hash")
+      s"""java.lang.Long $boxed = $staticMethod($b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }""".stripMargin
+    })
+}
+
+case class AHash64(child: Expression) extends ImageHashExpression {
+  override def prettyName: String = "ahash64"
+  protected def staticMethod = "graft.pipeline.Codecs.aHash64OrNull"
+  protected def kernel(b: Array[Byte]): java.lang.Long =
+    graft.pipeline.Codecs.aHash64OrNull(b)
+  override protected def withNewChildInternal(c: Expression): AHash64 =
+    copy(child = c)
+}
+
+case class DHash64(child: Expression) extends ImageHashExpression {
+  override def prettyName: String = "dhash64"
+  protected def staticMethod = "graft.pipeline.Codecs.dHash64OrNull"
+  protected def kernel(b: Array[Byte]): java.lang.Long =
+    graft.pipeline.Codecs.dHash64OrNull(b)
+  override protected def withNewChildInternal(c: Expression): DHash64 =
+    copy(child = c)
+}
+
 object funcs {
   import org.apache.spark.sql.functions._
 
@@ -182,6 +229,8 @@ object funcs {
   def l2_sq(l: Column, r: Column): Column = expr(SquaredL2(ex(l), ex(r)))
   def hyperplane_sigs(c: Column, planes: Array[Array[Array[Double]]]): Column =
     expr(HyperplaneSignatures(ex(c), planes))
+  def ahash64(c: Column): Column = expr(AHash64(ex(c)))
+  def dhash64(c: Column): Column = expr(DHash64(ex(c)))
 
   /** Cosine similarity of two float/double array columns via higher-order
     * built-ins — exactly the formula the reference emits for Spark
@@ -221,6 +270,8 @@ object funcs {
     "compression_ratio" -> (es => CompressionRatio(es(0))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_sq" -> (es => SquaredL2(es(0), es(1))),
+    "ahash64" -> (es => AHash64(es(0))),
+    "dhash64" -> (es => DHash64(es(0))),
     // aliases matching the names the reference's Spark jar registers
     // (`spark/jar_location.py:41-61`) so a model.json saved from the
     // reference's SPARK backend resolves unchanged. Spark lowercases

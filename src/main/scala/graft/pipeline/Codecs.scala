@@ -402,6 +402,19 @@ object Codecs {
     h
   }
 
+  /** Static kernels for the Catalyst expressions (`ahash64`/`dhash64`):
+    * boxed null when the payload is not a decodable image. */
+  def aHash64OrNull(b: Array[Byte]): java.lang.Long =
+    gray(b) match {
+      case Some(g) => java.lang.Long.valueOf(aHash64(g))
+      case None => null
+    }
+  def dHash64OrNull(b: Array[Byte]): java.lang.Long =
+    gray(b) match {
+      case Some(g) => java.lang.Long.valueOf(dHash64(g))
+      case None => null
+    }
+
   /** Encode a grayscale image as a REAL 24-bpp uncompressed BMP (the
     * format [[bmpGray]] reads back bit-for-bit) — used by tests and the
     * synthetic image corpora of the oracle queries.

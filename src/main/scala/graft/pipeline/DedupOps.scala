@@ -355,10 +355,14 @@ object DedupOps {
    */
   def imageNearDuplicates(media: DataFrame, maxHamming: Int = 3,
       useDHash: Boolean = false): DataFrame = {
-    val hashCol = if (useDHash) "dhash" else "ahash"
-    val base = MultimodalOps.imageHashes(media)
-      .filter(col(hashCol).isNotNull)
-      .select(col("media_id").as("id"), col(hashCol).as("sh"))
+    // the codegen'd native expression keeps the decode inside the columnar
+    // plan — no RDD boundary, payload column prunable upstream
+    val hash =
+      if (useDHash) graft.functions.funcs.dhash64(col("payload"))
+      else graft.functions.funcs.ahash64(col("payload"))
+    val base = media
+      .select(col("media_id").as("id"), hash.as("sh"))
+      .filter(col("sh").isNotNull)
     val banded = base.select(col("id"), col("sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),

@@ -141,12 +141,11 @@ object StreamingLink {
     import org.apache.spark.sql.functions._
     val spark = media.sparkSession
     import spark.implicits._
-    val ah = udf((b: Array[Byte]) =>
-      graft.pipeline.Codecs.gray(b).map(graft.pipeline.Codecs.aHash64))
     val banded = media
       .withWatermark(tsCol, watermarkDelay)
       .select(col(idCol).cast("string").as("docId"),
-        ah(col(payloadCol)).as("sh"), col(tsCol).as("eventTime"))
+        graft.functions.funcs.ahash64(col(payloadCol)).as("sh"),
+        col(tsCol).as("eventTime"))
       .filter(col("sh").isNotNull)
       .select(col("docId"), col("eventTime"),
         explode(array((0 until 4).map { b =>

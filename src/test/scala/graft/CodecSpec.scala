@@ -193,6 +193,27 @@ class CodecSpec extends SparkSpec {
     assert(Codecs.dHash64(gr(a)) == Codecs.dHash64(gr(scaled)))
   }
 
+  test("ahash64/dhash64 SQL functions match the kernels and NULL on junk") {
+    import org.apache.spark.sql.functions.col
+    val img = Codecs.encodeBmp24(gradientPx(b => b % 3 == 0), 16, 16)
+    val g = Codecs.bmpGray(img).get
+    graft.functions.funcs.registerAll(spark)
+    val df = Seq((1L, img), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    df.createOrReplaceTempView("imgs")
+    val got = spark.sql(
+      "SELECT id, ahash64(payload) AS a, dhash64(payload) AS d FROM imgs")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) == ((Some(Codecs.aHash64(g)), Some(Codecs.dHash64(g)))))
+    assert(got(2L) == ((None, None)))
+    // Column API route agrees (exercises codegen through a projection)
+    val viaCol = df.select(col("id"),
+        graft.functions.funcs.ahash64(col("payload")).as("a"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaCol(1L).contains(Codecs.aHash64(g)) && viaCol(2L).isEmpty)
+  }
+
   test("imageNearDuplicates recall: edited copy found, distinct image not") {
     val original = gradientPx(b => (b % 3) == 0)
     // light edit: bump one 32-pixel block slightly (survives hashing)
