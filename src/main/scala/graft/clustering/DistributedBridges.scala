@@ -270,9 +270,12 @@ object DistributedBridges {
    * low/high fold bottom-up — each by the same depth-peeling as the XOR
    * fold in [[bridges]] (O(V) work per fold across `depth` rounds), and
    * the aux component solve reuses [[ConnectedComponents]] (driver
-   * union-find below its small-graph gate, distributed loop above). All
-   * shuffles key on (cluster_id, node): no cluster ever materialises on
-   * one machine.
+   * union-find below its small-graph gate, distributed loop above). Aux
+   * node ids are `xxhash64(cluster_id, node)` — a collision would merge
+   * two aux components (wrongly clearing a cut vertex), probability
+   * ~2^-64 per node pair: the same accepted risk class as the
+   * cycle-space XOR in [[bridges]]. All shuffles key on
+   * (cluster_id, node): no cluster ever materialises on one machine.
    *
    * @param edges (cluster_id, srcCol, dstCol); clusters must be connected
    * @return one row per node: (cluster_id, node, is_articulation)
