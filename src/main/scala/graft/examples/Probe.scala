@@ -73,6 +73,36 @@ object Probe {
     println("PROBE4 clustering with zero edges above threshold:")
     val none = linker.clusterPairwisePredictionsAtThreshold(linker.predict(), 1.1)
     println(s"PROBE4 rows=${none.count()} distinct=${none.select("cluster_id").distinct().count()}")
+
+    println("PROBE5 articulation on a DISCONNECTED cluster frame (violated " +
+      "CC contract must fail loudly, not hang or mislabel):")
+    try {
+      import spark.implicits._
+      // nodes 1..4 labelled one cluster but edges connect only (1,2), (3,4)
+      val badClusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+        .toDF("node_id", "cluster_id")
+      val splitEdges = Seq((1L, 2L), (3L, 4L))
+        .toDF("unique_id_l", "unique_id_r")
+      graft.clustering.ClusteringOps.articulationPoints(badClusters,
+        splitEdges, maxClusterSize = 1, distributeOversize = true).count()
+      println("PROBE5 UNEXPECTED SUCCESS")
+    } catch {
+      case e: Exception =>
+        println("PROBE5 error class: " + e.getClass.getSimpleName)
+        println("PROBE5 message head: " + e.getMessage.linesIterator.next())
+    }
+
+    println("PROBE6 autoSalt leaves exploding + custom rules untouched and " +
+      "predict output identical:")
+    locally {
+      val before = linker.predict().count()
+      spark.conf.set("spark.graft.autoSalt", "true")
+      try {
+        val after = new Linker(data, settings).predict().count()
+        println(s"PROBE6 pairs unsalted=$before autosalted=$after " +
+          (if (before == after) "IDENTICAL" else "MISMATCH"))
+      } finally spark.conf.unset("spark.graft.autoSalt")
+    }
     spark.stop()
   }
 }
