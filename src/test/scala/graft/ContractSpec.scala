@@ -71,7 +71,14 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       // reference Spark-jar alias names (case-insensitive lookup)
       "jaccard" -> "jaccard('night', 'nacht')",
       "dmetaphonealt" -> "DmetaphoneAlt('smith')",
-      "jaccard_chars" -> "jaccard_chars('night', 'nacht')")
+      "jaccard_chars" -> "jaccard_chars('night', 'nacht')",
+      // minimal valid 2x2 24-bit BMP (gradient pixels)
+      "ahash64" -> ("ahash64(unhex('424D460000000000000036000000280000000" +
+        "200000002000000010018000000000010000000130B0000130B00000000000000" +
+        "0000000A141EC8D2DC000028323C5A646E0000'))"),
+      "dhash64" -> ("dhash64(unhex('424D460000000000000036000000280000000" +
+        "200000002000000010018000000000010000000130B0000130B00000000000000" +
+        "0000000A141EC8D2DC000028323C5A646E0000'))"))
     // the probe map must cover the shared table exactly — a new kernel
     // without a probe (or vice versa) fails here
     assert(probes.keySet ==
