@@ -41,7 +41,7 @@ object Codecs {
     val cnts = new Array[Long](8)
     var i = 0
     while (i < n) {
-      val bucket = i * 8 / n
+      val bucket = (i.toLong * 8 / n).toInt // long: i*8 wraps above 256M
       sums(bucket) += (bytes(from + i) & 0xFF)
       cnts(bucket) += 1
       i += 1
@@ -75,33 +75,31 @@ object Codecs {
       case _ => return None
     }
     if (width <= 0 || height <= 0) return None
-    // walk chunks, concatenate IDAT payloads, inflate
+    // walk chunks, concatenate IDAT payloads, inflate. Long offset math:
+    // a crafted chunk length near Int.MaxValue must fail the bounds guard,
+    // not wrap around it.
     val idat = new java.io.ByteArrayOutputStream()
-    var off = 8
+    var off = 8L
     var ok = true
     while (ok && off + 8 <= b.length) {
-      val len = beInt(b, off)
-      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val len = beInt(b, off.toInt)
+      val typ = new String(b, off.toInt + 4, 4, "US-ASCII")
       if (len < 0 || off + 8 + len > b.length) ok = false
       else {
-        if (typ == "IDAT") idat.write(b, off + 8, len)
+        if (typ == "IDAT") idat.write(b, off.toInt + 8, len)
         if (typ == "IEND") ok = false
-        off += 8 + len + 4 // length + type + data + crc
+        off += 8L + len + 4 // length + type + data + crc
       }
     }
+    // cap = declared raw scanline size (filter byte + row, 8-bit depth);
+    // a decompression bomb beyond it throws inside inflateAll and falls
+    // back to the zero feature (header metadata stays valid)
+    val cap = math.min(
+      height.toLong * (width.toLong * nChannels + 1) + 8192L, Int.MaxValue.toLong)
     val feature =
       if (idat.size == 0) Array.fill(8)(0.0f)
       else try {
-        val inf = new Inflater()
-        inf.setInput(idat.toByteArray)
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!inf.finished() && !inf.needsInput()) {
-          val n = inf.inflate(buf)
-          if (n > 0) out.write(buf, 0, n)
-        }
-        inf.end()
-        val raw = out.toByteArray
+        val raw = inflateAll(idat.toByteArray, cap)
         bucketMeans(raw, 0, raw.length)
       } catch { case _: Exception => Array.fill(8)(0.0f) }
     Some(Decoded("png", width, height, nChannels, feature))
@@ -131,6 +129,10 @@ object Codecs {
       case _ => return None
     }
     if (pixelOffset < 54 || pixelOffset > b.length) return None
+    // declared pixel array must fit the payload (Long math: crafted dims
+    // near Int.MaxValue must fail here, not pose as valid metadata)
+    val strideL = ((width.toLong * (bpp / 8) + 3) / 4) * 4
+    if (pixelOffset.toLong + strideL * height > b.length) return None
     Some(Decoded("bmp", width, height, nChannels,
       bucketMeans(b, pixelOffset, b.length)))
   }
@@ -147,23 +149,25 @@ object Codecs {
     * byte level for 8-bit audio). */
   def parseWav(b: Array[Byte]): Option[Decoded] = {
     if (!isWav(b)) return None
-    var off = 12
+    // Long offset math: a crafted chunk length near Int.MaxValue must fail
+    // the bounds guard, not wrap around it into OOB reads
+    var off = 12L
     var channels = -1; var sampleRate = -1; var bits = -1
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
-      val typ = new String(b, off, 4, "US-ASCII")
-      val len = leInt(b, off + 4)
+      val typ = new String(b, off.toInt, 4, "US-ASCII")
+      val len = leInt(b, off.toInt + 4)
       if (len < 0 || off + 8 + len > b.length) return None
       typ match {
         case "fmt " if len >= 16 =>
-          channels = leShort(b, off + 8 + 2)
-          sampleRate = leInt(b, off + 8 + 4)
-          bits = leShort(b, off + 8 + 14)
+          channels = leShort(b, off.toInt + 8 + 2)
+          sampleRate = leInt(b, off.toInt + 8 + 4)
+          bits = leShort(b, off.toInt + 8 + 14)
         case "data" =>
-          dataOff = off + 8; dataLen = len
+          dataOff = off.toInt + 8; dataLen = len
         case _ =>
       }
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      off += 8L + len + (len & 1) // chunks are word-aligned
     }
     if (channels <= 0 || sampleRate <= 0 || dataOff < 0) return None
     val bytesPerSample = math.max(bits / 8, 1)
@@ -176,7 +180,7 @@ object Codecs {
         var i = 0
         while (i < nSamples) {
           val v = (leShort(b, dataOff + 2 * i).toShort).toDouble / 32768.0
-          val bucket = i * 8 / math.max(nSamples, 1)
+          val bucket = (i.toLong * 8 / math.max(nSamples, 1)).toInt
           sums(bucket) += v * v; cnts(bucket) += 1
           i += 1
         }
@@ -199,16 +203,33 @@ object Codecs {
   /** Grayscale image: row-major top-down luma in [0,1]. */
   final case class Gray(width: Int, height: Int, px: Array[Float])
 
-  private def inflateAll(data: Array[Byte]): Array[Byte] = {
+  /** Inflate with a hard output cap. `maxOut` bounds decompression-bomb
+    * payloads (a few KB of deflate can declare GBs of output); a stream
+    * that exceeds the cap, requests a preset dictionary, or stops making
+    * progress without finishing is malformed for our purposes and throws —
+    * every caller catches and returns None, honouring the NULL-for-
+    * undecodable contract instead of hanging or OOMing an executor. */
+  private def inflateAll(data: Array[Byte], maxOut: Long): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
+    var stalled = false
+    while (!inf.finished() && !inf.needsInput() && !stalled) {
       val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n)
+      if (n > 0) {
+        if (out.size().toLong + n > maxOut)
+          throw new java.util.zip.DataFormatException("inflate output cap")
+        out.write(buf, 0, n)
+      } else if (inf.needsDictionary()) {
+        throw new java.util.zip.DataFormatException("preset dictionary")
+      } else if (!inf.finished() && !inf.needsInput()) {
+        // no progress, no declared reason: malformed stream
+        stalled = true
+      }
     }
     inf.end()
+    if (stalled) throw new java.util.zip.DataFormatException("inflate stall")
     out.toByteArray
   }
 
@@ -230,24 +251,31 @@ object Codecs {
     }
     if ((b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0 || (b(28) & 0xFF) != 0)
       return None // non-default compression/filter/interlace
+    // Long arithmetic throughout the header math: a crafted chunk length or
+    // width x height near Int.MaxValue must fail these guards, not wrap
+    // around them into out-of-bounds reads / bogus allocations.
+    val strideL = width.toLong * channels
+    val needL = height.toLong * (strideL + 1) // filter byte + scanline per row
+    if (needL > Int.MaxValue) return None
+    val stride = strideL.toInt
+    val need = needL.toInt
     val idat = new java.io.ByteArrayOutputStream()
-    var off = 8
+    var off = 8L
     var walking = true
     while (walking && off + 8 <= b.length) {
-      val len = beInt(b, off)
-      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val len = beInt(b, off.toInt)
+      val typ = new String(b, off.toInt + 4, 4, "US-ASCII")
       if (len < 0 || off + 8 + len > b.length) walking = false
       else {
-        if (typ == "IDAT") idat.write(b, off + 8, len)
+        if (typ == "IDAT") idat.write(b, off.toInt + 8, len)
         if (typ == "IEND") walking = false
-        off += 8 + len + 4
+        off += 8L + len + 4
       }
     }
     if (idat.size == 0) return None
-    val raw = try inflateAll(idat.toByteArray)
+    val raw = try inflateAll(idat.toByteArray, need)
       catch { case _: Exception => return None }
-    val stride = width * channels
-    if (raw.length < height * (stride + 1)) return None
+    if (raw.length < need) return None
     val recon = new Array[Int](height * stride)
     var y = 0
     while (y < height) {
@@ -307,8 +335,12 @@ object Codecs {
       case 8 => 1; case 24 => 3; case 32 => 4
       case _ => return None
     }
-    val stride = ((width * bytesPerPx + 3) / 4) * 4
-    if (pixelOffset < 54 || pixelOffset + stride * height > b.length) return None
+    // Long arithmetic: crafted width/height/offset values near Int.MaxValue
+    // must fail the bounds check, not wrap around it into OOB reads.
+    val strideL = ((width.toLong * bytesPerPx + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + strideL * height > b.length)
+      return None
+    val stride = strideL.toInt // fits: stride * height <= b.length
     val colourCh = math.min(bytesPerPx, 3)
     val px = new Array[Float](width * height)
     var y = 0

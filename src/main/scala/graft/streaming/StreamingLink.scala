@@ -34,9 +34,11 @@ case class WindowOwnerState(owner: String, ownerTime: Long = 0L,
   * (tokens) or one foreign-window verdict (pos). */
 case class DedupApplyObs(docId: String, isDoc: Boolean, pos: Int,
   tokens: Seq[String], eventTime: java.sql.Timestamp)
-/** Per-doc apply state: tokens + foreign starts seen so far. */
+/** Per-doc apply state: tokens + foreign starts seen so far. `hasDoc`
+  * distinguishes "doc row not seen yet" from a seen doc whose text
+  * tokenises to nothing (blank docs must still be emitted). */
 case class DedupApplyState(tokens: Seq[String], foreignStarts: Seq[Int],
-  emitted: Boolean)
+  emitted: Boolean, hasDoc: Boolean)
 /** One deduped document; `corrected = true` re-emissions supersede the
   * earlier row for the same doc (late ownership corrections). */
 case class DedupedDoc(docId: String, textDeduped: String, nRemoved: Int,
@@ -218,6 +220,17 @@ object StreamingLink {
    * mask (gaps-and-islands over `pos`, exactly as the batch operator
    * does); [[dedupSpansApplyStream]] is the packaged apply half.
    *
+   * Contract: each document carries ONE event time. Idempotent
+   * re-delivery (same doc, same event time) converges — verdicts
+   * recompute identically. Re-delivering a doc with a MODIFIED event
+   * time is out of contract: corrections are demotion-only (the demoted
+   * owner's positions turn foreign), and a doc promoted to owner by its
+   * own re-timestamped copy does not retract the foreign verdicts its
+   * earlier copy produced. Precise retraction would need per-contender
+   * position state on every window hash — unbounded for
+   * boilerplate-grade duplication — so timestamp corrections belong
+   * upstream of this operator.
+   *
    * State per window hash is the owner (id, event time, owned positions)
    * with an event-time timeout a full watermark delay past its last hit —
    * long-running-stream safe, the same discipline as
@@ -337,20 +350,24 @@ object StreamingLink {
           else {
             val batch = rows.toSeq
             val prev = state.getOption
-              .getOrElse(DedupApplyState(Nil, Nil, emitted = false))
-            val tokens = batch.find(_.isDoc).map(_.tokens)
-              .getOrElse(prev.tokens)
+              .getOrElse(DedupApplyState(Nil, Nil, emitted = false,
+                hasDoc = false))
+            val docRow = batch.find(_.isDoc)
+            val hasDoc = prev.hasDoc || docRow.isDefined
+            val tokens = docRow.map(_.tokens).getOrElse(prev.tokens)
             val starts = (prev.foreignStarts ++
               batch.filterNot(_.isDoc).map(_.pos)).distinct
             state.setTimeoutTimestamp(
               batch.map(_.eventTime.getTime).max, watermarkDelay)
-            if (tokens.isEmpty) {
+            if (!hasDoc) {
               // verdict before doc (possible only if the doc row itself is
               // missing from the stream) — hold the starts, emit nothing
-              state.update(DedupApplyState(tokens, starts, prev.emitted))
+              state.update(DedupApplyState(tokens, starts, prev.emitted,
+                hasDoc = false))
               Iterator.empty
             } else {
-              state.update(DedupApplyState(tokens, starts, emitted = true))
+              state.update(DedupApplyState(tokens, starts, emitted = true,
+                hasDoc = true))
               val kept = tokens.zipWithIndex.collect {
                 case (t, i) if !starts.exists(s => i >= s && i <= s + k - 1) => t
               }

@@ -110,6 +110,60 @@ class CodecSpec extends SparkSpec {
     assert(Codecs.parse(null).isEmpty)
   }
 
+  test("malformed headers: overflow-scale lengths and zlib tricks never throw or hang") {
+    def png(ihdrData: Array[Byte], rest: Array[Byte]*): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      out.write(be32(ihdrData.length)); out.write("IHDR".getBytes("US-ASCII"))
+      out.write(ihdrData); out.write(be32(0))
+      rest.foreach(out.write)
+      out.toByteArray
+    }
+    // 1) chunk length near Int.MaxValue: off+8+len used to wrap negative
+    //    and pass the bounds guard, then read out of bounds
+    val hugeChunk = png(be32(4) ++ be32(4) ++ Array[Byte](8, 0, 0, 0, 0),
+      be32(0x7FFFFFF0) ++ "IDAT".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
+    assert(Codecs.gray(hugeChunk).isEmpty)
+    Codecs.parse(hugeChunk) // must not throw
+    // 2) width x height whose scanline product overflows Int
+    val hugeDims = png(be32(1 << 20) ++ be32(1 << 20) ++
+      Array[Byte](8, 2, 0, 0, 0))
+    assert(Codecs.gray(hugeDims).isEmpty)
+    Codecs.parse(hugeDims)
+    // 3) zlib stream demanding a preset dictionary (FDICT bit): the decoder
+    //    must fail it, not spin forever waiting for a dictionary
+    val fdict = {
+      val z = Array[Byte](0x78, 0x20, 0, 0, 0, 1, 1, 2, 3) // FDICT set
+      png(be32(4) ++ be32(4) ++ Array[Byte](8, 0, 0, 0, 0),
+        be32(z.length) ++ "IDAT".getBytes("US-ASCII") ++ z ++ be32(0),
+        be32(0) ++ "IEND".getBytes("US-ASCII") ++ be32(0))
+    }
+    assert(Codecs.gray(fdict).isEmpty)
+    Codecs.parse(fdict)
+    // 4) BMP whose stride x height wraps Int
+    val bmp = {
+      val out = new ByteArrayOutputStream()
+      out.write('B'); out.write('M')
+      out.write(le32(70)); out.write(le32(0)); out.write(le32(54))
+      out.write(le32(40)); out.write(le32(0x40000000)); out.write(le32(0x40000000))
+      out.write(le16(1)); out.write(le16(24)); out.write(le32(0))
+      out.write(le32(16)); out.write(le32(2835)); out.write(le32(2835))
+      out.write(le32(0)); out.write(le32(0))
+      out.write(Array.fill[Byte](16)(0x80.toByte))
+      out.toByteArray
+    }
+    assert(Codecs.gray(bmp).isEmpty && Codecs.parse(bmp).isEmpty)
+    // 5) WAV chunk length near Int.MaxValue: offset math must not wrap
+    val wav = {
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes); out.write(le32(36)); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); out.write(le32(0x7FFFFFF0))
+      out.write(Array.fill[Byte](24)(0))
+      out.toByteArray
+    }
+    assert(Codecs.parse(wav).isEmpty)
+  }
+
   // ---------------------------------------------- pixels + perceptual hash
 
   /** Deterministic 16x16 gradient-with-blocks test image. */

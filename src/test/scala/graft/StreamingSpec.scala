@@ -394,4 +394,27 @@ class StreamingSpec extends SparkSpec {
     // and the correction is a RE-emission: doc 10 appeared uncorrected first
     assert(rows.exists(r => r._1 == "10" && !r._4 && r._3 == 0))
   }
+
+  test("span-dedup APPLY emits blank and whitespace-only documents " +
+      "(matching the batch operator) instead of holding them in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val deduped = StreamingLink.dedupSpansApplyStream(
+      stream.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", k = 3)
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_apply_blank").outputMode("append").start()
+    stream.addData(Seq((1L, "", ts(0)), (2L, "   ", ts(1)),
+      (3L, "a b c d", ts(2))))
+    query.processAllAvailable()
+    query.stop()
+    spark.conf.unset(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    val got = spark.table("dedup_apply_blank").collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[String]("textDeduped"),
+        r.getAs[Int]("nRemoved"))).toSet
+    assert(got == Set(("1", "", 0), ("2", "", 0), ("3", "a b c d", 0)))
+  }
 }
