@@ -193,15 +193,22 @@ object Bench {
     // second scale point: ~10 headline queries over the 10x-amplified
     // sf0.1 (~sf1); structural disjointness keeps the honest linear slope.
     // SPARK_GRAFT_SF1=0 skips it; only runs when benching sf0.1 itself.
+    // A BENCH_ONLY subset restricts this section too (and skips it
+    // entirely when none of its headline queries are selected) — a
+    // narrowed profiling run must not pay the 10x dataset build.
+    val sf1Selected = only match {
+      case Some(names) => Sf1Queries.filter(names)
+      case None => Sf1Queries
+    }
     val sf1Json =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
-          !sfDir.contains("sf0.1")) ""
+          !sfDir.contains("sf0.1") || sf1Selected.isEmpty) ""
       else {
         val sf1Dir = "target/bench_sf1"
         val tGen0 = System.nanoTime()
         ensureSf1(spark, sfDir, sf1Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
-        val sel = SparkEntry.queries.filter(q => Sf1Queries.contains(q._1))
+        val sel = SparkEntry.queries.filter(q => sf1Selected.contains(q._1))
         val r = onePass(sel, sf1Dir)
         s""","sf1":{"dir":"$sf1Dir","gen_sec":$genSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +

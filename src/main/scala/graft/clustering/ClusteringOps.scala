@@ -29,7 +29,7 @@ object ClusteringOps {
       dstCol: String = "unique_id_r",
       probCol: String = "match_probability",
       maxRounds: Int = 10,
-      smallGraphThreshold: Long = ConnectedComponents.SmallGraphEdgeThreshold)
+      smallGraphThreshold: Long = ConnectedComponents.adaptiveSmallGraphGate)
       : DataFrame = {
     var remaining = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
       col(probCol).as("p")).filter(col("a") =!= col("b")).breakLineage()
@@ -141,7 +141,7 @@ object ClusteringOps {
       probCol: String = "match_probability", maxRounds: Int = 10,
       duplicateFreeDatasets: Option[Seq[String]] = None,
       tiesMethod: String = "lowest_id",
-      smallGraphThreshold: Long = ConnectedComponents.SmallGraphEdgeThreshold)
+      smallGraphThreshold: Long = ConnectedComponents.adaptiveSmallGraphGate)
       : DataFrame = {
     require(Seq("lowest_id", "drop").contains(tiesMethod),
       "ties_method must be one of 'drop', or 'lowest_id'")
@@ -546,13 +546,21 @@ object ClusteringOps {
   def nodeMetrics(clusters: DataFrame, edges: DataFrame,
       srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
       withArticulation: Boolean = false): DataFrame = {
+    // withArticulation fans the inputs out into the degree aggregate AND
+    // the articulation pass (cluster sizes + per-cluster Tarjan, plus the
+    // distributed forest for oversize clusters) — materialise both once so
+    // an expensive upstream pipeline (often a full predict) is not
+    // re-evaluated per consumer
+    val (cl, ed) =
+      if (withArticulation) (clusters.breakLineage(), edges.breakLineage())
+      else (clusters, edges)
     // one explode, not a union of two selects: a union evaluates the edge
     // plan (often a full predict pipeline) twice
-    val deg = edges
+    val deg = ed
       .select(explode(array(col(srcCol), col(dstCol))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("degree"))
     val w = Window.partitionBy("cluster_id")
-    val base = clusters.join(deg, Seq("node_id"), "left")
+    val base = cl.join(deg, Seq("node_id"), "left")
       .withColumn("degree", coalesce(col("degree"), lit(0L)))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("centrality",
@@ -564,7 +572,7 @@ object ClusteringOps {
       // igraph-parity column (`graph_metrics.py:116-170` users call
       // igraph.articulation_points next to these metrics); size-adaptive,
       // no ceiling — oversize clusters go through the distributed pass
-      val cuts = articulationPoints(clusters, edges, srcCol, dstCol,
+      val cuts = articulationPoints(cl, ed, srcCol, dstCol,
           distributeOversize = true)
         .select(col("cluster_id").cast("string").as("__ap_cid"),
           col("node_id"), col("is_articulation"))

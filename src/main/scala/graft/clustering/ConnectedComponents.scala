@@ -28,17 +28,32 @@ import graft.operators.Materialise.Ops
  */
 object ConnectedComponents {
 
-  /** Edge-count threshold below which the component solve runs on the
+  /** Edge-count ceiling below which the component solve runs on the
     * driver (collect + union-find) instead of the iterative distributed
-    * loop. 8M symmetric edges ≈ 128MB on the driver and a ~linear
-    * union-find, while the distributed loop pays several shuffles of the
-    * full edge frame per round — measured 2-3x slower at this size even
-    * after co-partitioning the propagation join. Above the threshold (the
+    * loop: the distributed loop pays several shuffles of the full edge
+    * frame per round — measured 2-3x slower at this size even after
+    * co-partitioning the propagation join. Above the threshold (the
     * 100TB regime, where per-round fixed costs amortise) the distributed
     * loop runs. Same adaptive-execution idea as AQE: pick the physical
-    * strategy from the observed size. Override per session with
-    * `spark.graft.cc.smallGraphThreshold`. */
+    * strategy from the observed size.
+    *
+    * The DEFAULT gate is additionally clamped by driver heap: a collected
+    * edge costs ~150 bytes retained (GenericRow + boxed index tuple +
+    * union-find structures — an order of magnitude more than the raw
+    * longs), so the default never collects more than ~1/8 of
+    * `Runtime.maxMemory`. A 1 GB driver auto-shrinks to ~0.9M edges; this
+    * ceiling only applies on heaps above ~9.6 GB. An explicit
+    * `spark.graft.cc.smallGraphThreshold` (or caller argument) is taken
+    * as-is — the operator trusts a human-set gate. */
   val SmallGraphEdgeThreshold: Long = 8000000L
+
+  /** Retained driver bytes per collected symmetric edge (measured order:
+    * Row ~80B + HashMap entry + boxed pair + parent slot). */
+  private val BytesPerCollectedEdge = 150L
+
+  /** The heap-clamped default gate (see [[SmallGraphEdgeThreshold]]). */
+  def adaptiveSmallGraphGate: Long = math.min(SmallGraphEdgeThreshold,
+    Runtime.getRuntime.maxMemory() / (8 * BytesPerCollectedEdge))
 
   /**
    * @param edges frame with two node-id columns (self-loops and duplicates ok)
@@ -54,8 +69,8 @@ object ConnectedComponents {
     val smallGate =
       if (smallGraphThreshold >= 0) smallGraphThreshold
       else edges.sparkSession.conf
-        .get("spark.graft.cc.smallGraphThreshold", SmallGraphEdgeThreshold.toString)
-        .toLong
+        .getOption("spark.graft.cc.smallGraphThreshold").map(_.toLong)
+        .getOrElse(adaptiveSmallGraphGate)
 
     // Already-materialised input (checkpoint/local relation, optionally
     // under cheap Project/Filter — the shape every caller that pre-persists

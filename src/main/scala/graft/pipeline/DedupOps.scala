@@ -160,6 +160,18 @@ object DedupOps {
     }: _*)
   }
 
+  /** 4x16-bit band split of a 64-bit signature (SimHash / perceptual
+    * hash): array of (band, `valName`) structs for exploding. Two
+    * signatures within hamming distance 3 share at least one band
+    * (pigeonhole over 4 disjoint 16-bit slices); the DuckDB oracles and
+    * the streaming twins replay exactly this split, so every batch and
+    * streaming band join MUST go through this one definition. */
+  def bands64(sig: Column, valName: String = "band_val"): Column =
+    array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * 16).bitwiseAND(lit(0xFFFFL)).as(valName))
+    }: _*)
+
   /**
    * MinHash-LSH near-duplicate candidate pairs, verified with true token
    * Jaccard. Scale shape: explode to (band, band_hash) — the shuffle key —
@@ -320,10 +332,7 @@ object DedupOps {
     val keyCols = blockKeys.indices.map(i => s"bk$i")
     val banded = base.select(
       (col("id") +: col("sh") +: keyCols.map(col) :+
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
-        }: _*)).as("b")): _*)
+        explode(bands64(col("sh"))).as("b")): _*)
       .select((col("id") +: col("sh") +: keyCols.map(col) :+
         col("b.band") :+ col("b.band_val")): _*)
     val l = banded.alias("l")
@@ -364,10 +373,7 @@ object DedupOps {
       .select(col("media_id").as("id"), hash.as("sh"))
       .filter(col("sh").isNotNull)
     val banded = base.select(col("id"), col("sh"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
-        }: _*)).as("b"))
+        explode(bands64(col("sh"))).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.band_val"))
     banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") &&

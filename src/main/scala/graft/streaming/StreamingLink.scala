@@ -118,10 +118,7 @@ object StreamingLink {
       .select(col(idCol).cast("string").as("docId"), sh.as("sh"),
         col(tsCol).as("eventTime"))
       .select(col("docId"), col("eventTime"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bandVal"))
-        }: _*)).as("b"))
+        explode(graft.pipeline.DedupOps.bands64(col("sh"), "bandVal")).as("b"))
       .select(col("docId"), col("b.band"), col("b.bandVal"), col("eventTime"))
       .as[BandObs]
     bandBucketVerdicts(banded, watermarkDelay)
@@ -150,10 +147,7 @@ object StreamingLink {
         col(tsCol).as("eventTime"))
       .filter(col("sh").isNotNull)
       .select(col("docId"), col("eventTime"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bandVal"))
-        }: _*)).as("b"))
+        explode(graft.pipeline.DedupOps.bands64(col("sh"), "bandVal")).as("b"))
       .select(col("docId"), col("b.band"), col("b.bandVal"), col("eventTime"))
       .as[BandObs]
     bandBucketVerdicts(banded, watermarkDelay)
