@@ -891,6 +891,13 @@ object SparkEntry {
         .toDF("rule", "largest_block_rows", "total_rows", "recommended_salts")
     }),
 
+    // §2.3/§2.4 candidate blocking-rule generation: the whole singleton +
+    // pair lattice over three key expressions profiled in ONE grouping-sets
+    // pass (comparison counts, block counts, skew, completeness per rule).
+    "q_blocking_advisor" -> ((s, dir) =>
+      graft.operators.BlockingAdvisor.profile(pq(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment", "substr(c_name, 1, 8)"))),
+
     // §2.11 one-to-one with the duplicate-free-dataset constraint +
     // ties_method="drop" (reference cluster_using_single_best_links).
     // Single round so the mutual-best fixpoint is SQL-expressible; datasets
@@ -2503,6 +2510,56 @@ object SparkEntry {
         |    AS recommended_salts
         |FROM (SELECT count(*) AS c FROM customer
         |      WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)""".stripMargin,
+
+    // per-candidate replay of the grouping-sets lattice: one group-by CTE
+    // per candidate conjunction, identical null-rejecting semantics
+    "q_blocking_advisor" ->
+      """WITH t AS (SELECT c_nationkey AS k1, c_mktsegment AS k2,
+        |                  substr(c_name, 1, 8) AS k3 FROM customer),
+        |tot AS (SELECT count(*) AS n FROM t),
+        |m AS (
+        |  SELECT 'block_on(c_nationkey)' AS rule, 1 AS n_columns, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_comparisons,
+        |           count(*) AS n_blocks,
+        |           CAST(coalesce(max(n), 0) AS BIGINT) AS largest_block,
+        |           CAST(coalesce(sum(n), 0) AS BIGINT) AS covered
+        |    FROM (SELECT count(*) AS n FROM t WHERE k1 IS NOT NULL GROUP BY k1)) g
+        |  UNION ALL
+        |  SELECT 'block_on(c_mktsegment)', 1, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t WHERE k2 IS NOT NULL GROUP BY k2)) g
+        |  UNION ALL
+        |  SELECT 'block_on(substr(c_name, 1, 8))', 1, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t WHERE k3 IS NOT NULL GROUP BY k3)) g
+        |  UNION ALL
+        |  SELECT 'block_on(c_nationkey, c_mktsegment)', 2, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t
+        |          WHERE k1 IS NOT NULL AND k2 IS NOT NULL GROUP BY k1, k2)) g
+        |  UNION ALL
+        |  SELECT 'block_on(c_nationkey, substr(c_name, 1, 8))', 2, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t
+        |          WHERE k1 IS NOT NULL AND k3 IS NOT NULL GROUP BY k1, k3)) g
+        |  UNION ALL
+        |  SELECT 'block_on(c_mktsegment, substr(c_name, 1, 8))', 2, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t
+        |          WHERE k2 IS NOT NULL AND k3 IS NOT NULL GROUP BY k2, k3)) g)
+        |SELECT rule, n_columns, n_comparisons, n_blocks, largest_block,
+        |       round(covered * 1.0 / greatest(tot.n, 1), 9) AS completeness
+        |FROM m CROSS JOIN tot""".stripMargin,
 
     // full replay of the single constrained round: symmetric neighbours ->
     // drop same-dataset equal-probability ties (both directions) ->

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BlockingAdvisor
+
+/** Candidate blocking-rule profiling via one GROUPING SETS pass:
+  * brute-force metric equality, null-key semantics, budgeted
+  * recommendation, and the single-input-scan plan shape. */
+class BlockingAdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (city, surname, phone) with nulls and a hot city key
+  private def frame = Seq(
+    ("london", "smith", "020-1"), ("london", "smith", "020-2"),
+    ("london", "jones", "020-3"), ("london", null, "020-4"),
+    ("leeds", "smith", "0113-1"), ("leeds", "patel", null),
+    (null, "patel", "0161-1"), (null, null, "0161-2")
+  ).toDF("city", "surname", "phone")
+
+  test("profile matches a per-candidate brute force, null keys excluded") {
+    val got = BlockingAdvisor.profile(frame, Seq("city", "surname"))
+      .collect().map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Int]("n_columns"), r.getAs[Long]("n_comparisons"),
+          r.getAs[Long]("n_blocks"), r.getAs[Long]("largest_block"),
+          r.getAs[Double]("completeness")))).toMap
+    // city: london=4, leeds=2 (nulls out) -> 6+1=7 pairs, completeness 6/8
+    assert(got("block_on(city)") == ((1, 7L, 2L, 4L, 0.75)))
+    // surname: smith=3, jones=1, patel=2 -> 3+0+1, completeness 6/8
+    assert(got("block_on(surname)") == ((1, 4L, 3L, 3L, 0.75)))
+    // city+surname: (london,smith)=2, (london,jones)=1, (leeds,smith)=1,
+    // (leeds,patel)=1 -> 1 pair, completeness 5/8
+    assert(got("block_on(city, surname)") == ((2, 1L, 4L, 2L, 0.625)))
+    assert(got.size == 3)
+  }
+
+  test("SQL-fragment candidates (with commas) survive the full round trip") {
+    val advice = BlockingAdvisor.recommend(frame,
+      Seq("city", "substr(phone, 1, 3)"), budget = 100)
+    assert(advice.nonEmpty)
+    val best = advice.head
+    // substr(phone, 1, 3): 020x4(1 null surname row still counts)=6 pairs,
+    // 011=0, 016=1 -> 7 pairs at completeness 7/8 — beats city (6/8)
+    assert(best.rule.exprs == Seq("substr(phone, 1, 3)"))
+    assert(best.nComparisons == 7L && best.completeness == 0.875)
+    // the recommended rule is directly usable by the blocking machinery,
+    // and the advisor's count IS the blocked-pair count
+    val linker = new Linker(
+      frame.withColumn("unique_id", monotonically_increasing_id()),
+      graft.model.LinkSettings(
+        linkType = graft.model.LinkType.DedupeOnly,
+        blockingRules = Seq(best.rule),
+        comparisons = Seq(graft.model.ComparisonLibrary.exactMatch("city"))))
+    assert(linker.blockedIdPairs().count() == best.nComparisons)
+  }
+
+  test("recommend respects the budget, drops zero-count rules, ranks " +
+      "completeness first then loosest") {
+    val advice = BlockingAdvisor.recommend(frame, Seq("city", "surname"),
+      budget = 5)
+    // city (7 pairs) over budget; surname (4) in; city+surname (1) in
+    assert(advice.map(_.rule.exprs) ==
+      Seq(Seq("surname"), Seq("city", "surname")))
+    // nothing affordable -> empty, never an exception
+    assert(BlockingAdvisor.recommend(frame, Seq("city"), budget = 0).isEmpty)
+    // a never-repeating key blocks nothing and is never recommended
+    val uniq = (1 to 10).map(i => (s"u$i", "x")).toDF("uid_key", "const")
+    val rec = BlockingAdvisor.recommend(uniq, Seq("uid_key"), budget = 1000)
+    assert(rec.isEmpty)
+  }
+
+  test("one input scan and one wide-input exchange feed all candidates") {
+    val rendered = BlockingAdvisor.profile(frame, Seq("city", "surname", "phone"))
+      .queryExecution.executedPlan.toString
+    // the candidate lattice (6 sets) must NOT re-scan the input per rule:
+    // one Expand over one scan, then the grouping aggregate (string match —
+    // the AQE wrapper hides the inner plan from collect())
+    assert(rendered.linesIterator.count(_.contains("LocalTableScan")) == 1,
+      s"expected 1 input scan:\n$rendered")
+    assert(rendered.linesIterator.count(_.contains("Expand")) == 1,
+      s"expected 1 Expand:\n$rendered")
+  }
+}
