@@ -131,6 +131,22 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
       case other => other
     }
 
+  /** Suggest blocking rules for this model's own comparison columns under
+    * a comparison budget ([[graft.operators.BlockingAdvisor]]): the
+    * candidate lattice is the model's comparison output columns (the
+    * fields the user already decided are match-relevant), profiled in one
+    * grouping-sets pass over the concatenated input. Returns ready-to-use
+    * rules ranked by completeness then loosest-affordable; apply with
+    * `settings.copy(blockingRules = ...)` or compare against the current
+    * rules via the blocking-analysis surface. */
+  def suggestBlockingRules(budget: Long, maxRules: Int = 5,
+      maxArity: Int = 2): Seq[graft.operators.BlockingAdvisor.Advice] = {
+    val cols = settings.comparisons.map(_.outputColumnName)
+      .filter(concat.columns.contains)
+    graft.operators.BlockingAdvisor.recommend(concat, cols, budget,
+      maxRules, maxArity)
+  }
+
   /** Blocked candidate id pairs (`blocking.py:603-695`). Two-frame
     * link_only jobs take the direct left-x-right join fast path. */
   def blockedIdPairs(): DataFrame = {

@@ -68,6 +68,32 @@ class BlockingAdvisorSpec extends SparkSpec {
     assert(rec.isEmpty)
   }
 
+  test("Linker.suggestBlockingRules profiles the model's own comparison " +
+      "columns and returns applicable rules") {
+    import graft.model._
+    import graft.model.{LevelLibrary => ll}
+    val df = frame.withColumn("unique_id", monotonically_increasing_id())
+    val settings = LinkSettings(
+      linkType = LinkType.DedupeOnly,
+      blockingRules = Seq(BlockingRule.blockOn("phone")),
+      comparisons = Seq(
+        Comparison("city", Seq(ll.nullLevel("city"),
+          ll.exactMatch("city").withM(0.9).withU(0.1),
+          ll.elseLevel.withM(0.1).withU(0.9))),
+        Comparison("surname", Seq(ll.nullLevel("surname"),
+          ll.exactMatch("surname").withM(0.9).withU(0.1),
+          ll.elseLevel.withM(0.1).withU(0.9)))))
+    val linker = new Linker(df, settings)
+    val advice = linker.suggestBlockingRules(budget = 100)
+    // candidates come from the comparison columns (city, surname), ranked
+    // completeness first: both singles tie at 6/8, city is looser (7 > 4)
+    assert(advice.map(_.rule.exprs) == Seq(Seq("city"), Seq("surname"),
+      Seq("city", "surname")))
+    val applied = new Linker(df, settings.copy(
+      blockingRules = Seq(advice.head.rule)))
+    assert(applied.blockedIdPairs().count() == advice.head.nComparisons)
+  }
+
   test("one input scan and one wide-input exchange feed all candidates") {
     val rendered = BlockingAdvisor.profile(frame, Seq("city", "surname", "phone"))
       .queryExecution.executedPlan.toString
