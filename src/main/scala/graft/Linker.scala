@@ -141,9 +141,14 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     * rules via the blocking-analysis surface. */
   def suggestBlockingRules(budget: Long, maxRules: Int = 5,
       maxArity: Int = 2): Seq[graft.operators.BlockingAdvisor.Advice] = {
+    // only comparison columns that exist as plain input columns qualify
+    // (expression-derived comparisons have no direct equi-key); cap at the
+    // advisor's 16-expr lattice limit (first 16 in model order) and return
+    // empty rather than throwing when nothing qualifies
     val cols = settings.comparisons.map(_.outputColumnName)
-      .filter(concat.columns.contains)
-    graft.operators.BlockingAdvisor.recommend(concat, cols, budget,
+      .filter(concat.columns.contains).take(16)
+    if (cols.isEmpty) Nil
+    else graft.operators.BlockingAdvisor.recommend(concat, cols, budget,
       maxRules, maxArity)
   }
 

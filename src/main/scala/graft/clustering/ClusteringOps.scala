@@ -29,14 +29,16 @@ object ClusteringOps {
       dstCol: String = "unique_id_r",
       probCol: String = "match_probability",
       maxRounds: Int = 10,
-      smallGraphThreshold: Long = ConnectedComponents.adaptiveSmallGraphGate)
+      smallGraphThreshold: Long = -1L)
       : DataFrame = {
+    val smallGate = ConnectedComponents.resolveSmallGate(
+      edges.sparkSession, smallGraphThreshold)
     var remaining = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
       col(probCol).as("p")).filter(col("a") =!= col("b")).breakLineage()
     // adaptive small-input fast path (same strategy pick as CC);
     // long ids only — other id types take the distributed loop
     if (remaining.schema("a").dataType == org.apache.spark.sql.types.LongType &&
-        remaining.count() <= smallGraphThreshold)
+        remaining.count() <= smallGate)
       return driverOneToOne(remaining, maxRounds)
     val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
@@ -141,8 +143,10 @@ object ClusteringOps {
       probCol: String = "match_probability", maxRounds: Int = 10,
       duplicateFreeDatasets: Option[Seq[String]] = None,
       tiesMethod: String = "lowest_id",
-      smallGraphThreshold: Long = ConnectedComponents.adaptiveSmallGraphGate)
+      smallGraphThreshold: Long = -1L)
       : DataFrame = {
+    val smallGate = ConnectedComponents.resolveSmallGate(
+      edges.sparkSession, smallGraphThreshold)
     require(Seq("lowest_id", "drop").contains(tiesMethod),
       "ties_method must be one of 'drop', or 'lowest_id'")
     // materialise the caller's edge pipeline ONCE before tie handling:
@@ -166,7 +170,7 @@ object ClusteringOps {
         nodeDatasets.schema("node_id"))
       .forall(_.dataType == org.apache.spark.sql.types.LongType) &&
       e0raw.schema("p").dataType == org.apache.spark.sql.types.DoubleType
-    if (longIds && e0raw.count() <= smallGraphThreshold)
+    if (longIds && e0raw.count() <= smallGate)
       return driverOneToOneConstrained(e0raw, nodeDatasets,
         duplicateFreeDatasets, tiesMethod, maxRounds)
     val e0 = tiesMethod match {

@@ -55,6 +55,16 @@ object ConnectedComponents {
   def adaptiveSmallGraphGate: Long = math.min(SmallGraphEdgeThreshold,
     Runtime.getRuntime.maxMemory() / (8 * BytesPerCollectedEdge))
 
+  /** Shared gate resolution for every driver-collect fast path (CC and
+    * the one-to-one clustering loops): explicit caller argument (>= 0)
+    * wins, then the `spark.graft.cc.smallGraphThreshold` session conf,
+    * then the heap-clamped default. */
+  def resolveSmallGate(spark: org.apache.spark.sql.SparkSession,
+      explicit: Long): Long =
+    if (explicit >= 0) explicit
+    else spark.conf.getOption("spark.graft.cc.smallGraphThreshold")
+      .map(_.toLong).getOrElse(adaptiveSmallGraphGate)
+
   /**
    * @param edges frame with two node-id columns (self-loops and duplicates ok)
    * @return DataFrame(node_id, cluster_id), one row per node that appears
@@ -66,11 +76,7 @@ object ConnectedComponents {
       smallGraphThreshold: Long = -1L): DataFrame = {
     // gate override: spark.graft.cc.smallGraphThreshold (edges); callers
     // passing an explicit threshold keep it
-    val smallGate =
-      if (smallGraphThreshold >= 0) smallGraphThreshold
-      else edges.sparkSession.conf
-        .getOption("spark.graft.cc.smallGraphThreshold").map(_.toLong)
-        .getOrElse(adaptiveSmallGraphGate)
+    val smallGate = resolveSmallGate(edges.sparkSession, smallGraphThreshold)
 
     // Already-materialised input (checkpoint/local relation, optionally
     // under cheap Project/Filter — the shape every caller that pre-persists

@@ -17,7 +17,7 @@ import graft.model.BlockingRule.BlockOnRule
  * candidate grouping into a single shuffle, so probing 45 candidate rules
  * over a 100 TB table costs one scan + one exchange, not 45.
  *
- * Per-candidate metrics (all DuckDB-replayable, see q_blocking_advice):
+ * Per-candidate metrics (all DuckDB-replayable, see q_blocking_advisor):
  *  - `n_comparisons`: sum over non-null blocks of n*(n-1)/2 — the exact
  *    dedupe-pair count the reference's count_comparisons reports for
  *    `link_type='dedupe_only'` before filters

@@ -91,11 +91,21 @@ object Codecs {
         off += 8L + len + 4 // length + type + data + crc
       }
     }
-    // cap = declared raw scanline size (filter byte + row, 8-bit depth);
-    // a decompression bomb beyond it throws inside inflateAll and falls
-    // back to the zero feature (header metadata stays valid)
+    // cap = declared raw scanline size from the ACTUAL bit depth (1..16
+    // bits per sample), doubled for Adam7 interlacing (7 sub-images carry
+    // extra filter bytes) — a valid 16-bit or interlaced PNG must not be
+    // zeroed by a cap sized for 8-bit. A decompression bomb beyond the cap
+    // throws inside inflateAll and falls back to the zero feature (header
+    // metadata stays valid). Saturating clamps keep every product in Long.
+    val bitDepth = math.max(b(24) & 0xFF, 1)
+    val interlaced = (b(28) & 0xFF) != 0
+    val bytesPerRow = math.min(
+      (width.toLong * nChannels * bitDepth + 7) / 8, Int.MaxValue.toLong)
+    val rawBound = math.min(
+      height.toLong * (bytesPerRow + 1), Int.MaxValue.toLong)
     val cap = math.min(
-      height.toLong * (width.toLong * nChannels + 1) + 8192L, Int.MaxValue.toLong)
+      (if (interlaced) rawBound * 2 else rawBound) + 65536L,
+      Int.MaxValue.toLong)
     val feature =
       if (idat.size == 0) Array.fill(8)(0.0f)
       else try {
@@ -121,7 +131,8 @@ object Codecs {
     val height = math.abs(leInt(b, 22)) // negative = top-down
     val bpp = leShort(b, 28)
     val compression = leInt(b, 30)
-    if (width <= 0 || height == 0 || compression != 0) return None
+    // height <= 0, not == 0: math.abs(Int.MinValue) IS Int.MinValue
+    if (width <= 0 || height <= 0 || compression != 0) return None
     val nChannels = bpp match {
       case 8 => 1
       case 24 => 3
@@ -130,7 +141,9 @@ object Codecs {
     }
     if (pixelOffset < 54 || pixelOffset > b.length) return None
     // declared pixel array must fit the payload (Long math: crafted dims
-    // near Int.MaxValue must fail here, not pose as valid metadata)
+    // near Int.MaxValue must fail here, not pose as valid metadata; the
+    // pixel-count bound comes first so the stride product cannot wrap)
+    if (width.toLong * height > b.length) return None
     val strideL = ((width.toLong * (bpp / 8) + 3) / 4) * 4
     if (pixelOffset.toLong + strideL * height > b.length) return None
     Some(Decoded("bmp", width, height, nChannels,
@@ -253,7 +266,10 @@ object Codecs {
       return None // non-default compression/filter/interlace
     // Long arithmetic throughout the header math: a crafted chunk length or
     // width x height near Int.MaxValue must fail these guards, not wrap
-    // around them into out-of-bounds reads / bogus allocations.
+    // around them into out-of-bounds reads / bogus allocations. The pixel
+    // count is bounded FIRST (product <= 2^62, cannot itself wrap) so the
+    // scanline product below stays well inside Long range.
+    if (width.toLong * height > Int.MaxValue) return None
     val strideL = width.toLong * channels
     val needL = height.toLong * (strideL + 1) // filter byte + scanline per row
     if (needL > Int.MaxValue) return None
@@ -330,13 +346,18 @@ object Codecs {
     val height = math.abs(rawHeight)
     val bottomUp = rawHeight > 0
     val bpp = leShort(b, 28)
-    if (width <= 0 || height == 0 || leInt(b, 30) != 0) return None
+    // height <= 0, not == 0: math.abs(Int.MinValue) IS Int.MinValue
+    if (width <= 0 || height <= 0 || leInt(b, 30) != 0) return None
     val bytesPerPx = bpp match {
       case 8 => 1; case 24 => 3; case 32 => 4
       case _ => return None
     }
     // Long arithmetic: crafted width/height/offset values near Int.MaxValue
-    // must fail the bounds check, not wrap around it into OOB reads.
+    // must fail the bounds check, not wrap around it into OOB reads. The
+    // pixel count is bounded FIRST (each pixel needs >= 1 payload byte and
+    // the product <= 2^62 cannot itself wrap), which keeps the stride
+    // product below inside Long range (strideL*height < 8 * b.length).
+    if (width.toLong * height > b.length) return None
     val strideL = ((width.toLong * bytesPerPx + 3) / 4) * 4
     if (pixelOffset < 54 || pixelOffset.toLong + strideL * height > b.length)
       return None
@@ -436,16 +457,21 @@ object Codecs {
 
   /** Static kernels for the Catalyst expressions (`ahash64`/`dhash64`):
     * boxed null when the payload is not a decodable image. */
+  // The NULL-for-undecodable contract is enforced here, not just by the
+  // header guards: these wrappers run inside codegen'd expressions over
+  // arbitrary corpus bytes, and ANY residual decoder defect must cost one
+  // NULL hash, never a task (catch is Exception — errors like OOM still
+  // propagate).
   def aHash64OrNull(b: Array[Byte]): java.lang.Long =
-    gray(b) match {
+    try gray(b) match {
       case Some(g) => java.lang.Long.valueOf(aHash64(g))
       case None => null
-    }
+    } catch { case _: Exception => null }
   def dHash64OrNull(b: Array[Byte]): java.lang.Long =
-    gray(b) match {
+    try gray(b) match {
       case Some(g) => java.lang.Long.valueOf(dHash64(g))
       case None => null
-    }
+    } catch { case _: Exception => null }
 
   /** Encode a grayscale image as a REAL 24-bpp uncompressed BMP (the
     * format [[bmpGray]] reads back bit-for-bit) — used by tests and the

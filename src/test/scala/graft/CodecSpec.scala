@@ -162,6 +162,59 @@ class CodecSpec extends SparkSpec {
       out.toByteArray
     }
     assert(Codecs.parse(wav).isEmpty)
+    def bmpWith(w: Int, h: Int, bpp: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write('B'); out.write('M')
+      out.write(le32(70)); out.write(le32(0)); out.write(le32(54))
+      out.write(le32(40)); out.write(le32(w)); out.write(le32(h))
+      out.write(le16(1)); out.write(le16(bpp)); out.write(le32(0))
+      out.write(le32(16)); out.write(le32(2835)); out.write(le32(2835))
+      out.write(le32(0)); out.write(le32(0))
+      out.write(Array.fill[Byte](16)(0x80.toByte))
+      out.toByteArray
+    }
+    // 6) BMP whose strideL x height wraps LONG (2^31-1 squared at 32bpp)
+    val bmpLongWrap = bmpWith(0x7FFFFFFF, 0x7FFFFFFF, 32)
+    assert(Codecs.gray(bmpLongWrap).isEmpty && Codecs.parse(bmpLongWrap).isEmpty)
+    // 7) BMP height = Int.MinValue: math.abs is a no-op on it
+    val bmpMinH = bmpWith(1, 0x80000000, 8)
+    assert(Codecs.gray(bmpMinH).isEmpty && Codecs.parse(bmpMinH).isEmpty)
+    // 8) PNG whose scanline product wraps LONG (2^31-1 squared, RGBA)
+    val pngLongWrap = png(be32(0x7FFFFFFF) ++ be32(0x7FFFFFFF) ++
+      Array[Byte](8, 6, 0, 0, 0),
+      be32(8) ++ "IDAT".getBytes("US-ASCII") ++
+        Array[Byte](0x78, 0x9C.toByte, 3, 0, 0, 0, 0, 1) ++ be32(0),
+      be32(0) ++ "IEND".getBytes("US-ASCII") ++ be32(0))
+    assert(Codecs.gray(pngLongWrap).isEmpty)
+    Codecs.parse(pngLongWrap)
+  }
+
+  test("16-bit-depth PNG metadata features survive the inflate cap") {
+    // valid 16-bit grayscale 4x4: raw = 4 rows of (filter 0 + 8 bytes)
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length)); out.write(typ.getBytes("US-ASCII"))
+      out.write(data); out.write(be32(0))
+    }
+    chunk("IHDR", be32(4) ++ be32(4) ++ Array[Byte](16, 0, 0, 0, 0))
+    val raw = Array.fill(4)(0.toByte +: Array.fill[Byte](8)(0xAB.toByte))
+      .flatten.toArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](256)
+    val z = new ByteArrayOutputStream()
+    while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    val parsed = Codecs.parse(out.toByteArray)
+    assert(parsed.isDefined)
+    // the 16-bit stream is ~2x the 8-bit cap estimate; features must be
+    // real bucket means (0xAB bytes), not the zeroed fallback
+    assert(parsed.get.feature.forall(_ > 0.5f))
+    // 16-bit pixel DECODE is unsupported by design -> None, no throw
+    assert(Codecs.gray(out.toByteArray).isEmpty)
   }
 
   // ---------------------------------------------- pixels + perceptual hash
