@@ -61,7 +61,13 @@ object Bench {
   /** The ~10 headline queries re-run at the amplified sf1 scale point. */
   private val Sf1Queries = Seq("q_predict_tf", "q_cluster", "q_minhash_pairs",
     "q_dup_spans", "q_bridges", "q_estimate_u", "q_multi_threshold",
-    "q_snm_pairs", "q_ann_ivf", "q_tfidf")
+    "q_snm_pairs", "q_ann_ivf", "q_tfidf",
+    // the distributed Tarjan-Vishkin articulation pass — the suite's
+    // slowest query, so its scaling slope matters most. (q_image_neardup
+    // is deliberately NOT here: its corpus hashes are synthetic-random, so
+    // 16-bit band collisions grow quadratically with corpus size — a
+    // property of the fixture, not of the operator on real image sets.)
+    "q_articulation")
 
   /**
    * Materialise a 10x amplification of sf0.1 (~sf1: ~1.5M orders, 1.5M

@@ -142,4 +142,41 @@ object BlockingAdvisor {
   /** One recommended rule with the metrics that justified it. */
   case class Advice(rule: BlockOnRule, nComparisons: Long,
       largestBlock: Long, completeness: Double)
+
+  /** Greedy rule-SET selection under an EXACT cumulative budget: take the
+    * [[recommend]] ranking, then verify each prefix with the engine's own
+    * NOT-previous multi-rule pair count
+    * ([[graft.evaluation.Evaluation.cumulativeComparisonsPerRule]], the
+    * reference's cumulative chart semantics) — pairs emitted by an earlier
+    * rule are not double-charged, so a candidate whose individual count
+    * busts the budget can still fit when it overlaps the already-chosen
+    * rules. One counting job per accepted-or-rejected candidate, each a
+    * narrow id-pair count, never a scored pipeline.
+    *
+    * @return (chosen rules with their individual metrics, exact scored
+    *         total of the chosen set under multi-rule dedupe)
+    */
+  def recommendSet(df: DataFrame, exprs: Seq[String], budget: Long,
+      maxRules: Int = 5, maxArity: Int = 2): (Seq[Advice], Long) = {
+    require(df.columns.contains("unique_id"),
+      "recommendSet counts pairs through the blocking engine, which " +
+        "needs a 'unique_id' column on the input (profile/recommend need " +
+        "only the key expressions)")
+    val ranked = recommend(df, exprs, budget, maxRules = Int.MaxValue,
+      maxArity = maxArity)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Advice]
+    var total = 0L
+    for (cand <- ranked if chosen.size < maxRules) {
+      val trial = (chosen :+ cand).map(_.rule)
+      val settings = graft.model.LinkSettings(
+        linkType = graft.model.LinkType.DedupeOnly,
+        blockingRules = trial.toSeq,
+        comparisons = Nil)
+      val cum = graft.evaluation.Evaluation
+        .cumulativeComparisonsPerRule(df, settings)
+        .agg(sum(col("row_count")).cast("long")).head().getLong(0)
+      if (cum <= budget) { chosen += cand; total = cum }
+    }
+    (chosen.toSeq, total)
+  }
 }

@@ -94,6 +94,29 @@ class BlockingAdvisorSpec extends SparkSpec {
     assert(applied.blockedIdPairs().count() == advice.head.nComparisons)
   }
 
+  test("recommendSet charges overlapping rules their NOT-previous " +
+      "marginal cost, not their individual count") {
+    val df = frame.withColumn("unique_id", monotonically_increasing_id())
+    // individual counts: city=7, surname=4, city+surname=1; but under
+    // NOT-previous semantics the pairs of (city, surname) overlap heavily:
+    // exact union = city(7) + surname-only pairs not sharing city
+    val (chosen, total) = graft.operators.BlockingAdvisor.recommendSet(
+      df, Seq("city", "surname"), budget = 9, maxRules = 3)
+    // greedy ranking: city (7, compl .75) first; surname individually 4
+    // would bust a naive 7+4 > 9 budget, but its marginal pairs are only
+    // smith(0,4? cross-city) + patel -> exact cumulative fits
+    assert(chosen.map(_.rule.exprs).contains(Seq("city")))
+    assert(total <= 9, s"cumulative $total must respect the budget")
+    // the reported total is the engine's own multi-rule count
+    val settings = graft.model.LinkSettings(
+      linkType = graft.model.LinkType.DedupeOnly,
+      blockingRules = chosen.map(_.rule),
+      comparisons = Seq(graft.model.ComparisonLibrary.exactMatch("city")))
+    assert(new Linker(df, settings).blockedIdPairs().count() == total)
+    // and the set beats any single rule under the same budget
+    assert(total >= chosen.map(_.nComparisons).max)
+  }
+
   test("one input scan and one wide-input exchange feed all candidates") {
     val rendered = BlockingAdvisor.profile(frame, Seq("city", "surname", "phone"))
       .queryExecution.executedPlan.toString
