@@ -117,6 +117,51 @@ class BlockingAdvisorSpec extends SparkSpec {
     assert(total >= chosen.map(_.nComparisons).max)
   }
 
+  test("randomized property: profile equals a driver brute force at " +
+      "every arity and column count (gid bit-order check)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val m = 2 + rnd.nextInt(3) // 2..4 candidate columns
+      val nRows = 30 + rnd.nextInt(40)
+      val cols = (0 until m).map(i => s"c$i")
+      // small value domains force collisions; ~20% nulls exercise the
+      // null-rejecting semantics
+      val rows = (0 until nRows).map { _ =>
+        (0 until m).map { _ =>
+          if (rnd.nextDouble() < 0.2) null
+          else s"v${rnd.nextInt(4)}"
+        }
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(
+          r => org.apache.spark.sql.Row(r: _*)), 2),
+        org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+      val maxArity = 1 + rnd.nextInt(m)
+      val got = BlockingAdvisor.profile(df, cols, maxArity)
+        .collect().map(r => r.getAs[String]("rule") ->
+          ((r.getAs[Long]("n_comparisons"), r.getAs[Long]("n_blocks"),
+            r.getAs[Long]("largest_block"),
+            r.getAs[Double]("completeness")))).toMap
+      val sets = (1 to maxArity).flatMap(a => (0 until m).combinations(a))
+      assert(got.size == sets.size)
+      for (s <- sets) {
+        val label = s"block_on(${s.map(cols).mkString(", ")})"
+        val keys = rows.map(r => s.map(r)).filter(_.forall(_ != null))
+        val groups = keys.groupBy(identity).values.map(_.size.toLong).toSeq
+        val expect = (groups.map(n => n * (n - 1) / 2).sum,
+          groups.size.toLong,
+          if (groups.isEmpty) 0L else groups.max,
+          BigDecimal(keys.size.toDouble / nRows)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(got(label) == expect,
+          s"trial $trial m=$m arity=$maxArity rule=$label: " +
+            s"got ${got(label)}, expected $expect")
+      }
+    }
+  }
+
   test("one input scan and one wide-input exchange feed all candidates") {
     val rendered = BlockingAdvisor.profile(frame, Seq("city", "surname", "phone"))
       .queryExecution.executedPlan.toString
