@@ -146,7 +146,7 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     // advisor's 16-expr lattice limit (first 16 in model order) and return
     // empty rather than throwing when nothing qualifies
     val cols = settings.comparisons.map(_.outputColumnName)
-      .filter(concat.columns.contains).take(16)
+      .filter(concat.columns.contains).distinct.take(16)
     if (cols.isEmpty) Nil
     else graft.operators.BlockingAdvisor.recommend(concat, cols, budget,
       maxRules, maxArity)

@@ -42,6 +42,23 @@ object BlockingAdvisor {
     *         `block_on(...)` rendering of the conjunction
     */
   def profile(df: DataFrame, exprs: Seq[String], maxArity: Int = 2)
+      : DataFrame =
+    profileWithGid(df, exprs, maxArity).drop("gid")
+
+  /** All candidate index sets, singletons first, for `m` expressions. */
+  private def candidateSets(m: Int, maxArity: Int): Seq[Seq[Int]] =
+    (1 to math.min(maxArity, m)).flatMap(a => (0 until m).combinations(a))
+
+  // grouping_id bit for column i is the (m-1-i)-th bit (leftmost grouping
+  // column = most significant); a SET bit means the column is rolled up
+  // (inactive) for that grouping set
+  private def gidOf(m: Int, s: Seq[Int]): Long =
+    (0 until m).filterNot(s.contains).map(j => 1L << (m - 1 - j)).sum
+
+  /** [[profile]] plus the grouping id — the collision-proof candidate key
+    * ([[recommend]] maps gid back to the expr set; rendered labels can
+    * collide when one candidate expr is itself the comma-join of others). */
+  private def profileWithGid(df: DataFrame, exprs: Seq[String], maxArity: Int)
       : DataFrame = {
     require(exprs.nonEmpty, "BlockingAdvisor.profile: no candidate exprs")
     require(exprs.distinct == exprs,
@@ -53,13 +70,8 @@ object BlockingAdvisor {
     val keyed = df.select(exprs.zipWithIndex.map { case (e, i) =>
       expr(e).as(s"__k$i") }: _*)
     val keyCols: Seq[Column] = exprs.indices.map(i => col(s"__k$i"))
-    val sets: Seq[Seq[Int]] =
-      (1 to math.min(maxArity, m)).flatMap(a => exprs.indices.combinations(a))
-    // grouping_id bit for column i is the (m-1-i)-th bit (leftmost grouping
-    // column = most significant); a SET bit means the column is rolled up
-    // (inactive) for that grouping set
-    def gidOf(s: Seq[Int]): Long =
-      exprs.indices.filterNot(s.contains).map(j => 1L << (m - 1 - j)).sum
+    val sets: Seq[Seq[Int]] = candidateSets(m, maxArity)
+    def gidOf(s: Seq[Int]): Long = BlockingAdvisor.gidOf(m, s)
     val grouped = keyed
       .groupingSets(sets.map(_.map(i => keyCols(i))), keyCols: _*)
       .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
@@ -102,7 +114,8 @@ object BlockingAdvisor {
       col("largest_block"),
       round(col("__covered").cast("double") /
         greatest(col("__total"), lit(1L)).cast("double"), 9)
-        .as("completeness"))
+        .as("completeness"),
+      col("gid"))
   }
 
   private def ruleLabel(exprs: Seq[String], set: Seq[Int]): String =
@@ -122,18 +135,18 @@ object BlockingAdvisor {
     * under-estimates, the real cost. */
   def recommend(df: DataFrame, exprs: Seq[String], budget: Long,
       maxRules: Int = 5, maxArity: Int = 2): Seq[Advice] = {
-    val picked = profile(df, exprs, maxArity)
+    val picked = profileWithGid(df, exprs, maxArity)
       .filter(col("n_comparisons") > 0 && col("n_comparisons") <= budget)
       .orderBy(desc("completeness"), desc("n_comparisons"), asc("rule"))
       .limit(maxRules)
       .collect()
-    // label -> expr set, not string parsing: candidate exprs may themselves
-    // contain commas (e.g. substr(name, 1, 2))
-    val byLabel = (1 to math.min(maxArity, exprs.length))
-      .flatMap(a => exprs.indices.combinations(a))
-      .map(s => ruleLabel(exprs, s) -> s.map(exprs)).toMap
+    // gid -> expr set: the grouping id is the collision-proof key (labels
+    // can collide when one candidate expr is the comma-join of others,
+    // e.g. exprs "a", "b", "a, b" both render block_on(a, b))
+    val byGid = candidateSets(exprs.length, maxArity)
+      .map(s => gidOf(exprs.length, s) -> s.map(exprs)).toMap
     picked.toSeq.map { r =>
-      Advice(BlockOnRule(byLabel(r.getAs[String]("rule"))),
+      Advice(BlockOnRule(byGid(r.getAs[Long]("gid"))),
         r.getAs[Long]("n_comparisons"), r.getAs[Long]("largest_block"),
         r.getAs[Double]("completeness"))
     }
@@ -148,10 +161,13 @@ object BlockingAdvisor {
     * NOT-previous multi-rule pair count
     * ([[graft.evaluation.Evaluation.cumulativeComparisonsPerRule]], the
     * reference's cumulative chart semantics) — pairs emitted by an earlier
-    * rule are not double-charged, so a candidate whose individual count
-    * busts the budget can still fit when it overlaps the already-chosen
-    * rules. One counting job per accepted-or-rejected candidate, each a
-    * narrow id-pair count, never a scored pipeline.
+    * rule are not double-charged, so the cumulative total of the chosen
+    * set is at most the SUM of the individual counts (and at least their
+    * MAX: the total is the union of the rules' pair sets, which is never
+    * smaller than any member's own count — which is also why
+    * [[recommend]]'s per-rule budget pre-filter is a sound prune, never a
+    * lost candidate). One counting job per accepted-or-rejected
+    * candidate, each a narrow id-pair count, never a scored pipeline.
     *
     * @return (chosen rules with their individual metrics, exact scored
     *         total of the chosen set under multi-rule dedupe)

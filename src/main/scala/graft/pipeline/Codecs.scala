@@ -103,9 +103,14 @@ object Codecs {
       (width.toLong * nChannels * bitDepth + 7) / 8, Int.MaxValue.toLong)
     val rawBound = math.min(
       height.toLong * (bytesPerRow + 1), Int.MaxValue.toLong)
-    val cap = math.min(
+    // Bound by BOTH the declared-geometry size AND the maximum deflate
+    // expansion of the actual IDAT payload (~1032:1 for stored deflate):
+    // a crafted IHDR declaring huge width/height must not let a small
+    // deflate bomb force a multi-GB allocation.
+    val declaredCap = math.min(
       (if (interlaced) rawBound * 2 else rawBound) + 65536L,
       Int.MaxValue.toLong)
+    val cap = math.min(declaredCap, idat.size.toLong * 1032L + 65536L)
     val feature =
       if (idat.size == 0) Array.fill(8)(0.0f)
       else try {

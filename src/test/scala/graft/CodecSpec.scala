@@ -189,6 +189,40 @@ class CodecSpec extends SparkSpec {
     Codecs.parse(pngLongWrap)
   }
 
+  test("inflate cap is bounded by the IDAT payload's max deflate expansion") {
+    // IHDR declares a bogus giant geometry (so the declared-size cap
+    // saturates at Int.MaxValue) but carries a small IDAT. The cap must
+    // now come from the payload (idat * 1032 + 64KB), bounding peak
+    // allocation at ~MBs even for a crafted header. A near-max-ratio
+    // VALID stream (1MB of zeros deflates to ~1KB) must still fit under
+    // that payload cap — the bound is the theoretical deflate maximum,
+    // never tighter.
+    def be32(v: Int): Array[Byte] = Array[Byte]((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val deflater = new Deflater(Deflater.BEST_COMPRESSION)
+    deflater.setInput(new Array[Byte](1 << 20)) // 1MB of zeros
+    deflater.finish()
+    val z = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+    val idat = z.toByteArray
+    assert(idat.length < 8192, "fixture should be near the max ratio")
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    out.write(be32(13)); out.write("IHDR".getBytes("US-ASCII"))
+    out.write(be32(1 << 24)); out.write(be32(1 << 24)) // absurd 16M x 16M
+    out.write(Array[Byte](8, 6, 0, 0, 0)); out.write(be32(0))
+    out.write(be32(idat.length)); out.write("IDAT".getBytes("US-ASCII"))
+    out.write(idat); out.write(be32(0))
+    out.write(be32(0)); out.write("IEND".getBytes("US-ASCII")); out.write(be32(0))
+    val decoded = Codecs.parse(out.toByteArray)
+    assert(decoded.nonEmpty)
+    // the stream inflated under the payload cap: zero-pixel means, not the
+    // zero FALLBACK (identical here — what matters is no throw, no 2GB
+    // allocation, and header metadata intact)
+    assert(decoded.get.width == (1 << 24) && decoded.get.format == "png")
+  }
+
   test("16-bit-depth PNG metadata features survive the inflate cap") {
     // valid 16-bit grayscale 4x4: raw = 4 rows of (filter 0 + 8 bytes)
     val out = new ByteArrayOutputStream()
