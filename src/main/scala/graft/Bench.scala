@@ -1,9 +1,10 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
@@ -15,44 +16,64 @@ import java.util.concurrent.atomic.AtomicLong
   * queries as scan-only.
   *
   * Flight recorder: alongside wall time the JSON carries per-query task
-  * counts and shuffle/input byte totals (from a TaskEnd listener) plus
-  * the host's 1-minute load average before and after the run, so a slow
-  * recording can be classified — plan regression (more tasks / more
-  * shuffled bytes) vs environment contention (same plan stats, high
-  * loadavg) — without a controlled re-run.
+  * counts and shuffle/input byte totals plus the host's 1-minute load
+  * average before and after the run, so a slow recording can be
+  * classified — plan regression (more tasks / more shuffled bytes) vs
+  * environment contention (same plan stats, high loadavg) — without a
+  * controlled re-run. Attribution is JOB-KEYED, not time-windowed: each
+  * query runs under its own `setJobGroup`, the listener maps job → stage
+  * → group, and a straggler task from a neighbouring query lands in ITS
+  * group — per-query stats never bleed across queries.
   */
 object Bench {
 
-  /** Accumulates executor task metrics; listener events are async, so
-    * [[drain]] polls until the task counter stops moving before a
-    * snapshot is attributed to a query. */
-  private final class FlightRecorder extends SparkListener {
-    val tasks = new AtomicLong
-    val shufRead = new AtomicLong
-    val shufWrite = new AtomicLong
-    val input = new AtomicLong
+  /** Accumulates executor task metrics PER JOB GROUP. `onJobStart` reads
+    * the submitting thread's `spark.jobGroup.id` property and pins every
+    * stage of the job to that group; `onTaskEnd` then attributes by stage.
+    * Listener events are async, so [[drain]] polls until the group's task
+    * counter stops moving before a snapshot is read. */
+  private[graft] final class FlightRecorder extends SparkListener {
+    private[graft] final class Counters {
+      val tasks = new AtomicLong
+      val shufRead = new AtomicLong
+      val shufWrite = new AtomicLong
+      val input = new AtomicLong
+    }
+    private val stageGroup = new ConcurrentHashMap[Int, String]()
+    private val groups = new ConcurrentHashMap[String, Counters]()
+    private def of(g: String): Counters =
+      groups.computeIfAbsent(g, _ => new Counters)
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val g = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .getOrElse("")
+      js.stageIds.foreach(sid => stageGroup.put(sid, g))
+    }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-      tasks.incrementAndGet()
+      val c = of(stageGroup.getOrDefault(te.stageId, ""))
+      c.tasks.incrementAndGet()
       val m = te.taskMetrics
       if (m != null) {
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        input.addAndGet(m.inputMetrics.bytesRead)
+        c.shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        c.shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        c.input.addAndGet(m.inputMetrics.bytesRead)
       }
     }
-    def drain(): Unit = {
+    def drain(group: String): Unit = {
       var last = -1L
       var stable = 0
       var waited = 0
       while (stable < 2 && waited < 500) {
-        val t = tasks.get
+        val t = of(group).tasks.get
         if (t == last) stable += 1 else { stable = 0; last = t }
         Thread.sleep(10)
         waited += 10
       }
     }
-    def snapshot(): Array[Long] =
-      Array(tasks.get, shufRead.get, shufWrite.get, input.get)
+    def snapshot(group: String): Array[Long] = {
+      val c = of(group)
+      Array(c.tasks.get, c.shufRead.get, c.shufWrite.get, c.input.get)
+    }
   }
 
   private final case class QStat(sec: Double, tasks: Long,
@@ -154,12 +175,14 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // tag makes the job-group id unique per pass (cold/warm/sf1 rerun the
+    // same query names; each (pass, query) gets its own counter)
     def onePass(sel: Iterable[(String, (SparkSession, String)
-        => org.apache.spark.sql.DataFrame)], dir: String)
+        => org.apache.spark.sql.DataFrame)], dir: String, tag: String)
         : Seq[(String, QStat)] = sel.toSeq.map {
       case (name, fn) =>
-        recorder.drain()
-        val before = recorder.snapshot()
+        val group = s"$tag:$name"
+        spark.sparkContext.setJobGroup(group, s"bench $name")
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, dir)
@@ -170,12 +193,11 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
-        }
+        } finally spark.sparkContext.clearJobGroup()
         val sec = (System.nanoTime() - t0) / 1e9
-        recorder.drain()
-        val after = recorder.snapshot()
-        name -> QStat(sec, after(0) - before(0), after(1) - before(1),
-          after(2) - before(2), after(3) - before(3))
+        recorder.drain(group)
+        val s = recorder.snapshot(group)
+        name -> QStat(sec, s(0), s(1), s(2), s(3))
     }
     def qsJson(results: Seq[(String, QStat)]): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
@@ -190,7 +212,8 @@ object Bench {
 
     // pass 1 = cold (codegen + data), later passes = warm (data only);
     // both land in the artifact so no judge has to re-litigate noise
-    val passes = (1 to math.max(repeat, 2)).map(_ => onePass(selected, sfDir))
+    val passes = (1 to math.max(repeat, 2)).map(i =>
+      onePass(selected, sfDir, s"p$i"))
     val results = passes.head
     val warm = passes.last
     val total = results.map(_._2.sec).sum
@@ -215,7 +238,7 @@ object Bench {
         ensureSf1(spark, sfDir, sf1Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
         val sel = SparkEntry.queries.filter(q => sf1Selected.contains(q._1))
-        val r = onePass(sel, sf1Dir)
+        val r = onePass(sel, sf1Dir, "sf1")
         s""","sf1":{"dir":"$sf1Dir","gen_sec":$genSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
           s""""stats":${statsJson(r)}}"""
