@@ -88,7 +88,44 @@ object Bench {
     // is deliberately NOT here: its corpus hashes are synthetic-random, so
     // 16-bit band collisions grow quadratically with corpus size — a
     // property of the fixture, not of the operator on real image sets.)
-    "q_articulation")
+    "q_articulation",
+    // the distributed-ONLY fallback paths, forced past their driver gates
+    // (pattern-cap / union-find / mutual-best): the gated fast paths
+    // dominate the main suite, so these three put the actual 100 TB code
+    // paths on the measured scale point
+    "q_em_mstep_dist", "q_cluster_dist", "q_one_to_one_dist")
+
+  /** Third scale decade: the iterative graph ops only — their slopes are
+    * the suite's steepest (round-count growth), and two points (sf0.1,
+    * sf1) cannot pin a curve. All four read only orders/customer, so the
+    * sf10 build amplifies just those two tables (from the materialised
+    * sf1 set, 10 more structurally-disjoint copies = 100x sf0.1: ~15M
+    * orders -> ~13.5M path edges, above the CC driver gate, so this
+    * decade ALSO exercises the fully distributed loops by size alone). */
+  private val Sf10Queries = Seq("q_cluster", "q_multi_threshold",
+    "q_bridges", "q_articulation")
+
+  private def ensureSf10(spark: SparkSession, sf1Dir: String, dir: String)
+      : Unit = {
+    if (Files.exists(Paths.get(dir, "_DONE"))) return
+    val copies = 10
+    val off = 10000000000L // clear of the sf1 key space (< 10^9 + 15M)
+    def write(name: String)(f: (org.apache.spark.sql.DataFrame, Int)
+        => org.apache.spark.sql.DataFrame): Unit = {
+      val base = spark.read.parquet(s"$sf1Dir/$name.parquet")
+      (0 until copies).map(i => f(base, i)).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    write("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * off))
+        .withColumn("c_nationkey", col("c_nationkey") + lit(i * 10000))
+    }
+    write("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    }
+    Files.createFile(Paths.get(dir, "_DONE"))
+  }
 
   /**
    * Materialise a 10x amplification of sf0.1 (~sf1: ~1.5M orders, 1.5M
@@ -229,17 +266,39 @@ object Bench {
       case Some(names) => Sf1Queries.filter(names)
       case None => Sf1Queries
     }
+    val sf1Dir = "target/bench_sf1"
+    val sf1Ran = !(sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
+      !sfDir.contains("sf0.1") || sf1Selected.isEmpty)
     val sf1Json =
-      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
-          !sfDir.contains("sf0.1") || sf1Selected.isEmpty) ""
+      if (!sf1Ran) ""
       else {
-        val sf1Dir = "target/bench_sf1"
         val tGen0 = System.nanoTime()
         ensureSf1(spark, sfDir, sf1Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
         val sel = SparkEntry.queries.filter(q => sf1Selected.contains(q._1))
         val r = onePass(sel, sf1Dir, "sf1")
         s""","sf1":{"dir":"$sf1Dir","gen_sec":$genSec,""" +
+          s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
+          s""""stats":${statsJson(r)}}"""
+      }
+
+    // third decade: graph-op slopes at 100x sf0.1 (needs the sf1 tables
+    // as its amplification base, so only runs when the sf1 section did)
+    val sf10Selected = only match {
+      case Some(names) => Sf10Queries.filter(names)
+      case None => Sf10Queries
+    }
+    val sf10Json =
+      if (!sf1Ran || sf10Selected.isEmpty ||
+          sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "0") ""
+      else {
+        val sf10Dir = "target/bench_sf10"
+        val tGen0 = System.nanoTime()
+        ensureSf10(spark, sf1Dir, sf10Dir)
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        val sel = SparkEntry.queries.filter(q => sf10Selected.contains(q._1))
+        val r = onePass(sel, sf10Dir, "sf10")
+        s""","sf10":{"dir":"$sf10Dir","gen_sec":$genSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
           s""""stats":${statsJson(r)}}"""
       }
@@ -253,7 +312,7 @@ object Bench {
         s""""cold":$total,"warm":$warmTotal,"contended":$contended,""" +
         s""""queries":${qsJson(results)},"warm_queries":${qsJson(warm)},""" +
         s""""stats":${statsJson(results)},"env":$env,"sf":"$sfDir"""" +
-        sf1Json + "}"
+        sf1Json + sf10Json + "}"
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // Stop Spark BEFORE emitting the JSON so no shutdown log line can land
     // after it: with run/outputStrategy=StdoutOutput and showSuccess=false

@@ -68,6 +68,35 @@ object SparkEntry {
   private def customers(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "customer").withColumnRenamed("c_custkey", "unique_id")
 
+  /** Consecutive orders of each customer as path edges — the graph for
+    * q_cluster / q_cluster_dist (components = customers with >= 2 orders). */
+  private def orderPathEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = pq(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"))
+  }
+
+  /** Probability-weighted path edges + synthetic dataset labels — shared
+    * by q_one_to_one_constrained (gated) and q_one_to_one_dist (forced
+    * distributed). */
+  private def constrainedOneToOneInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val o = pq(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val edges = o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"),
+        (((col("prev") + col("o_orderkey")) % 97) / 96.0).as("match_probability"))
+    val nodeDs = o.select(col("o_orderkey").as("node_id"),
+      concat(lit("ds"), (col("o_orderkey") % 3).cast("string"))
+        .as("source_dataset"))
+    (edges, nodeDs)
+  }
+
   /** One EM iteration over blocked customer pairs, parameters flattened to
     * rows — shared by q_em_mstep (driver M-step) and q_em_mstep_dist
     * (forced distributed M-step). */
@@ -471,13 +500,15 @@ object SparkEntry {
     // §2.11 connected components over a multi-hop path graph:
     // consecutive orders of each customer form a path; components = customers.
     "q_cluster" -> ((s, dir) => {
-      val o = pq(s, dir, "orders")
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-      val edges = o.select(col("o_custkey"), col("o_orderkey"),
-        lag("o_orderkey", 1).over(w).as("prev"))
-        .filter(col("prev").isNotNull)
-        .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"))
-      ConnectedComponents.run(edges)
+      ConnectedComponents.run(orderPathEdges(s, dir))
+    }),
+
+    // the SAME component solve FORCED through the fully distributed
+    // min-label + pointer-jumping loop (smallGraphThreshold = 0 disables
+    // the driver union-find fast path) — the 100 TB path, under the same
+    // oracle, and on the bench's sf1 scale point for a measured slope
+    "q_cluster_dist" -> ((s, dir) => {
+      ConnectedComponents.run(orderPathEdges(s, dir), smallGraphThreshold = 0L)
     }),
 
     // §2.5 window functions: cluster sizes + rank of node within cluster
@@ -904,18 +935,19 @@ object SparkEntry {
     // are synthesised as o_orderkey%3, with ds0/ds1 duplicate-free and ds2
     // unconstrained.
     "q_one_to_one_constrained" -> ((s, dir) => {
-      val o = pq(s, dir, "orders")
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-      val edges = o.select(col("o_custkey"), col("o_orderkey"),
-        lag("o_orderkey", 1).over(w).as("prev"))
-        .filter(col("prev").isNotNull)
-        .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"),
-          (((col("prev") + col("o_orderkey")) % 97) / 96.0).as("match_probability"))
-      val nodeDs = o.select(col("o_orderkey").as("node_id"),
-        concat(lit("ds"), (col("o_orderkey") % 3).cast("string"))
-          .as("source_dataset"))
+      val (edges, nodeDs) = constrainedOneToOneInputs(s, dir)
       ClusteringOps.oneToOneConstrained(edges, nodeDs, maxRounds = 1,
         duplicateFreeDatasets = Some(Seq("ds0", "ds1")), tiesMethod = "drop")
+    }),
+
+    // the SAME constrained single round FORCED through the distributed
+    // mutual-best loop (smallGraphThreshold = 0 disables the gated driver
+    // fast path) — same oracle, and on the bench's sf1 scale point
+    "q_one_to_one_dist" -> ((s, dir) => {
+      val (edges, nodeDs) = constrainedOneToOneInputs(s, dir)
+      ClusteringOps.oneToOneConstrained(edges, nodeDs, maxRounds = 1,
+        duplicateFreeDatasets = Some(Seq("ds0", "ds1")), tiesMethod = "drop",
+        smallGraphThreshold = 0L)
     }),
 
     // multimodal: opaque binary payload + codegen'd metadata triage
@@ -1346,12 +1378,23 @@ object SparkEntry {
       // one metrics pass feeds both strategies
       val metrics = ClusteringOps.clusterMetrics(clusters, edges)
         .breakLineage()
+      // explicit-ids strategy (the reference's user-supplied
+      // `cluster_ids` list): derive a deterministic list (top-3 by size)
+      // and pass it back explicitly, with an unknown id that must be
+      // silently dropped
+      val explicit = Evaluation.sampleClustersFromMetrics(
+          metrics, "by_cluster_size", 3)
+        .collect().map(_.getLong(0)).toSeq
       Evaluation.sampleClustersFromMetrics(metrics, "random", 5)
         .withColumn("method", lit("random"))
         .unionByName(
           Evaluation.sampleClustersFromMetrics(metrics,
             "lowest_density_clusters_by_size", 5)
             .withColumn("method", lit("lowest_density")))
+        .unionByName(
+          Evaluation.sampleClustersFromMetrics(metrics, "by_cluster_ids",
+            0, clusterIds = explicit :+ -1L)
+            .withColumn("method", lit("by_cluster_ids")))
         .select(col("method"), col("cluster_id"))
     }),
 
@@ -1589,6 +1632,67 @@ object SparkEntry {
       |FROM cum""".stripMargin
 
   /** DuckDB-dialect oracle SQL per query (tables registered by name). */
+  /** Shared by q_cluster (gated driver union-find) and q_cluster_dist
+    * (forced distributed min-label + pointer-jumping) — one replay. */
+  private lazy val clusterOracleSql: String =
+    """SELECT o_orderkey AS node_id,
+      |       min(o_orderkey) OVER (PARTITION BY o_custkey) AS cluster_id
+      |FROM orders
+      |QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 2""".stripMargin
+
+  /** Shared by q_one_to_one_constrained (gated driver loop) and
+    * q_one_to_one_dist (forced distributed mutual-best) — full replay of
+    * the single constrained round: symmetric neighbours -> drop
+    * same-dataset equal-probability ties (both directions) ->
+    * singleton-cluster candidate edges under the ds0/ds1 disjointness
+    * constraint -> mutual rank-1 merges -> representative update. */
+  private lazy val oneToOneConstrainedOracleSql: String =
+    """WITH e AS (
+      |  SELECT prev AS na, o_orderkey AS nb,
+      |         ((prev + o_orderkey) % 97) / 96.0 AS p
+      |  FROM (SELECT o_custkey, o_orderkey,
+      |          lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      |        FROM orders)
+      |  WHERE prev IS NOT NULL AND prev <> o_orderkey),
+      |nd AS (SELECT o_orderkey AS node_id,
+      |              'ds' || CAST(o_orderkey % 3 AS VARCHAR) AS sd
+      |       FROM orders),
+      |sym AS (SELECT na, nb, p FROM e UNION ALL SELECT nb, na, p FROM e),
+      |wsd AS (SELECT s.na, s.nb, s.p, dl.sd AS sd_l, dr.sd AS sd_r
+      |        FROM sym s
+      |        JOIN nd dl ON s.na = dl.node_id
+      |        JOIN nd dr ON s.nb = dr.node_id),
+      |tied AS (SELECT na, sd_l, sd_r, p FROM wsd
+      |         GROUP BY na, sd_l, sd_r, p
+      |         HAVING count(DISTINCT nb) > 1 AND sd_r IN ('ds0', 'ds1')),
+      |e0 AS (SELECT e.na, e.nb, e.p FROM e
+      |       WHERE NOT EXISTS (SELECT 1 FROM tied t
+      |               JOIN nd dl ON e.na = dl.node_id
+      |               JOIN nd dr ON e.nb = dr.node_id
+      |               WHERE t.na = e.na AND t.sd_l = dl.sd
+      |                 AND t.sd_r = dr.sd AND t.p = e.p)
+      |         AND NOT EXISTS (SELECT 1 FROM tied t
+      |               JOIN nd dl ON e.na = dl.node_id
+      |               JOIN nd dr ON e.nb = dr.node_id
+      |               WHERE t.na = e.nb AND t.sd_l = dr.sd
+      |                 AND t.sd_r = dl.sd AND t.p = e.p)),
+      |ce AS (SELECT e0.na AS ra, e0.nb AS rb, e0.p FROM e0
+      |       JOIN nd da ON e0.na = da.node_id
+      |       JOIN nd db ON e0.nb = db.node_id
+      |       WHERE NOT (da.sd = db.sd AND da.sd IN ('ds0', 'ds1'))),
+      |sym2 AS (SELECT ra, rb, p FROM ce UNION ALL SELECT rb, ra, p FROM ce),
+      |best AS (SELECT ra, rb FROM (
+      |    SELECT ra, rb, row_number() OVER (
+      |      PARTITION BY ra ORDER BY p DESC, rb ASC) AS rn
+      |    FROM sym2) WHERE rn = 1),
+      |merges AS (SELECT x.ra AS ka, x.rb AS kb FROM best x
+      |           JOIN best y ON x.ra = y.rb AND x.rb = y.ra
+      |           WHERE x.ra < x.rb),
+      |nodes AS (SELECT DISTINCT node_id FROM (
+      |    SELECT na AS node_id FROM e0 UNION ALL SELECT nb FROM e0))
+      |SELECT n.node_id, coalesce(m.ka, n.node_id) AS cluster_id
+      |FROM nodes n LEFT JOIN merges m ON n.node_id = m.kb""".stripMargin
+
   /** Shared by q_em_mstep (driver path) and q_em_mstep_dist (forced
     * distributed M-step) — identical semantics, one replay. */
   private lazy val emMstepOracleSql: String =
@@ -2027,11 +2131,9 @@ object SparkEntry {
 
     // components of the consecutive-order path graph = customers with >= 2
     // orders; cluster id = min orderkey. No recursion needed in the oracle.
-    "q_cluster" ->
-      """SELECT o_orderkey AS node_id,
-        |       min(o_orderkey) OVER (PARTITION BY o_custkey) AS cluster_id
-        |FROM orders
-        |QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 2""".stripMargin,
+    "q_cluster" -> clusterOracleSql,
+    // identical semantics through the forced fully-distributed CC loop
+    "q_cluster_dist" -> clusterOracleSql,
 
     "q_cluster_stats" ->
       """SELECT o_custkey AS cluster_key, count(*) AS cluster_size,
@@ -2565,52 +2667,9 @@ object SparkEntry {
     // drop same-dataset equal-probability ties (both directions) ->
     // singleton-cluster candidate edges under the ds0/ds1 disjointness
     // constraint -> mutual rank-1 merges -> representative update
-    "q_one_to_one_constrained" ->
-      """WITH e AS (
-        |  SELECT prev AS na, o_orderkey AS nb,
-        |         ((prev + o_orderkey) % 97) / 96.0 AS p
-        |  FROM (SELECT o_custkey, o_orderkey,
-        |          lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
-        |        FROM orders)
-        |  WHERE prev IS NOT NULL AND prev <> o_orderkey),
-        |nd AS (SELECT o_orderkey AS node_id,
-        |              'ds' || CAST(o_orderkey % 3 AS VARCHAR) AS sd
-        |       FROM orders),
-        |sym AS (SELECT na, nb, p FROM e UNION ALL SELECT nb, na, p FROM e),
-        |wsd AS (SELECT s.na, s.nb, s.p, dl.sd AS sd_l, dr.sd AS sd_r
-        |        FROM sym s
-        |        JOIN nd dl ON s.na = dl.node_id
-        |        JOIN nd dr ON s.nb = dr.node_id),
-        |tied AS (SELECT na, sd_l, sd_r, p FROM wsd
-        |         GROUP BY na, sd_l, sd_r, p
-        |         HAVING count(DISTINCT nb) > 1 AND sd_r IN ('ds0', 'ds1')),
-        |e0 AS (SELECT e.na, e.nb, e.p FROM e
-        |       WHERE NOT EXISTS (SELECT 1 FROM tied t
-        |               JOIN nd dl ON e.na = dl.node_id
-        |               JOIN nd dr ON e.nb = dr.node_id
-        |               WHERE t.na = e.na AND t.sd_l = dl.sd
-        |                 AND t.sd_r = dr.sd AND t.p = e.p)
-        |         AND NOT EXISTS (SELECT 1 FROM tied t
-        |               JOIN nd dl ON e.na = dl.node_id
-        |               JOIN nd dr ON e.nb = dr.node_id
-        |               WHERE t.na = e.nb AND t.sd_l = dr.sd
-        |                 AND t.sd_r = dl.sd AND t.p = e.p)),
-        |ce AS (SELECT e0.na AS ra, e0.nb AS rb, e0.p FROM e0
-        |       JOIN nd da ON e0.na = da.node_id
-        |       JOIN nd db ON e0.nb = db.node_id
-        |       WHERE NOT (da.sd = db.sd AND da.sd IN ('ds0', 'ds1'))),
-        |sym2 AS (SELECT ra, rb, p FROM ce UNION ALL SELECT rb, ra, p FROM ce),
-        |best AS (SELECT ra, rb FROM (
-        |    SELECT ra, rb, row_number() OVER (
-        |      PARTITION BY ra ORDER BY p DESC, rb ASC) AS rn
-        |    FROM sym2) WHERE rn = 1),
-        |merges AS (SELECT x.ra AS ka, x.rb AS kb FROM best x
-        |           JOIN best y ON x.ra = y.rb AND x.rb = y.ra
-        |           WHERE x.ra < x.rb),
-        |nodes AS (SELECT DISTINCT node_id FROM (
-        |    SELECT na AS node_id FROM e0 UNION ALL SELECT nb FROM e0))
-        |SELECT n.node_id, coalesce(m.ka, n.node_id) AS cluster_id
-        |FROM nodes n LEFT JOIN merges m ON n.node_id = m.kb""".stripMargin,
+    "q_one_to_one_constrained" -> oneToOneConstrainedOracleSql,
+    // identical semantics through the forced distributed mutual-best loop
+    "q_one_to_one_dist" -> oneToOneConstrainedOracleSql,
 
     // payload is the utf8 bytes of `text`; ASCII corpus makes byte ops and
     // char ops coincide, so the oracle runs on the text column
@@ -3323,7 +3382,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM (
         |  SELECT 'lowest_density' AS method, cid AS cluster_id FROM m
-        |  WHERE n > 2 ORDER BY density, cid LIMIT 5)""".stripMargin,
+        |  WHERE n > 2 ORDER BY density, cid LIMIT 5)
+        |UNION ALL
+        |SELECT 'by_cluster_ids' AS method, cid AS cluster_id FROM (
+        |  SELECT cid FROM m ORDER BY n DESC, cid LIMIT 3)""".stripMargin,
 
     // token histogram replay: same whitespace token count, 16-wide bins
     "q_tokens_hist" ->

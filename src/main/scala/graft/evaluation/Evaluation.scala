@@ -419,18 +419,33 @@ object Evaluation {
    */
   def sampleClusters(clusters: DataFrame, edges: DataFrame,
       method: String, n: Int, seed: Long = 42L,
-      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r"): DataFrame = {
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
+      clusterIds: Seq[Any] = Nil): DataFrame = {
     import graft.clustering.ClusteringOps
     sampleClustersFromMetrics(
       ClusteringOps.clusterMetrics(clusters, edges, srcCol, dstCol),
-      method, n, seed)
+      method, n, seed, clusterIds)
   }
 
   /** [[sampleClusters]] over precomputed cluster metrics — callers drawing
-    * several samples compute (and persist) the metrics frame once. */
+    * several samples compute (and persist) the metrics frame once.
+    *
+    * @param clusterIds for method `"by_cluster_ids"` only: the explicit
+    *        cluster ids to return (the reference's `_get_cluster_ids`
+    *        user-supplied list, `cluster_studio.py:297-313`) — kept in the
+    *        caller's order, silently dropping ids not present in the
+    *        metrics frame, capped at `n` when `n > 0` */
   def sampleClustersFromMetrics(metrics: DataFrame, method: String, n: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, clusterIds: Seq[Any] = Nil): DataFrame = {
     method match {
+      case "by_cluster_ids" =>
+        require(clusterIds.nonEmpty,
+          "method 'by_cluster_ids' needs a non-empty clusterIds list")
+        val wanted = array(clusterIds.map(lit): _*)
+        val picked = metrics
+          .filter(array_position(wanted, col("cluster_id")) > 0)
+          .orderBy(array_position(wanted, col("cluster_id")))
+        (if (n > 0) picked.limit(n) else picked).select("cluster_id")
       case "random" =>
         // seeded PORTABLE hash order, not rand(): rand(seed) depends on the
         // physical partition layout (same seed, different partitioning,

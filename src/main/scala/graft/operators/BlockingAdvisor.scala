@@ -45,6 +45,60 @@ object BlockingAdvisor {
       : DataFrame =
     profileWithGid(df, exprs, maxArity).drop("gid")
 
+  /** [[profile]] over a portable-hash row sample, for candidate lattices
+    * too wide for exact profiling (the exact path caps at 16 exprs /
+    * arity 2 because GROUPING SETS multiplies every input row by the
+    * candidate count; sampling divides the row side back down — the same
+    * trade [[graft.evaluation.Evaluation.countComparisonsFromRules]]
+    * makes for `record_sample_proportion`, with the same estimators).
+    *
+    * Estimator semantics (hash sampling ≈ per-row Bernoulli(f)):
+    *  - `n_comparisons`: per-block n'(n'-1)/2 scaled by 1/f² — unbiased
+    *    (E[n'(n'-1)] = f²·n(n-1))
+    *  - `largest_block`: observed max scaled by 1/f — consistent for the
+    *    large blocks that matter for skew decisions
+    *  - `n_blocks`: the OBSERVED sampled block count, NOT scaled — blocks
+    *    smaller than ~1/f rows are invisible to the sample and no
+    *    unbiased correction exists without the block-size distribution
+    *  - `completeness`: a row-level ratio, unbiased as-is
+    *
+    * @param idExpr row-identity expression fed to the portable hash (an
+    *        id column, never one of the key exprs — hashing a key would
+    *        bias block sizes); the sample is replayable by any engine
+    *        with md5
+    * @param sampleFraction fraction of rows to keep, in (0, 1];
+    *        quantised to 1/10000ths exactly like the reference's
+    *        `record_sample_proportion`
+    *
+    * Note: a thousands-wide lattice pushes the Expand stage past the JVM
+    * 64KB codegen method limit, so Spark runs that stage interpreted —
+    * acceptable precisely because the sampled row side is small; the
+    * gid->label mapping avoids the same cliff via a broadcast lookup
+    * join instead of a generated CASE.
+    */
+  def profileSampled(df: DataFrame, exprs: Seq[String], idExpr: String,
+      sampleFraction: Double, maxArity: Int = 2): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1]; got $sampleFraction")
+    val modulus = 10000L
+    val threshold = math.min(modulus,
+      math.max(1L, math.ceil(sampleFraction * modulus).toLong))
+    val f = threshold.toDouble / modulus
+    val sampled =
+      if (threshold >= modulus) df
+      else df.filter(graft.pipeline.TextOps.portableHash(
+        expr(idExpr).cast("string")) % modulus < threshold)
+    val prof = profileWithGid(sampled, exprs, maxArity,
+      maxExprs = 32, maxSets = 5000)
+    prof.select(
+      col("rule"),
+      col("n_columns"),
+      round(col("n_comparisons") / (f * f)).cast("long").as("n_comparisons"),
+      col("n_blocks"),
+      round(col("largest_block") / f).cast("long").as("largest_block"),
+      col("completeness"))
+  }
+
   /** All candidate index sets, singletons first, for `m` expressions. */
   private def candidateSets(m: Int, maxArity: Int): Seq[Seq[Int]] =
     (1 to math.min(maxArity, m)).flatMap(a => (0 until m).combinations(a))
@@ -58,15 +112,20 @@ object BlockingAdvisor {
   /** [[profile]] plus the grouping id — the collision-proof candidate key
     * ([[recommend]] maps gid back to the expr set; rendered labels can
     * collide when one candidate expr is itself the comma-join of others). */
-  private def profileWithGid(df: DataFrame, exprs: Seq[String], maxArity: Int)
+  private def profileWithGid(df: DataFrame, exprs: Seq[String], maxArity: Int,
+      maxExprs: Int = 16, maxSets: Int = Int.MaxValue)
       : DataFrame = {
     require(exprs.nonEmpty, "BlockingAdvisor.profile: no candidate exprs")
     require(exprs.distinct == exprs,
       s"BlockingAdvisor.profile: duplicate candidate exprs in $exprs")
     val m = exprs.length
-    require(m <= 16,
+    require(m <= maxExprs,
       s"BlockingAdvisor.profile: $m candidate exprs expand to " +
-        "too many grouping sets; probe at most 16 per call")
+        s"too many grouping sets; probe at most $maxExprs per call")
+    require(candidateSets(m, maxArity).size <= maxSets,
+      s"BlockingAdvisor: ${candidateSets(m, maxArity).size} candidate " +
+        s"sets exceed the $maxSets-set cap; lower maxArity or split the " +
+        "expression list")
     val keyed = df.select(exprs.zipWithIndex.map { case (e, i) =>
       expr(e).as(s"__k$i") }: _*)
     val keyCols: Seq[Column] = exprs.indices.map(i => col(s"__k$i"))
@@ -96,26 +155,45 @@ object BlockingAdvisor {
         coalesce(sum(when(col("__usable"), col("n")).otherwise(lit(0L))),
           lit(0L)).as("__covered"),
         sum(col("n")).as("__total"))
-    // gid -> rule label: a chained literal CASE keeps the tiny lookup
-    // inside the same codegen stage (no join for <=2^16 candidates)
-    val label = sets.tail.foldLeft(
-      when(col("gid") === gidOf(sets.head), lit(ruleLabel(exprs, sets.head)))) {
-      case (acc, s) => acc.when(col("gid") === gidOf(s), lit(ruleLabel(exprs, s)))
+    val completeness = round(col("__covered").cast("double") /
+      greatest(col("__total"), lit(1L)).cast("double"), 9)
+    if (sets.size <= 128) {
+      // gid -> rule label: a chained literal CASE keeps the tiny lookup
+      // inside the same codegen stage (no join for small lattices)
+      val label = sets.tail.foldLeft(
+        when(col("gid") === gidOf(sets.head), lit(ruleLabel(exprs, sets.head)))) {
+        case (acc, s) => acc.when(col("gid") === gidOf(s), lit(ruleLabel(exprs, s)))
+      }
+      val nCols = sets.tail.foldLeft(
+        when(col("gid") === gidOf(sets.head), lit(sets.head.length))) {
+        case (acc, s) => acc.when(col("gid") === gidOf(s), lit(s.length))
+      }
+      perRule.select(
+        label.as("rule"),
+        nCols.as("n_columns"),
+        col("n_comparisons"),
+        col("n_blocks"),
+        col("largest_block"),
+        completeness.as("completeness"),
+        col("gid"))
+    } else {
+      // wide lattices (sampled path, thousands of candidates): a CASE
+      // this deep busts Janino's 64KB method limit and falls back to
+      // interpreted eval — broadcast-join the tiny gid->label frame
+      // instead (candidate-count rows, never data-sized)
+      val lookup = broadcast(df.sparkSession.createDataFrame(
+        sets.map(s => (gidOf(s), ruleLabel(exprs, s), s.length)))
+        .toDF("__gid", "rule", "n_columns"))
+      perRule.join(lookup, col("gid") === col("__gid"))
+        .select(
+          col("rule"),
+          col("n_columns"),
+          col("n_comparisons"),
+          col("n_blocks"),
+          col("largest_block"),
+          completeness.as("completeness"),
+          col("gid"))
     }
-    val nCols = sets.tail.foldLeft(
-      when(col("gid") === gidOf(sets.head), lit(sets.head.length))) {
-      case (acc, s) => acc.when(col("gid") === gidOf(s), lit(s.length))
-    }
-    perRule.select(
-      label.as("rule"),
-      nCols.as("n_columns"),
-      col("n_comparisons"),
-      col("n_blocks"),
-      col("largest_block"),
-      round(col("__covered").cast("double") /
-        greatest(col("__total"), lit(1L)).cast("double"), 9)
-        .as("completeness"),
-      col("gid"))
   }
 
   private def ruleLabel(exprs: Seq[String], set: Seq[Int]): String =

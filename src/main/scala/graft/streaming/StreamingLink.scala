@@ -12,6 +12,18 @@ import graft.Linker
  * scored against the static trained corpus per micro-batch with
  * `foreachBatch` + [[Linker.findMatchesToNewRecords]] — the static side's
  * TF tables and model constants are reused across batches.
+ *
+ * State-store sizing: the stateful ops here (band buckets, window
+ * ownership, session state, live clusters) accumulate one entry per
+ * distinct band value / window hash / session key — at production corpus
+ * cardinalities that outgrows the default in-heap
+ * HDFSBackedStateStoreProvider. Run them on RocksDB
+ * (`spark.sql.streaming.stateStore.providerClass =
+ * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`),
+ * which spills state to local disk and bounds heap by block cache, not by
+ * key count. Outputs are provider-independent (StreamingSpec runs the
+ * band-bucket and span-ownership ops under both providers and asserts
+ * identical results).
  */
 /** One exploded (doc, band) observation on the stream. */
 case class BandObs(docId: String, band: Int, bandVal: Long,

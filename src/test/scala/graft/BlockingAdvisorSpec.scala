@@ -162,6 +162,69 @@ class BlockingAdvisorSpec extends SparkSpec {
     }
   }
 
+  test("sampled profiling: 24 exprs / arity 3 (2324 candidates) agrees " +
+      "with an exact driver brute force within sampling tolerance") {
+    val rnd = new scala.util.Random(101L)
+    val m = 24
+    val n = 3000
+    val cols = (0 until m).map(i => s"c$i")
+    // two-value domains force large blocks (every candidate block holds
+    // hundreds of rows, so the 1/f^2 estimator concentrates)
+    val rows = (0 until n).map { id =>
+      org.apache.spark.sql.Row(
+        (Seq(id.toString) ++ (0 until m).map(j => s"v${rnd.nextInt(2)}")): _*)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      (Seq("row_id") ++ cols).map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    // the exact path refuses this width outright
+    intercept[IllegalArgumentException] {
+      BlockingAdvisor.profile(df, cols, maxArity = 3)
+    }
+    val f = 0.3
+    val got = BlockingAdvisor.profileSampled(df, cols, "row_id", f,
+        maxArity = 3)
+      .collect().map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("n_comparisons"), r.getAs[Long]("largest_block"),
+          r.getAs[Double]("completeness")))).toMap
+    val sets = (1 to 3).flatMap(a => (0 until m).combinations(a))
+    assert(got.size == sets.size && sets.size == 2324)
+    val data = rows.map(r => (0 until m).map(j => r.getString(j + 1)))
+    var worstRel = 0.0
+    for (s <- sets) {
+      val label = s"block_on(${s.map(cols).mkString(", ")})"
+      val groups = data.map(r => s.map(r)).groupBy(identity)
+        .values.map(_.size.toLong)
+      val exact = groups.map(x => x * (x - 1) / 2).sum
+      val (estPairs, estLargest, estCompl) = got(label)
+      val rel = math.abs(estPairs - exact).toDouble / exact
+      worstRel = math.max(worstRel, rel)
+      assert(rel < 0.25,
+        s"$label: sampled $estPairs vs exact $exact (rel $rel)")
+      val exactLargest = groups.max
+      assert(math.abs(estLargest - exactLargest).toDouble / exactLargest
+        < 0.35, s"$label largest: $estLargest vs $exactLargest")
+      assert(estCompl == 1.0, "no nulls -> completeness exactly 1")
+    }
+    info(f"worst relative n_comparisons error over 2324 candidates: " +
+      f"$worstRel%.3f")
+  }
+
+  test("sampled profiling keeps the single-scan single-Expand plan shape") {
+    val df = frame.withColumn("row_id",
+      monotonically_increasing_id().cast("string"))
+    val rendered = BlockingAdvisor.profileSampled(df,
+        Seq("city", "surname", "phone"), "row_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(rendered.linesIterator.count(_.contains("LocalTableScan")) == 1,
+      s"expected 1 input scan:\n$rendered")
+    assert(rendered.linesIterator.count(_.contains("Expand")) == 1,
+      s"expected 1 Expand:\n$rendered")
+  }
+
   test("one input scan and one wide-input exchange feed all candidates") {
     val rendered = BlockingAdvisor.profile(frame, Seq("city", "surname", "phone"))
       .queryExecution.executedPlan.toString

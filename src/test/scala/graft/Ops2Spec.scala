@@ -172,6 +172,27 @@ class Ops2Spec extends SparkSpec {
       val got = Evaluation.sampleClusters(clusters, edges, m, 2)
       assert(got.count() <= 2, m)
     }
+    // explicit-ids strategy: caller order preserved, unknown ids silently
+    // dropped, n caps when positive and is ignored at 0 — over a graph
+    // with three separate components
+    val multiEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("unique_id_l", "unique_id_r")
+    val multiClusters = ConnectedComponents.run(multiEdges)
+    val metrics = graft.clustering.ClusteringOps
+      .clusterMetrics(multiClusters, multiEdges)
+    val someIds = metrics.select("cluster_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val wanted = Seq(someIds.last, someIds.head, -99L)
+    val got = Evaluation.sampleClustersFromMetrics(metrics, "by_cluster_ids",
+      0, clusterIds = wanted).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(someIds.last, someIds.head),
+      "caller order must be preserved and the unknown id dropped")
+    assert(Evaluation.sampleClustersFromMetrics(metrics, "by_cluster_ids",
+      1, clusterIds = wanted).collect().map(_.getLong(0)).toSeq
+      == Seq(someIds.last))
+    intercept[IllegalArgumentException] {
+      Evaluation.sampleClustersFromMetrics(metrics, "by_cluster_ids", 1)
+    }
   }
 
   test("waterfall data decomposes the match weight additively") {

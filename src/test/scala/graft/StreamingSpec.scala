@@ -288,6 +288,77 @@ class StreamingSpec extends SparkSpec {
     assert(d3 == Map(0 -> false, 1 -> true, 2 -> true, 3 -> true, 4 -> false))
   }
 
+  test("band-bucket and span-ownership state behave identically on the " +
+      "HDFS-backed and RocksDB state-store providers") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the tall mountains of the west"
+    val other = "completely different content with nothing shared at all " +
+      "between these two documents of reasonable length for shingling"
+
+    /** Run both stateful pipelines (minhash band dedup across two
+      * batches + dup-window ownership across two batches) under the given
+      * provider; return canonical result sets. */
+    def runUnder(provider: Option[String])
+        : (Set[(String, Int, Boolean)], Set[(String, Int, Boolean)]) = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val tag = provider.map(_ => "rocks").getOrElse("hdfs")
+        val mh = MemoryStream[(Long, String, java.sql.Timestamp)]
+        val mhQuery = StreamingLink.minhashBandDedupStream(
+            mh.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+          .writeStream.format("memory").queryName(s"prov_mh_$tag")
+          .outputMode("append").start()
+        mh.addData((1L, base, ts(0)), (2L, other, ts(1)))
+        mhQuery.processAllAvailable()
+        mh.addData((3L, base.replace("lazy", "hazy"), ts(2)),
+          (4L, "yet another unrelated document body to keep around", ts(3)),
+          (5L, other, ts(4)))
+        mhQuery.processAllAvailable()
+        mhQuery.stop()
+        val bands = spark.table(s"prov_mh_$tag").collect()
+          .map(r => (r.getAs[String]("docId"), r.getAs[Int]("band"),
+            r.getAs[Boolean]("firstInBucket"))).toSet
+
+        val dw = MemoryStream[(Long, String, java.sql.Timestamp)]
+        val dwQuery = StreamingLink.dupWindowStream(
+            dw.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+            k = 3)
+          .writeStream.format("memory").queryName(s"prov_dw_$tag")
+          .outputMode("append").start()
+        dw.addData((1L, "q w e r t x1 x2", ts(0)), (2L, "a b c d e", ts(1)))
+        dwQuery.processAllAvailable()
+        dw.addData((3L, "y1 q w e r t y2", ts(2)), (4L, "m n o p", ts(3)))
+        dwQuery.processAllAvailable()
+        dwQuery.stop()
+        val spans = spark.table(s"prov_dw_$tag").collect()
+          .map(r => (r.getAs[String]("docId"), r.getAs[Int]("pos"),
+            r.getAs[Boolean]("foreign"))).toSet
+        (bands, spans)
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+
+    val (hdfsBands, hdfsSpans) = runUnder(None)
+    val (rocksBands, rocksSpans) = runUnder(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(hdfsBands.nonEmpty && hdfsSpans.nonEmpty)
+    assert(rocksBands == hdfsBands,
+      "band-bucket verdicts diverge between state-store providers")
+    assert(rocksSpans == hdfsSpans,
+      "span-ownership verdicts diverge between state-store providers")
+    // sanity: the rocks run actually flagged the cross-batch structure
+    assert(rocksBands.count { case (d, _, first) => d == "5" && !first } == 8)
+    assert(rocksSpans.count { case (d, _, foreign) => d == "3" && foreign } == 3)
+  }
+
   test("stateful perceptual-image band dedup flags shifted copies " +
       "across batches and drops non-images") {
     import graft.pipeline.Codecs
