@@ -126,109 +126,132 @@ object ConnectedComponents {
       .dropDuplicates()
       .breakLineage(eager)
 
+    val symT0 = System.nanoTime()
     val edgeCount = neighbours.count()
+    if (sys.env.get("SPARK_GRAFT_CC_VERBOSE").contains("1"))
+      System.err.println(f"[cc]   symmetric+dedupe+count: " +
+        f"${(System.nanoTime() - symT0) / 1e9}%.2fs ($edgeCount edges) " +
+        f"@${System.currentTimeMillis() % 1000000}")
     if (edgeCount <= smallGate)
       return driverUnionFind(neighbours)
 
-    // exchange-free: the checkpointed neighbours frame carries its
-    // hash(node_id) partitioning into this groupBy, so reps materialises
-    // with the same role partitioning without another shuffle
-    var reps = neighbours
+    // DISTRIBUTED level: recursive contraction. One propagation round
+    // (each node takes the min over itself and its neighbours — an
+    // exchange-free groupBy, the checkpointed neighbours frame already
+    // carries hash(node_id) partitioning) plus one pointer jump
+    // (rep := min(rep, rep(rep))), then the graph CONTRACTS to rep-level
+    // edges and the whole solve recurses on the contracted graph. Each
+    // level merges every node with at least one neighbour, so the node
+    // count at least halves per level (<= log2 N levels), and in practice
+    // one level shrinks the graph below the driver gate — the recursion
+    // then finishes at union-find speed. Versus the previous
+    // propagate-until-fixpoint loop (4 full-frame shuffles per round,
+    // O(log D) rounds over the FULL frame, measured 30x slower than the
+    // gated path at 1.35M edges), each level here pays ~2 full-frame
+    // shuffles and every later level runs on a geometrically smaller
+    // graph. Same algorithm family as arXiv:1802.09478's alternating
+    // contraction; the reference's loop
+    // (`connected_components.py:121-335`) is the fixpoint shape this
+    // replaces.
+    val verbose = sys.env.get("SPARK_GRAFT_CC_VERBOSE").contains("1")
+    val levelT0 = System.nanoTime()
+    // rep := min(self, neighbours). The rep pointers form a FOREST (each
+    // pointer strictly decreases the id, so no cycles); roots are local
+    // minima.
+    val reps0 = neighbours
       .groupBy("node_id")
       .agg(least(min(col("neighbour")), first(col("node_id"))).as("representative"))
-      .breakLineage(eager)
-
-    val finalised = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val verbose = sys.env.get("SPARK_GRAFT_CC_VERBOSE").contains("1")
-    var iteration = 0
-    var done = false
-    while (!done && iteration < maxIterations) {
-      iteration += 1
-      val itT0 = System.nanoTime()
-      // new rep = min(own rep, min of neighbours' reps). The edge list is
-      // SYMMETRIC (both directions present), so "each node takes its
-      // neighbours' reps" can be computed by joining each edge's OWN node
-      // to reps and emitting the rep to the neighbour — same multiset,
-      // but the join key is node_id, the checkpointed frame's hash
-      // partitioning, so the 2x-edge frame never reshuffles for this join
-      // (the old neighbour-keyed join paid a full exchange every round).
-      val neighbourReps = neighbours.alias("n")
-        .join(reps.alias("r"), col("n.node_id") === col("r.node_id"))
-        .select(col("n.neighbour").as("node_id"), col("r.representative").as("rep"))
-      val propagated = reps.select(col("node_id"), col("representative").as("rep"))
-        .unionByName(neighbourReps)
-        .groupBy("node_id")
-        .agg(min("rep").as("representative"))
-        // the pointer-jump below joins this frame with ITSELF, and Spark
-        // does not CSE across self-join branches — unpersisted, the whole
-        // neighbour-join + groupBy would run twice per round (measured ~2x
-        // round cost at 2.7M edges); released right after the round's
-        // materialisation point
-        .persist()
-      // pointer jumping (rep := rep(rep)) — contracts paths geometrically,
-      // so a diameter-D component converges in O(log D) rounds instead of
-      // O(D) (small-star/large-star idea from arXiv:1802.09478).
-      reps = propagated.alias("a")
-        .join(propagated.select(col("node_id").as("rep_node"),
+      // the pointer-jump below joins this frame with ITSELF, and Spark
+      // does not CSE across self-join branches — unpersisted, the groupBy
+      // would run twice; released after the first jump materialises
+      .persist()
+    // Pointer-jump to CLOSURE (rep := rep(rep) until fixpoint): each jump
+    // doubles the compressed distance, so every node reaches its tree
+    // root in O(log depth) jumps — one cheap node-frame self-join each.
+    // A single jump is NOT enough: a monotone path a1<a2<...<an leaves
+    // rep chains of length n-2 after propagate+jump, and contracting then
+    // recursing shrinks the graph by only ~2 hops per LEVEL (each level
+    // pays full symmetric-dedupe machinery over a barely-smaller frame —
+    // measured 4+ levels x ~30s on 13.5M path edges). Jumping to closure
+    // collapses each tree in-level; the contracted graph (edges between
+    // ROOTS) is then radically smaller — usually empty or driver-sized.
+    var reps: DataFrame = reps0
+    var prevPersisted: DataFrame = reps0
+    var jumping = true
+    var jumps = 0
+    while (jumping && jumps < 40) {
+      jumps += 1
+      val j = reps.alias("a")
+        .join(reps.select(col("node_id").as("rep_node"),
             col("representative").as("rep_rep")).alias("b"),
           col("a.representative") === col("rep_node"), "left")
         .select(col("a.node_id"),
-          least(col("a.representative"), coalesce(col("rep_rep"), col("a.representative")))
+          col("a.representative").as("__old_rep"),
+          least(col("a.representative"),
+            coalesce(col("rep_rep"), col("a.representative")))
             .as("representative"))
-        .breakLineage(eager) // job 1: the only materialisation per round
-
-      // Edges whose endpoints currently disagree = clusters still merging.
-      val cross = neighbours.alias("e")
-        .join(reps.alias("rl"), col("e.node_id") === col("rl.node_id"))
-        .join(reps.alias("rr"), col("e.neighbour") === col("rr.node_id"))
-        .filter(col("rl.representative") =!= col("rr.representative"))
-        .select(col("rl.representative").as("rep_l"),
-          col("rr.representative").as("rep_r"))
-      val openGroups = cross.select(col("rep_l").as("g"))
-        .unionByName(cross.select(col("rep_r").as("g")))
-        .distinct()
-        .persist() // small frame, reused 3x below; job 2 via isEmpty
-
-      val noOpen = openGroups.isEmpty // triggers the round's materialisation
-      propagated.unpersist()
-      if (noOpen) {
-        finalised += reps
-        done = true
-        openGroups.unpersist()
-      } else {
-        // Clusters with no outgoing edge are final; drop them + their
-        // edges. These build on the just-checkpointed reps, so their
-        // lineage stays shallow without extra materialisation jobs.
-        val stableNodes = reps.alias("r")
-          .join(openGroups.alias("o"), col("r.representative") === col("o.g"), "left_anti")
-        finalised += stableNodes
-        reps = reps.alias("r")
-          .join(openGroups.alias("o"), col("r.representative") === col("o.g"), "left_semi")
-        val live = reps.select("node_id")
-        val prevNeighbours = neighbours
-        neighbours = neighbours
-          .join(live.withColumnRenamed("node_id", "__l"),
-            col("node_id") === col("__l"), "left_semi")
-          .join(live.withColumnRenamed("node_id", "__r"),
-            col("neighbour") === col("__r"), "left_semi")
-          .breakLineage(eager) // job 3: cut neighbour lineage
-        // the superseded neighbour frame is referenced by nothing past this
-        // point (reps/finalised never read it) — reclaim its scratch now,
-        // not at JVM exit (parquet-policy writes are eager, so the new
-        // frame no longer needs the old files)
-        graft.operators.Materialise.release(prevNeighbours)
-      }
+        .persist()
+      // one job: materialises j and probes for any still-moving pointer
+      jumping = !j.filter(col("representative") =!= col("__old_rep")).isEmpty
+      prevPersisted.unpersist()
+      prevPersisted = j
+      reps = j.select(col("node_id"), col("representative"))
       if (verbose) System.err.println(
-        f"[cc] iteration $iteration done=${done} " +
-          f"${(System.nanoTime() - itT0) / 1e9}%.2fs")
+        f"[cc]   jump $jumps%d (moving=${jumping}) " +
+          f"${(System.nanoTime() - levelT0) / 1e9}%.2fs")
     }
-    if (!done) finalised += reps // maxIterations safety valve
-    // The union carries one partition set per finalised round (hundreds of
-    // small partitions); the role exchange (`__splink__clusters_at_*` ÷10)
-    // collapses that to a sane count for the caller's write / re-join.
+    reps = reps.breakLineage(eager)
+    reps.count() // materialise before releasing the last jump frame
+    prevPersisted.unpersist()
+    if (verbose) System.err.println(
+      f"[cc]   reps closed+checkpointed ${(System.nanoTime() - levelT0) / 1e9}%.2fs")
+
+    // Rep-level edges: endpoints mapped through reps, intra-cluster edges
+    // dropped. Each UNDIRECTED edge is processed once (node_id < neighbour
+    // halves the symmetric frame through both joins; the recursive call's
+    // own explode re-symmetrises). First join is co-located on node_id;
+    // the neighbour-keyed join is the level's one unavoidable reshuffle.
+    val contracted = neighbours.filter(col("node_id") < col("neighbour")).alias("e")
+      .join(reps.alias("rl"), col("e.node_id") === col("rl.node_id"))
+      .join(reps.alias("rr"), col("e.neighbour") === col("rr.node_id"))
+      .filter(col("rl.representative") =!= col("rr.representative"))
+      .select(col("rl.representative").as("rep_l"),
+        col("rr.representative").as("rep_r"))
+    if (verbose) System.err.println(
+      f"[cc] level: $edgeCount edges propagated+contracted in " +
+        f"${(System.nanoTime() - levelT0) / 1e9}%.2fs (recursing) " +
+        f"@${System.currentTimeMillis() % 1000000}")
+    val out =
+      if (maxIterations <= 1) reps // safety valve, mirrors the old loop cap
+      else {
+        val sub = run(contracted, "rep_l", "rep_r", maxIterations - 1,
+          eager, smallGraphThreshold)
+        if (verbose) System.err.println(
+          f"[cc] sub returned @${System.currentTimeMillis() % 1000000}")
+        // compose: final label = sub-solution of the node's rep; reps with
+        // no cross-cluster edge never reach the contracted graph and keep
+        // their (already canonical) label. The compose is MATERIALISED
+        // before returning: run()'s callers self-join its output (cluster
+        // metrics, multi-threshold reuse), and Catalyst's size-only join
+        // stats SQUARE per composition level — an unmaterialised
+        // D-level nested join chain under a caller's join tree produces
+        // BigInt size estimates with 2^k-scale digit counts and pins the
+        // driver in ToomCook multiplication during planning. A flat
+        // checkpointed frame keeps every caller's plan linear; the cost
+        // (one N_L-row materialisation per level) shrinks geometrically
+        // with depth.
+        reps.alias("r")
+          .join(sub.alias("s"), col("r.representative") === col("s.node_id"),
+            "left")
+          .select(col("r.node_id"),
+            coalesce(col("s.cluster_id"), col("r.representative"))
+              .as("representative"))
+          .breakLineage(eager)
+      }
+    // The role exchange (`__splink__clusters_at_*` ÷10) collapses the
+    // join partitioning to a sane count for the caller's write / re-join.
     graft.operators.Repartition(
-      finalised.reduce(_.unionByName(_))
-        .select(col("node_id"), col("representative").as("cluster_id")),
+      out.select(col("node_id"), col("representative").as("cluster_id")),
       graft.operators.Repartition.ClusteringOutput)
   }
 

@@ -73,7 +73,17 @@ object Materialise {
     withPolicy(df, policy(df.sparkSession), eager)
 
   def withPolicy(df: DataFrame, p: Policy, eager: Boolean): DataFrame = p match {
-    case LocalCheckpointPolicy => df.localCheckpoint(eager)
+    // (local)checkpoint results are rewrapped through
+    // GraftSqlBridge.freshStats: Spark 4 copies the origin plan's size
+    // estimate onto the checkpointed LogicalRDD, and in iterative loops
+    // that join previous checkpoints the carried estimate compounds
+    // exponentially until driver-side stats visits grind in BigInteger
+    // math (measured: a forced-distributed CC recursion pinned the driver
+    // for minutes at 135k edges). Fresh default stats per checkpoint keep
+    // every downstream plan's estimate bounded; AQE still broadcasts from
+    // actual runtime sizes.
+    case LocalCheckpointPolicy =>
+      org.apache.spark.sql.GraftSqlBridge.freshStats(df.localCheckpoint(eager))
     case PersistPolicy =>
       val out = df.persist(StorageLevel.MEMORY_AND_DISK)
       if (eager) out.count()
@@ -82,7 +92,7 @@ object Materialise {
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(scratchDir(df.sparkSession) + "/checkpoints")
-      df.checkpoint(eager)
+      org.apache.spark.sql.GraftSqlBridge.freshStats(df.checkpoint(eager))
     case ParquetPolicy =>
       val spark = df.sparkSession
       val path = scratchDir(spark) + f"/mat-${counter.incrementAndGet()}%06d"
