@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default: local[32] runs 32 concurrent tasks in ONE JVM (each with
+  // sort/join execution buffers) plus the block-manager cache — 8g OOMed
+  // the sf10 bench section; the box has 128 GiB. Override with
+  // SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

@@ -134,11 +134,15 @@ object Bench {
    * headline query's work scales linearly with input — the honest scaling
    * measurement — instead of quadratically through cross-copy collisions:
    * keys shift by a copy offset, block keys (c_nationkey) salt per copy,
-   * and document tokens get a per-copy suffix (disjoint vocabularies, so
-   * shingle/minhash/tfidf structure replicates exactly per copy).
+   * and document text goes through a per-copy character rotation
+   * (disjoint shingles AND word vocabularies, so shingle/minhash/tfidf
+   * structure replicates exactly per copy).
+   *
+   * The marker is VERSIONED: target/ persists across rounds, so a changed
+   * generator must not silently reuse a stale fixture.
    */
   private def ensureSf1(spark: SparkSession, sf01: String, dir: String): Unit = {
-    if (Files.exists(Paths.get(dir, "_DONE"))) return
+    if (Files.exists(Paths.get(dir, "_DONE_v2"))) return
     val copies = 10
     val off = 100000000L
     def write(name: String)(f: (org.apache.spark.sql.DataFrame, Int)
@@ -158,14 +162,30 @@ object Bench {
     write("documents") { (df, i) =>
       val d = df.withColumn("doc_id", col("doc_id") + lit(i * off))
       if (i == 0) d
-      else d.withColumn("text", array_join(
-        transform(split(col("text"), "\\s+"),
-          t => concat(t, lit(s"_c$i"))), " "))
+      // Per-copy CHARACTER rotation (a bijective caesar map over letters
+      // and digits), not a per-token suffix: a suffix keeps every 8-char
+      // shingle that sits fully inside a long word identical across
+      // copies, so cross-copy doc twins land near jaccard 0.5 and
+      // MinHash-LSH candidate pairs grow QUADRATICALLY in the copy count
+      // (a fixture artifact — measured 2.2 GB shuffle at sf1 vs 25 MB at
+      // sf0.1). A per-copy bijection keeps every intra-copy structure
+      // (duplicates, spans, token stats) exactly isomorphic while making
+      // cross-copy shingles and word tokens disjoint, so the banded join
+      // scales linearly — the honest slope.
+      else {
+        val lower = "abcdefghijklmnopqrstuvwxyz"
+        val upper = lower.toUpperCase
+        val digits = "0123456789"
+        def rot(s: String, by: Int) = s.drop(by % s.length) + s.take(by % s.length)
+        d.withColumn("text", translate(col("text"),
+          lower + upper + digits,
+          rot(lower, i) + rot(upper, i) + rot(digits, i)))
+      }
     }
     write("embeddings") { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * off))
     }
-    Files.createFile(Paths.get(dir, "_DONE"))
+    Files.createFile(Paths.get(dir, "_DONE_v2"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -234,8 +254,23 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         recorder.drain(group)
         val s = recorder.snapshot(group)
+        // UNTIMED cleanup: queries persist/localCheckpoint intermediates
+        // and rely on the ContextCleaner (GC-driven) to reap them — in a
+        // 200+-execution suite the leaked blocks accumulate into heap
+        // pressure that taxes LATER queries' GC (the sf10 section used to
+        // run 2x slower in-suite than in a fresh JVM, identical plans).
+        // No cross-query state exists (every query builds its own frames),
+        // so dropping all persisted RDDs between queries is safe.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         name -> QStat(sec, s(0), s(1), s(2), s(3))
     }
+    // untimed full GC between suite sections: lets the ContextCleaner
+    // finish reaping unpersisted/checkpoint blocks so a section starts
+    // from a quiet heap instead of inheriting the previous section's
+    // garbage (stabilises the iterative graph ops' sf10 timings)
+    def quiesce(): Unit = { System.gc(); Thread.sleep(200) }
     def qsJson(results: Seq[(String, QStat)]): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
         .mkString("{", ",", "}")
@@ -276,6 +311,7 @@ object Bench {
         ensureSf1(spark, sfDir, sf1Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
         val sel = SparkEntry.queries.filter(q => sf1Selected.contains(q._1))
+        quiesce()
         val r = onePass(sel, sf1Dir, "sf1")
         s""","sf1":{"dir":"$sf1Dir","gen_sec":$genSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
@@ -297,6 +333,7 @@ object Bench {
         ensureSf10(spark, sf1Dir, sf10Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
         val sel = SparkEntry.queries.filter(q => sf10Selected.contains(q._1))
+        quiesce()
         val r = onePass(sel, sf10Dir, "sf10")
         s""","sf10":{"dir":"$sf10Dir","gen_sec":$genSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +

@@ -61,9 +61,15 @@ object DedupOps {
       .reduce(_ && _) && col("l.id") < col("r.id")
     val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
     // filter on the UNROUNDED jaccard (round only in the projection) so the
-    // threshold semantics match an oracle that filters the raw ratio
+    // threshold semantics match an oracle that filters the raw ratio.
+    // The set-size check runs FIRST (And short-circuits in codegen): a
+    // pair whose sizes cannot reach the threshold (min < t*max bounds the
+    // best possible jaccard) skips the linear merge entirely — exact, the
+    // merge itself would reject every pruned pair.
+    val sizeOk = least(size(col("l.toks")), size(col("r.toks"))).cast("double") >=
+      lit(threshold) * greatest(size(col("l.toks")), size(col("r.toks")))
     l.join(r, joinCond)
-      .filter(jac >= threshold)
+      .filter(sizeOk && jac >= threshold)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
         round(jac, 9).as("jaccard"))
   }
@@ -120,9 +126,13 @@ object DedupOps {
     val joinCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
       .reduce(_ && _) && col("l.id") < col("r.id")
     val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
-    // unrounded filter, rounded projection — see tokenJaccardPairs
+    // unrounded filter, rounded projection; size check short-circuits the
+    // linear merge for pairs that cannot reach the threshold — see
+    // tokenJaccardPairs
+    val sizeOk = least(size(col("l.toks")), size(col("r.toks"))).cast("double") >=
+      lit(threshold) * greatest(size(col("l.toks")), size(col("r.toks")))
     l.join(r, joinCond)
-      .filter(jac >= threshold)
+      .filter(sizeOk && jac >= threshold)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
         round(jac, 9).as("jaccard"))
   }
@@ -201,13 +211,23 @@ object DedupOps {
       .select(col("id"), col("sm.toks").as("toks"), col("sm.sig").as("sig"))
       .filter(size(col("toks")) > 0)
       .breakLineage()
+    // Set-size travels with the band rows (one extra int per scalar row)
+    // to power an EXACT prune inside the bucket join: J(A,B) >= t forces
+    // |A intersect B| >= t*|A union B| >= t*max(|A|,|B|), and the
+    // intersection is at most min(|A|,|B|) — so min >= t*max or the pair
+    // can never verify. Pruning here (before the distinct and before any
+    // shingle array is fetched) cuts both the candidate-dedupe shuffle
+    // and the verification joins with zero false negatives.
     val banded = base
-      .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band"), col("b.band_hash"))
+      .select(col("id"), size(col("toks")).as("n"),
+        explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
+      .select(col("id"), col("n"), col("b.band"), col("b.band_hash"))
     val cands = banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
-        col("l.id") < col("r.id"))
+        col("l.id") < col("r.id") &&
+        least(col("l.n"), col("r.n")).cast("double") >=
+          lit(threshold) * greatest(col("l.n"), col("r.n")))
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
       .distinct()
     val toks = base.select(col("id"), col("toks"))
@@ -242,15 +262,20 @@ object DedupOps {
         .filter(size(col("toks")) > 0)
         .breakLineage()
       val banded = base
-        .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
-        .select(col("id"), col("b.band"), col("b.band_hash"))
+        .select(col("id"), size(col("toks")).as("n"),
+          explode(lshBands(col("sig"), k, rowsPerBand)).as("b"))
+        .select(col("id"), col("n"), col("b.band"), col("b.band_hash"))
       (base.select(col("id"), col("toks")), banded)
     }
     val (corpusToks, corpusBands) = prep(corpus)
     val (probeToks, probeBands) = prep(probe)
+    // exact set-size prune (see minhashDedupPairs): min >= t*max or the
+    // jaccard can never reach the threshold
     val cands = probeBands.alias("p").join(corpusBands.alias("c"),
         col("p.band") === col("c.band") &&
-        col("p.band_hash") === col("c.band_hash"))
+        col("p.band_hash") === col("c.band_hash") &&
+        least(col("p.n"), col("c.n")).cast("double") >=
+          lit(threshold) * greatest(col("p.n"), col("c.n")))
       .select(col("p.id").as("probe_id"), col("c.id").as("corpus_id"))
       .distinct()
     val jac = graft.functions.funcs

@@ -258,6 +258,56 @@ class OpsSpec extends SparkSpec {
     assert(!pairSet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhash size-ratio prune is exact: equals the unpruned band+verify pipeline") {
+    // Corpus engineered to stress the |A|/|B| >= t prefilter boundary:
+    // doc pairs share long identical prefixes (so LSH bands collide) while
+    // their shingle-set sizes straddle the ratio that could legally reach
+    // the jaccard threshold. The pruned operator must return EXACTLY the
+    // pairs of the reference pipeline (band collision + true jaccard, no
+    // size filter) — the prune may only cut work, never results.
+    val prefix = "the quick brown fox jumps over the lazy dog again and again "
+    val docs = Seq(
+      (1L, prefix),
+      (2L, prefix),                                   // exact dup (ratio 1)
+      (3L, prefix + "with a small tail"),             // ratio just under 1
+      (4L, prefix * 3),                               // superset, ratio ~1/3
+      (5L, prefix + "completely different continuation of considerable length here"),
+      (6L, prefix * 2),                               // ratio ~1/2 vs 1
+      (7L, "entirely unrelated content that shares nothing with the rest"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val pruned = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+          threshold = t)
+        .select("id_l", "id_r", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // reference: same kernels, band-collision candidates WITHOUT the
+      // size prefilter, verified with the same exact jaccard
+      val base = docs.select(col("doc_id").as("id"),
+          graft.functions.funcs.shingles_minhash(col("text"), 8, 32).as("sm"))
+        .select(col("id"), col("sm.toks").as("toks"), col("sm.sig").as("sig"))
+      val banded = base.select(col("id"),
+          explode(DedupOps.lshBands(col("sig"), 32, 4)).as("b"))
+        .select(col("id"), col("b.band"), col("b.band_hash"))
+      val cands = banded.alias("l").join(banded.alias("r"),
+          col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_l"), col("r.id").as("id_r")).distinct()
+      val jac = graft.functions.funcs
+        .jaccard_sorted_longs(col("lt.toks"), col("rt.toks"))
+      val ref = cands
+        .join(base.select(col("id"), col("toks")).alias("lt"),
+          col("id_l") === col("lt.id"))
+        .join(base.select(col("id"), col("toks")).alias("rt"),
+          col("id_r") === col("rt.id"))
+        .filter(jac >= t)
+        .select(col("id_l"), col("id_r"), round(jac, 9).as("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned == ref, s"threshold $t")
+      assert(ref.nonEmpty, s"threshold $t: fixture must exercise the boundary")
+    }
+  }
+
   test("containment pairs: short doc inside long doc, low jaccard, both directions") {
     import graft.pipeline.DedupOps
     import org.apache.spark.sql.functions._
