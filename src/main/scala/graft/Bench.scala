@@ -81,6 +81,9 @@ object Bench {
 
   /** The ~10 headline queries re-run at the amplified sf1 scale point. */
   private val Sf1Queries = Seq("q_predict_tf", "q_cluster", "q_minhash_pairs",
+    // the END-TO-END near-dup dedupe (banded pairs -> CC -> canonical):
+    // the whole training-data dedup pipeline's slope in one number
+    "q_dedup_docs",
     "q_dup_spans", "q_bridges", "q_estimate_u", "q_multi_threshold",
     "q_snm_pairs", "q_ann_ivf", "q_tfidf",
     // the distributed Tarjan-Vishkin articulation pass — the suite's
@@ -95,19 +98,20 @@ object Bench {
     // paths on the measured scale point
     "q_em_mstep_dist", "q_cluster_dist", "q_one_to_one_dist")
 
-  /** Third scale decade: the iterative graph ops only — their slopes are
-    * the suite's steepest (round-count growth), and two points (sf0.1,
-    * sf1) cannot pin a curve. All four read only orders/customer, so the
-    * sf10 build amplifies just those two tables (from the materialised
-    * sf1 set, 10 more structurally-disjoint copies = 100x sf0.1: ~15M
-    * orders -> ~13.5M path edges, above the CC driver gate, so this
-    * decade ALSO exercises the fully distributed loops by size alone). */
+  /** Third scale decade: the iterative graph ops (their slopes are the
+    * suite's steepest — round-count growth — and two points cannot pin a
+    * curve) plus the flagship dedup family end-to-end (banded candidate
+    * pairs and pairs->CC->canonical at 500k docs). The sf10 build
+    * amplifies orders/customer/documents from the materialised sf1 set,
+    * 10 more structurally-disjoint copies = 100x sf0.1: ~15M orders ->
+    * ~13.5M path edges, above the CC driver gate, so this decade ALSO
+    * exercises the fully distributed loops by size alone. */
   private val Sf10Queries = Seq("q_cluster", "q_multi_threshold",
-    "q_bridges", "q_articulation")
+    "q_bridges", "q_articulation", "q_minhash_pairs", "q_dedup_docs")
 
   private def ensureSf10(spark: SparkSession, sf1Dir: String, dir: String)
       : Unit = {
-    if (Files.exists(Paths.get(dir, "_DONE"))) return
+    if (Files.exists(Paths.get(dir, "_DONE_v2"))) return
     val copies = 10
     val off = 10000000000L // clear of the sf1 key space (< 10^9 + 15M)
     def write(name: String)(f: (org.apache.spark.sql.DataFrame, Int)
@@ -124,7 +128,28 @@ object Bench {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
         .withColumn("o_custkey", col("o_custkey") + lit(i * off))
     }
-    Files.createFile(Paths.get(dir, "_DONE"))
+    // Documents: a per-copy SEEDED CHARACTER PERMUTATION (not another
+    // rotation — sf1's copies already carry rotations R_i, and rotations
+    // compose degenerately: P_j∘R_i = P_j'∘R_i' whenever i+j = i'+j', so
+    // a second rotation decade would re-collide cross-copy vocabularies).
+    // A seeded Fisher-Yates permutation per sf10 copy keeps every
+    // intra-copy duplicate structure exactly isomorphic (bijection on
+    // characters => bijection on shingles/tokens) while the 100 combined
+    // maps are pairwise distinct, so cross-copy shingle collisions stay
+    // at the random-hash floor and the dedup family scales linearly.
+    write("documents") { (df, i) =>
+      val d = df.withColumn("doc_id", col("doc_id") + lit(i * off))
+      if (i == 0) d
+      else {
+        val alphabet = ("abcdefghijklmnopqrstuvwxyz" +
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789").toCharArray
+        val rnd = new scala.util.Random(0xD0C5EEDL + i)
+        val shuffled = rnd.shuffle(alphabet.toSeq).mkString
+        d.withColumn("text",
+          translate(col("text"), new String(alphabet), shuffled))
+      }
+    }
+    Files.createFile(Paths.get(dir, "_DONE_v2"))
   }
 
   /**
