@@ -121,8 +121,22 @@ object ConnectedComponents {
         struct(col(dstCol).as("node_id"), col(srcCol).as("neighbour")))).as("e"))
       .select(col("e.node_id"), col("e.neighbour"))
       .filter(col("node_id") =!= col("neighbour"))
+    // SIZE-FLOORED key exchange: the Neighbours role (÷4) alone collapses
+    // to 4 partitions at 32 shuffle partitions, and since the whole loop
+    // (propagation groupBy, contraction's node-keyed join) inherits this
+    // partitioning exchange-free, an under-sized exchange serialises the
+    // heaviest aggregates onto a few cores. The optimizer's size estimate
+    // of the INPUT plan is the signal — x2 for the symmetric explode and
+    // x4 because file-source stats are COMPRESSED bytes while the
+    // exchange moves decompressed unsafe rows (encoded parquet
+    // longs/strings expand ~4x into row format). Unknown-size checkpoint
+    // inputs estimate high and simply keep the session's parallelism.
+    val inputBytes =
+      try edges.queryExecution.optimizedPlan.stats.sizeInBytes * 8
+      catch { case _: Exception => BigInt(0) }
     var neighbours = graft.operators.Repartition
-      .byKeys(symmetric, graft.operators.Repartition.Neighbours, col("node_id"))
+      .sizedByKeys(symmetric, graft.operators.Repartition.Neighbours,
+        inputBytes, col("node_id"))
       .dropDuplicates()
       .breakLineage(eager)
 
@@ -191,8 +205,14 @@ object ConnectedComponents {
             coalesce(col("rep_rep"), col("a.representative")))
             .as("representative"))
         .persist()
-      // one job: materialises j and probes for any still-moving pointer
-      jumping = !j.filter(col("representative") =!= col("__old_rep")).isEmpty
+      // ONE FULLY-PARALLEL job materialises j and counts still-moving
+      // pointers. NOT isEmpty: executeTake(1) evaluates partitions in
+      // incremental waves (1, then 4, then 16...), so exactly on the late
+      // jumps — where movers are rare or absent — the persisted frame
+      // materialises at 1-4-task parallelism (measured 10-25s spikes on
+      // the closing jumps of a 15M-node frame vs ~3s for the wide count).
+      jumping = j.filter(col("representative") =!= col("__old_rep"))
+        .count() > 0
       prevPersisted.unpersist()
       prevPersisted = j
       reps = j.select(col("node_id"), col("representative"))
@@ -211,18 +231,32 @@ object ConnectedComponents {
     // halves the symmetric frame through both joins; the recursive call's
     // own explode re-symmetrises). First join is co-located on node_id;
     // the neighbour-keyed join is the level's one unavoidable reshuffle.
+    // MATERIALISED here: the recursion would evaluate this pipeline anyway
+    // (its own symmetric+count), a flat frame lets the non-empty case hit
+    // the raw driver-gate probe directly, and the EMPTY case — every edge
+    // internal to one pointer tree, i.e. components == trees, the common
+    // outcome for path/tree-like graphs once jumps run to closure — can
+    // skip the sub-solve AND the whole-node-frame compose join below
+    // (measured ~40% of the level's wall time on 13.5M path edges).
     val contracted = neighbours.filter(col("node_id") < col("neighbour")).alias("e")
       .join(reps.alias("rl"), col("e.node_id") === col("rl.node_id"))
       .join(reps.alias("rr"), col("e.neighbour") === col("rr.node_id"))
       .filter(col("rl.representative") =!= col("rr.representative"))
       .select(col("rl.representative").as("rep_l"),
         col("rr.representative").as("rep_r"))
+      .breakLineage(eager)
+    val contractedEmpty = contracted.isEmpty
     if (verbose) System.err.println(
       f"[cc] level: $edgeCount edges propagated+contracted in " +
-        f"${(System.nanoTime() - levelT0) / 1e9}%.2fs (recursing) " +
-        f"@${System.currentTimeMillis() % 1000000}")
+        f"${(System.nanoTime() - levelT0) / 1e9}%.2fs " +
+        f"(empty=$contractedEmpty) @${System.currentTimeMillis() % 1000000}")
     val out =
       if (maxIterations <= 1) reps // safety valve, mirrors the old loop cap
+      else if (contractedEmpty) reps
+      // single tree per component: the root IS the component minimum (the
+      // min m of a component has no smaller neighbour, so rep(m)=m makes
+      // m a root; with no cross-tree edge the component's one root is m),
+      // so reps is already the canonical labelling — return it directly.
       else {
         val sub = run(contracted, "rep_l", "rep_r", maxIterations - 1,
           eager, smallGraphThreshold)
@@ -249,10 +283,13 @@ object ConnectedComponents {
           .breakLineage(eager)
       }
     // The role exchange (`__splink__clusters_at_*` ÷10) collapses the
-    // join partitioning to a sane count for the caller's write / re-join.
-    graft.operators.Repartition(
+    // join partitioning to a sane count for the caller's write / re-join —
+    // SIZE-FLOORED so a many-million-node labelling never squeezes into a
+    // couple of tasks (output rows <= 2 x edgeCount, ~32B per unsafe row
+    // of two longs).
+    graft.operators.Repartition.sized(
       out.select(col("node_id"), col("representative").as("cluster_id")),
-      graft.operators.Repartition.ClusteringOutput)
+      graft.operators.Repartition.ClusteringOutput, 2 * edgeCount * 32)
   }
 
   /** True when re-scanning the plan costs ~a cached-block read: a

@@ -53,6 +53,38 @@ object Repartition {
   def numPartitions(df: DataFrame, role: Role): Int =
     math.max(1, math.ceil(base(df).toDouble / role.divisor).toInt)
 
+  /** Role target with a SIZE floor: the divisor policy gives a modest
+    * file/partition count for typical outputs, but it must never squeeze
+    * a large frame into a handful of partitions — with 32 shuffle
+    * partitions the clusters role collapses to 2, and a 15M-row label
+    * frame then serialises through 2 tasks (measured ~15s of a 70s
+    * solve). The floor keeps partitions proportional to the data
+    * (`estimatedBytes / maxPartitionBytes`), capped at the session's
+    * shuffle parallelism — the role only ever SHRINKS sanely. */
+  def numPartitionsSized(df: DataFrame, role: Role,
+      estimatedBytes: BigInt): Int = {
+    val conf = df.sparkSession.conf
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val full = conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sizeFloor = (estimatedBytes / maxPartitionBytes)
+      .min(BigInt(full)).toInt
+    math.max(numPartitions(df, role), sizeFloor)
+  }
+
+  /** Round-robin repartition to the sized role target. */
+  def sized(df: DataFrame, role: Role, estimatedBytes: BigInt): DataFrame =
+    df.repartition(numPartitionsSized(df, role, estimatedBytes))
+
+  /** [[byKeys]] with the size floor: iterative loops co-partition their
+    * working frame once and inherit that parallelism in every
+    * exchange-free stage that follows — an under-sized key exchange
+    * (e.g. 27M symmetric edges in 4 partitions at 32 shuffle partitions)
+    * then serialises the whole loop's propagation aggregates. */
+  def sizedByKeys(df: DataFrame, role: Role, estimatedBytes: BigInt,
+      keys: Column*): DataFrame =
+    df.repartition(numPartitionsSized(df, role, estimatedBytes), keys: _*)
+
   /** Round-robin repartition to the role's target — use right before a
     * persist/checkpoint/write. */
   def apply(df: DataFrame, role: Role): DataFrame =
