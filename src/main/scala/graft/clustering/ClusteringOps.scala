@@ -56,7 +56,13 @@ object ClusteringOps {
         .filter(col("x.a") < col("x.b"))
         .select(col("x.a").as("a"), col("x.b").as("b"))
         .breakLineage()
-      if (mutual.isEmpty) done = true
+      // wide count() probes, not isEmpty: executeTake(1) materialises a
+      // just-checkpointed frame in incremental 1/4/16-partition waves —
+      // serial exactly on the closing round where the frame IS empty and
+      // every partition must be evaluated (see ConnectedComponents' jump
+      // loop). Both frames get fully consumed when non-empty, so the
+      // count is never wasted work.
+      if (mutual.count() == 0) done = true
       else {
         matched += mutual
         val used = mutual.select(col("a").as("n"))
@@ -65,7 +71,7 @@ object ClusteringOps {
           .join(used.withColumnRenamed("n", "__a"), col("a") === col("__a"), "left_anti")
           .join(used.withColumnRenamed("n", "__b"), col("b") === col("__b"), "left_anti")
           .breakLineage()
-        if (remaining.isEmpty) done = true
+        if (remaining.count() == 0) done = true
       }
     }
     if (matched.isEmpty) {
@@ -223,7 +229,8 @@ object ClusteringOps {
         .filter(col("x.ra") < col("x.rb"))
         .select(col("x.ra").as("ka"), col("x.rb").as("kb"))
         .breakLineage()
-      if (merges.isEmpty) done = true
+      // wide probe — see the comment on the mutual-best loop above
+      if (merges.count() == 0) done = true
       else {
         membership = membership.alias("m")
           .join(merges.alias("g"), col("m.rep") === col("g.kb"), "left")
