@@ -109,9 +109,16 @@ object Bench {
   private val Sf10Queries = Seq("q_cluster", "q_multi_threshold",
     "q_bridges", "q_articulation", "q_minhash_pairs", "q_dedup_docs")
 
+  /** Generation markers. target/ persists across rounds, so a changed
+    * generator must not silently reuse a stale fixture — and since sf10
+    * is DERIVED from the sf1 tables, its marker embeds the sf1 marker
+    * name: bumping the sf1 generation automatically invalidates sf10. */
+  private val Sf1Marker = "_DONE_v2"
+  private val Sf10Marker = s"_DONE_v2_from${Sf1Marker}"
+
   private def ensureSf10(spark: SparkSession, sf1Dir: String, dir: String)
       : Unit = {
-    if (Files.exists(Paths.get(dir, "_DONE_v2"))) return
+    if (Files.exists(Paths.get(dir, Sf10Marker))) return
     val copies = 10
     val off = 10000000000L // clear of the sf1 key space (< 10^9 + 15M)
     def write(name: String)(f: (org.apache.spark.sql.DataFrame, Int)
@@ -149,7 +156,7 @@ object Bench {
           translate(col("text"), new String(alphabet), shuffled))
       }
     }
-    Files.createFile(Paths.get(dir, "_DONE_v2"))
+    Files.createFile(Paths.get(dir, Sf10Marker))
   }
 
   /**
@@ -167,7 +174,7 @@ object Bench {
    * generator must not silently reuse a stale fixture.
    */
   private def ensureSf1(spark: SparkSession, sf01: String, dir: String): Unit = {
-    if (Files.exists(Paths.get(dir, "_DONE_v2"))) return
+    if (Files.exists(Paths.get(dir, Sf1Marker))) return
     val copies = 10
     val off = 100000000L
     def write(name: String)(f: (org.apache.spark.sql.DataFrame, Int)
@@ -210,7 +217,7 @@ object Bench {
     write("embeddings") { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * off))
     }
-    Files.createFile(Paths.get(dir, "_DONE_v2"))
+    Files.createFile(Paths.get(dir, Sf1Marker))
   }
 
   def main(args: Array[String]): Unit = {

@@ -70,30 +70,34 @@ object SparkEntry {
 
   /** Consecutive orders of each customer as path edges — the graph for
     * q_cluster / q_cluster_dist (components = customers with >= 2 orders). */
-  private def orderPathEdges(s: SparkSession, dir: String): DataFrame = {
+  /** Consecutive-order edge derivation (lag window per customer) — the
+    * ONE definition every graph-query family derives from: q_cluster /
+    * q_cluster_dist, the one-to-one families, and their DuckDB oracles
+    * all replay exactly this shape, so the edge definition must not fork. */
+  private def orderPathRaw(s: SparkSession, dir: String): DataFrame = {
     val o = pq(s, dir, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     o.select(col("o_custkey"), col("o_orderkey"),
         lag("o_orderkey", 1).over(w).as("prev"))
       .filter(col("prev").isNotNull)
-      .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"))
   }
+
+  private def orderPathEdges(s: SparkSession, dir: String): DataFrame =
+    orderPathRaw(s, dir)
+      .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"))
 
   /** Probability-weighted path edges + synthetic dataset labels — shared
     * by q_one_to_one_constrained (gated) and q_one_to_one_dist (forced
     * distributed). */
   private def constrainedOneToOneInputs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val o = pq(s, dir, "orders")
-    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    val edges = o.select(col("o_custkey"), col("o_orderkey"),
-        lag("o_orderkey", 1).over(w).as("prev"))
-      .filter(col("prev").isNotNull)
+    val edges = orderPathRaw(s, dir)
       .select(col("prev").as("unique_id_l"), col("o_orderkey").as("unique_id_r"),
         (((col("prev") + col("o_orderkey")) % 97) / 96.0).as("match_probability"))
-    val nodeDs = o.select(col("o_orderkey").as("node_id"),
-      concat(lit("ds"), (col("o_orderkey") % 3).cast("string"))
-        .as("source_dataset"))
+    val nodeDs = pq(s, dir, "orders")
+      .select(col("o_orderkey").as("node_id"),
+        concat(lit("ds"), (col("o_orderkey") % 3).cast("string"))
+          .as("source_dataset"))
     (edges, nodeDs)
   }
 

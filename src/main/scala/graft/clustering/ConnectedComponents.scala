@@ -146,8 +146,13 @@ object ConnectedComponents {
       System.err.println(f"[cc]   symmetric+dedupe+count: " +
         f"${(System.nanoTime() - symT0) / 1e9}%.2fs ($edgeCount edges) " +
         f"@${System.currentTimeMillis() % 1000000}")
-    if (edgeCount <= smallGate)
-      return driverUnionFind(neighbours)
+    if (edgeCount <= smallGate) {
+      val solved = driverUnionFind(neighbours)
+      // the collect fully consumed the symmetric frame; the output is a
+      // driver-parallelized RDD with no reference to it
+      graft.operators.Materialise.release(neighbours)
+      return solved
+    }
 
     // DISTRIBUTED level: recursive contraction. One propagation round
     // (each node takes the min over itself and its neighbours — an
@@ -245,7 +250,15 @@ object ConnectedComponents {
       .select(col("rl.representative").as("rep_l"),
         col("rr.representative").as("rep_r"))
       .breakLineage(eager)
-    val contractedEmpty = contracted.isEmpty
+    // wide count(), not isEmpty: executeTake(1) would materialise the
+    // just-checkpointed frame in serial 1/4/16-partition waves exactly in
+    // the empty case (same fix as the jump probe above)
+    val contractedEmpty = contracted.count() == 0
+    // the contraction is on disk/cache now, so the symmetric neighbour
+    // frame is fully consumed — reclaim its scratch immediately under the
+    // parquet policy (no-op elsewhere); without this a long-lived cluster
+    // session accumulates one ~2x-edge-list copy per solve per level
+    graft.operators.Materialise.release(neighbours)
     if (verbose) System.err.println(
       f"[cc] level: $edgeCount edges propagated+contracted in " +
         f"${(System.nanoTime() - levelT0) / 1e9}%.2fs " +
@@ -274,14 +287,26 @@ object ConnectedComponents {
         // checkpointed frame keeps every caller's plan linear; the cost
         // (one N_L-row materialisation per level) shrinks geometrically
         // with depth.
-        reps.alias("r")
+        val composed = reps.alias("r")
           .join(sub.alias("s"), col("r.representative") === col("s.node_id"),
             "left")
           .select(col("r.node_id"),
             coalesce(col("s.cluster_id"), col("r.representative"))
               .as("representative"))
           .breakLineage(eager)
+        // under the parquet policy the compose is on disk at this point
+        // and supersedes reps; the recursion's own materialisation
+        // consumed contracted — reclaim both (no-op elsewhere). In the
+        // empty/valve paths reps IS the output, so only this branch may
+        // release it.
+        graft.operators.Materialise.release(reps)
+        graft.operators.Materialise.release(contracted)
+        composed
       }
+    // empty/valve paths never handed contracted to a consumer — the count
+    // above fully evaluated it, so its scratch is reclaimable too
+    if (maxIterations <= 1 || contractedEmpty)
+      graft.operators.Materialise.release(contracted)
     // The role exchange (`__splink__clusters_at_*` ÷10) collapses the
     // join partitioning to a sane count for the caller's write / re-join —
     // SIZE-FLOORED so a many-million-node labelling never squeezes into a

@@ -36,6 +36,15 @@ object DedupOps {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** EXACT set-size prune shared by every jaccard-thresholded pair
+    * generator: J(A,B) >= t forces |A∩B| >= t*|A∪B| >= t*max(|A|,|B|),
+    * and |A∩B| <= min(|A|,|B|) — so min >= t*max or the pair can never
+    * verify. Zero false negatives (round-to-nearest of t*max can never
+    * overshoot the representable integer min). ONE definition: the four
+    * band/blocked joins that prune on it must never diverge. */
+  private def sizeRatioOk(nl: Column, nr: Column, threshold: Double): Column =
+    least(nl, nr).cast("double") >= lit(threshold) * greatest(nl, nr)
+
   // -------------------------------------------------------- token jaccard
 
   /** Candidate pairs from equality blocking, verified by token-set Jaccard
@@ -63,11 +72,9 @@ object DedupOps {
     // filter on the UNROUNDED jaccard (round only in the projection) so the
     // threshold semantics match an oracle that filters the raw ratio.
     // The set-size check runs FIRST (And short-circuits in codegen): a
-    // pair whose sizes cannot reach the threshold (min < t*max bounds the
-    // best possible jaccard) skips the linear merge entirely — exact, the
-    // merge itself would reject every pruned pair.
-    val sizeOk = least(size(col("l.toks")), size(col("r.toks"))).cast("double") >=
-      lit(threshold) * greatest(size(col("l.toks")), size(col("r.toks")))
+    // pruned pair skips the linear merge entirely — see [[sizeRatioOk]].
+    val sizeOk =
+      sizeRatioOk(size(col("l.toks")), size(col("r.toks")), threshold)
     l.join(r, joinCond)
       .filter(sizeOk && jac >= threshold)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
@@ -126,11 +133,10 @@ object DedupOps {
     val joinCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
       .reduce(_ && _) && col("l.id") < col("r.id")
     val jac = graft.functions.funcs.jaccard_sorted_longs(col("l.toks"), col("r.toks"))
-    // unrounded filter, rounded projection; size check short-circuits the
-    // linear merge for pairs that cannot reach the threshold — see
-    // tokenJaccardPairs
-    val sizeOk = least(size(col("l.toks")), size(col("r.toks"))).cast("double") >=
-      lit(threshold) * greatest(size(col("l.toks")), size(col("r.toks")))
+    // unrounded filter, rounded projection; [[sizeRatioOk]] short-circuits
+    // the linear merge for pairs that cannot reach the threshold
+    val sizeOk =
+      sizeRatioOk(size(col("l.toks")), size(col("r.toks")), threshold)
     l.join(r, joinCond)
       .filter(sizeOk && jac >= threshold)
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
@@ -226,8 +232,7 @@ object DedupOps {
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.id") < col("r.id") &&
-        least(col("l.n"), col("r.n")).cast("double") >=
-          lit(threshold) * greatest(col("l.n"), col("r.n")))
+        sizeRatioOk(col("l.n"), col("r.n"), threshold))
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
       .distinct()
     val toks = base.select(col("id"), col("toks"))
@@ -274,8 +279,7 @@ object DedupOps {
     val cands = probeBands.alias("p").join(corpusBands.alias("c"),
         col("p.band") === col("c.band") &&
         col("p.band_hash") === col("c.band_hash") &&
-        least(col("p.n"), col("c.n")).cast("double") >=
-          lit(threshold) * greatest(col("p.n"), col("c.n")))
+        sizeRatioOk(col("p.n"), col("c.n"), threshold))
       .select(col("p.id").as("probe_id"), col("c.id").as("corpus_id"))
       .distinct()
     val jac = graft.functions.funcs

@@ -48,6 +48,30 @@ class MaterialiseSpec extends SparkSpec {
     }
   }
 
+  test("non-empty contraction (compose branch + releases) under every policy") {
+    // Star-shaped components whose centre id EXCEEDS the leaf ids:
+    // min-propagation points the centre at its smallest leaf while every
+    // other leaf keeps itself, so the pointer forest has several trees per
+    // component and the CONTRACTED graph is non-empty — the recursion +
+    // compose branch (and its parquet scratch releases) must run, unlike
+    // chain graphs where closure jumps collapse each component to one
+    // tree. Guards the release(reps)/release(contracted) calls: a
+    // premature release would fail the parquet-policy pass loudly.
+    val stars = Seq((5L, 1L), (5L, 2L), (5L, 3L),
+        (105L, 101L), (105L, 102L))
+      .toDF("unique_id_l", "unique_id_r")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      101L -> 101L, 102L -> 101L, 105L -> 101L)
+    Seq(Materialise.LocalCheckpointPolicy, Materialise.PersistPolicy,
+      Materialise.CheckpointPolicy, Materialise.ParquetPolicy).foreach { p =>
+      Materialise.withSessionPolicy(spark, p) {
+        val got = ConnectedComponents.run(stars, smallGraphThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"star CC under ${p.name}")
+      }
+    }
+  }
+
   test("parquet policy round-trips an empty frame (schema preserved)") {
     val empty = ccEdges.filter("unique_id_l < 0")
     val back = Materialise.withPolicy(empty, Materialise.ParquetPolicy,
