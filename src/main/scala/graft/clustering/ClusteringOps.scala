@@ -48,8 +48,14 @@ object ClusteringOps {
       val sym = remaining.unionByName(
         remaining.select(col("b").as("a"), col("a").as("b"), col("p")))
       val w = Window.partitionBy("a").orderBy(desc("p"), asc("b"))
+      // persisted: the mutuality check self-joins this frame, and Spark
+      // does not CSE across self-join branches — unpersisted, the
+      // sort+rank over the symmetric frame runs once per branch
+      // (ReuseExchange shares only the partition exchange below the
+      // window, not the window itself)
       val best = sym.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
+        .persist()
       // mutual: (a -> b) and (b -> a) both rank-1
       val mutual = best.alias("x")
         .join(best.alias("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"))
@@ -62,7 +68,9 @@ object ClusteringOps {
       // every partition must be evaluated (see ConnectedComponents' jump
       // loop). Both frames get fully consumed when non-empty, so the
       // count is never wasted work.
-      if (mutual.count() == 0) done = true
+      val anyMutual = mutual.count() > 0
+      best.unpersist(blocking = false) // mutual is materialised; best is dead
+      if (!anyMutual) done = true
       else {
         matched += mutual
         val used = mutual.select(col("a").as("n"))
@@ -222,15 +230,22 @@ object ClusteringOps {
           struct(col("rb").as("ra"), col("ra").as("rb"), col("p")))).as("e"))
         .select(col("e.ra"), col("e.rb"), col("e.p"))
       val w = Window.partitionBy("ra").orderBy(desc("p"), asc("rb"))
+      // persisted before the mutuality self-join (no CSE across self-join
+      // branches): unpersisted, the sort/rank — and any part of the
+      // 4-join clusterEdges pipeline not covered by exchange reuse —
+      // evaluates once per branch every round
       val best = sym.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("ra", "rb")
+        .persist()
       val merges = best.alias("x")
         .join(best.alias("y"), col("x.ra") === col("y.rb") && col("x.rb") === col("y.ra"))
         .filter(col("x.ra") < col("x.rb"))
         .select(col("x.ra").as("ka"), col("x.rb").as("kb"))
         .breakLineage()
       // wide probe — see the comment on the mutual-best loop above
-      if (merges.count() == 0) done = true
+      val anyMerge = merges.count() > 0
+      best.unpersist(blocking = false)
+      if (!anyMerge) done = true
       else {
         membership = membership.alias("m")
           .join(merges.alias("g"), col("m.rep") === col("g.kb"), "left")
