@@ -933,6 +933,15 @@ object SparkEntry {
       graft.operators.BlockingAdvisor.profile(pq(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment", "substr(c_name, 1, 8)"))),
 
+    // the SAMPLED advisor path (portable-hash sample, counts scaled by
+    // 1/f^2 pairs / 1/f block size): f = 0.5 makes the scaling exact
+    // integer multiplication, so DuckDB replays it value-for-value —
+    // the same md5-prefix hash as q_sample selects the same rows
+    "q_blocking_advisor_sampled" -> ((s, dir) =>
+      graft.operators.BlockingAdvisor.profileSampled(pq(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment", "substr(c_name, 1, 8)"),
+        "c_custkey", sampleFraction = 0.5)),
+
     // §2.11 one-to-one with the duplicate-free-dataset constraint +
     // ties_method="drop" (reference cluster_using_single_best_links).
     // Single round so the mutual-best fixpoint is SQL-expressible; datasets
@@ -2664,6 +2673,60 @@ object SparkEntry {
         |    FROM (SELECT count(*) AS n FROM t
         |          WHERE k2 IS NOT NULL AND k3 IS NOT NULL GROUP BY k2, k3)) g)
         |SELECT rule, n_columns, n_comparisons, n_blocks, largest_block,
+        |       round(covered * 1.0 / greatest(tot.n, 1), 9) AS completeness
+        |FROM m CROSS JOIN tot""".stripMargin,
+
+    // the sampled advisor: identical lattice over the portable-hash
+    // half-sample (md5-prefix % 10000 < 5000 — same hash family as
+    // q_sample), pair counts x4 (1/f^2) and block sizes x2 (1/f) exactly
+    // because f = 0.5; completeness stays a within-sample ratio
+    "q_blocking_advisor_sampled" ->
+      """WITH t AS (SELECT c_nationkey AS k1, c_mktsegment AS k2,
+        |                  substr(c_name, 1, 8) AS k3 FROM customer
+        |           WHERE (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000 < 5000),
+        |tot AS (SELECT count(*) AS n FROM t),
+        |m AS (
+        |  SELECT 'block_on(c_nationkey)' AS rule, 1 AS n_columns, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_comparisons,
+        |           count(*) AS n_blocks,
+        |           CAST(coalesce(max(n), 0) AS BIGINT) AS largest_block,
+        |           CAST(coalesce(sum(n), 0) AS BIGINT) AS covered
+        |    FROM (SELECT count(*) AS n FROM t WHERE k1 IS NOT NULL GROUP BY k1)) g
+        |  UNION ALL
+        |  SELECT 'block_on(c_mktsegment)', 1, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t WHERE k2 IS NOT NULL GROUP BY k2)) g
+        |  UNION ALL
+        |  SELECT 'block_on(substr(c_name, 1, 8))', 1, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t WHERE k3 IS NOT NULL GROUP BY k3)) g
+        |  UNION ALL
+        |  SELECT 'block_on(c_nationkey, c_mktsegment)', 2, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t
+        |          WHERE k1 IS NOT NULL AND k2 IS NOT NULL GROUP BY k1, k2)) g
+        |  UNION ALL
+        |  SELECT 'block_on(c_nationkey, substr(c_name, 1, 8))', 2, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t
+        |          WHERE k1 IS NOT NULL AND k3 IS NOT NULL GROUP BY k1, k3)) g
+        |  UNION ALL
+        |  SELECT 'block_on(c_mktsegment, substr(c_name, 1, 8))', 2, g.* FROM (
+        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
+        |           CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM t
+        |          WHERE k2 IS NOT NULL AND k3 IS NOT NULL GROUP BY k2, k3)) g)
+        |SELECT rule, n_columns, n_comparisons * 4 AS n_comparisons,
+        |       n_blocks, largest_block * 2 AS largest_block,
         |       round(covered * 1.0 / greatest(tot.n, 1), 9) AS completeness
         |FROM m CROSS JOIN tot""".stripMargin,
 
