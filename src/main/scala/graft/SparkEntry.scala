@@ -292,6 +292,19 @@ object SparkEntry {
           round(col("match_probability"), 6).as("match_probability"))
     }),
 
+    // the CHUNKED scoring path under the SAME oracle as q_predict (the
+    // driver contract's forced-alternate-path pattern, like
+    // q_cluster_dist): pairs materialise once, each hash-chunk scores and
+    // checkpoints separately — the bounded-peak-memory shape for scoring
+    // runs that exceed one shuffle's budget
+    "q_predict_chunked" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      linker.predictChunked(numChunks = 3)
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("match_probability"), 6).as("match_probability"))
+    }),
+
     // §2.12 prediction errors against a ground-truth label column
     // (`evaluation.py:37-351`): customers labelled in consecutive pairs
     // (grp = floor(uid/2)), FP = scored >= t but labels differ, FN = same
@@ -1030,6 +1043,16 @@ object SparkEntry {
         blockKeys = Seq(col("lang"), floor(col("n_chars") / 50)))
     }),
 
+    // dedup, end to end: the same simhash band pairs fed through connected
+    // components; one canonical doc per near-dup cluster — the simhash
+    // twin of q_dedup_docs, same oracle shape (pair replay + recursive
+    // closure)
+    "q_dedup_simhash" -> ((s, dir) => {
+      DedupOps.dedupeBySimhash(pq(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3,
+        blockKeys = Seq(col("lang"), floor(col("n_chars") / 50)))
+    }),
+
     // §2.12 labels-table workflow end to end: clerical labels synthesised
     // from consecutive custkeys (some reversed orientation, some NULL
     // scores = definite matches), canonicalised, scored through the model,
@@ -1753,6 +1776,37 @@ object SparkEntry {
          |SELECT 'lambda', '', CAST(-1 AS INT),
          |  round(sum(prob * n) / sum(n), 9) FROM p""".stripMargin
 
+  private lazy val predictOracleSql: String = {
+    // match weights folded from the model params (log2(m/u) per level).
+    // ::DOUBLE casts are load-bearing: DuckDB parses bare decimal
+    // literals as DECIMAL and would do exact decimal arithmetic (the
+    // reference forces double literals for the same reason,
+    // `custom_spark_dialect.py:5-19`). Shared by q_predict and
+    // q_predict_chunked — the chunked path must stay value-identical.
+    def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
+    val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
+    s"""$oraclePairsCte,
+       |cv AS (
+       |  SELECT p.uid_l, p.uid_r,
+       |    $oracleGammaName AS g_name,
+       |    $oracleGammaBal AS g_bal
+       |  FROM pairs p
+       |  JOIN customer l ON p.uid_l = l.c_custkey
+       |  JOIN customer r ON p.uid_r = r.c_custkey),
+       |mw AS (
+       |  SELECT uid_l, uid_r,
+       |    $prior
+       |    + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
+       |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
+       |        ELSE ${w(0.02, 0.939)} END
+       |    + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
+       |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END AS mw
+       |  FROM cv)
+       |SELECT uid_l, uid_r, round(mw, 6) AS match_weight,
+       |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
+       |FROM mw""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = scala.collection.immutable.ListMap(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1809,35 +1863,9 @@ object SparkEntry {
          |JOIN customer l ON p.uid_l = l.c_custkey
          |JOIN customer r ON p.uid_r = r.c_custkey""".stripMargin,
 
-    "q_predict" -> {
-      // match weights folded from the model params (log2(m/u) per level).
-      // ::DOUBLE casts are load-bearing: DuckDB parses bare decimal
-      // literals as DECIMAL and would do exact decimal arithmetic (the
-      // reference forces double literals for the same reason,
-      // `custom_spark_dialect.py:5-19`).
-      def w(m: Double, u: Double) = s"(${math.log(m / u) / math.log(2.0)})::DOUBLE"
-      val prior = s"(${math.log(0.001 / 0.999) / math.log(2.0)})::DOUBLE"
-      s"""$oraclePairsCte,
-         |cv AS (
-         |  SELECT p.uid_l, p.uid_r,
-         |    $oracleGammaName AS g_name,
-         |    $oracleGammaBal AS g_bal
-         |  FROM pairs p
-         |  JOIN customer l ON p.uid_l = l.c_custkey
-         |  JOIN customer r ON p.uid_r = r.c_custkey),
-         |mw AS (
-         |  SELECT uid_l, uid_r,
-         |    $prior
-         |    + CASE g_name WHEN -1 THEN 0.0::DOUBLE WHEN 3 THEN ${w(0.9, 0.001)}
-         |        WHEN 2 THEN ${w(0.05, 0.01)} WHEN 1 THEN ${w(0.03, 0.05)}
-         |        ELSE ${w(0.02, 0.939)} END
-         |    + CASE g_bal WHEN -1 THEN 0.0::DOUBLE WHEN 2 THEN ${w(0.7, 0.02)}
-         |        WHEN 1 THEN ${w(0.2, 0.03)} ELSE ${w(0.1, 0.95)} END AS mw
-         |  FROM cv)
-         |SELECT uid_l, uid_r, round(mw, 6) AS match_weight,
-         |  round(1.0 / (1.0 + power(2.0, -mw)), 6) AS match_probability
-         |FROM mw""".stripMargin
-    },
+    "q_predict" -> predictOracleSql,
+    // identical semantics through the chunked scoring path
+    "q_predict_chunked" -> predictOracleSql,
 
     "q_prediction_errors" -> {
       s"""$oraclePairsCte,
@@ -2841,6 +2869,39 @@ object SparkEntry {
          |FROM sim l JOIN sim r
          |  ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.sh, r.sh)) <= 3""".stripMargin
+    },
+
+    // the simhash end-to-end dedupe: the q_simhash_pairs replay as a
+    // `pairs` CTE, then the q_dedup_docs recursive-CTE transitive closure
+    "q_dedup_simhash" -> {
+      val bits = (0 until 64).map { b =>
+        val p = u64(1L << b)
+        s"(CASE WHEN sum(CASE WHEN (hv // $p::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
+          s"THEN $p::HUGEINT ELSE 0::HUGEINT END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE ${shingleCte(", lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket", ", lang, bucket")},
+         |tok AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM sh),
+         |hashed AS (SELECT doc_id, ${fnvSql("g")} AS hv FROM tok),
+         |simv AS (SELECT doc_id, ($bits) AS v FROM hashed GROUP BY doc_id),
+         |sim AS (SELECT n.doc_id, n.lang, n.bucket,
+         |    CAST(CASE WHEN coalesce(s.v, 0::HUGEINT) >= $Neg
+         |         THEN coalesce(s.v, 0::HUGEINT) - $M64
+         |         ELSE coalesce(s.v, 0::HUGEINT) END AS BIGINT) AS sh
+         |  FROM norm n LEFT JOIN simv s ON n.doc_id = s.doc_id),
+         |pairs AS (
+         |  SELECT l.doc_id AS id_l, r.doc_id AS id_r
+         |  FROM sim l JOIN sim r
+         |    ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.sh, r.sh)) <= 3),
+         |edges AS (SELECT id_l AS a, id_r AS b FROM pairs
+         |          UNION ALL SELECT id_r, id_l FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.m FROM edges e JOIN reach ON reach.n = e.b)
+         |SELECT n AS doc_id, min(m) AS canonical_id,
+         |  CAST(CASE WHEN n = min(m) THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM reach GROUP BY n""".stripMargin
     },
 
     "q_exact_dedup" ->
