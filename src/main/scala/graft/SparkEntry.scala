@@ -305,6 +305,19 @@ object SparkEntry {
           round(col("match_probability"), 6).as("match_probability"))
     }),
 
+    // the GRID-chunked path (input records hash-split on both sides,
+    // blocking re-run per left x right chunk pair — the reference's
+    // num_chunks_left x num_chunks_right shape for inputs too big for one
+    // blocking join), same exact oracle
+    "q_predict_grid" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettings)
+      linker.predictChunked(numChunksLeft = 2, numChunksRight = 2,
+          thresholdMatchProbability = None)
+        .select(col("unique_id_l").as("uid_l"), col("unique_id_r").as("uid_r"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("match_probability"), 6).as("match_probability"))
+    }),
+
     // §2.12 prediction errors against a ground-truth label column
     // (`evaluation.py:37-351`): customers labelled in consecutive pairs
     // (grp = floor(uid/2)), FP = scored >= t but labels differ, FN = same
@@ -1866,6 +1879,8 @@ object SparkEntry {
     "q_predict" -> predictOracleSql,
     // identical semantics through the chunked scoring path
     "q_predict_chunked" -> predictOracleSql,
+    // identical semantics through the grid-chunked (re-blocked) path
+    "q_predict_grid" -> predictOracleSql,
 
     "q_prediction_errors" -> {
       s"""$oraclePairsCte,
