@@ -1617,6 +1617,32 @@ object SparkEntry {
     * q_minhash_pairs and q_dedup_docs): banded signatures -> candidate
     * join -> jaccard verify at threshold 0.5. Terminal CTE:
     * `pairs(id_l, id_r, jaccard)`. */
+  /** SimHash pair replay as CTEs ending in `pairs(id_l, id_r, hamming)`
+    * — shared by q_simhash_pairs and q_dedup_simhash (per-bit FNV votes
+    * -> 64-bit signature -> within-block pairs at hamming <= 3). */
+  private lazy val simhashPairCtes: String = {
+    val bits = (0 until 64).map { b =>
+      val p = u64(1L << b)
+      s"(CASE WHEN sum(CASE WHEN (hv // $p::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN $p::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    s"""${shingleCte(", lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket", ", lang, bucket")},
+       |tok AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM sh),
+       |hashed AS (SELECT doc_id, ${fnvSql("g")} AS hv FROM tok),
+       |simv AS (SELECT doc_id, ($bits) AS v FROM hashed GROUP BY doc_id),
+       |sim AS (SELECT n.doc_id, n.lang, n.bucket,
+       |    CAST(CASE WHEN coalesce(s.v, 0::HUGEINT) >= $Neg
+       |         THEN coalesce(s.v, 0::HUGEINT) - $M64
+       |         ELSE coalesce(s.v, 0::HUGEINT) END AS BIGINT) AS sh
+       |  FROM norm n LEFT JOIN simv s ON n.doc_id = s.doc_id),
+       |pairs AS (
+       |  SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+       |    CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+       |  FROM sim l JOIN sim r
+       |    ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.sh, r.sh)) <= 3)""".stripMargin
+  }
+
   private lazy val minhashPairCtes: String =
     s"""$minhashBandCtes,
        |cands AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
@@ -1788,6 +1814,42 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'lambda', '', CAST(-1 AS INT),
          |  round(sum(prob * n) / sum(n), 9) FROM p""".stripMargin
+
+  /** The blocking-advisor oracle: the six-candidate (3 singletons + 3
+    * pairs) lattice as per-set GROUP BY replays — ONE builder so the
+    * plain and sampled entries can never drift; the sampled variant
+    * differs only in the sample predicate on `t` and the exact integer
+    * scale factors (pairs x 1/f^2, block sizes x 1/f). */
+  private def advisorOracleSql(sampleWhere: String, pairScale: Int,
+      blockScale: Int): String = {
+    case class Cand(label: String, nCols: Int, notNull: Seq[String])
+    val cands = Seq(
+      Cand("block_on(c_nationkey)", 1, Seq("k1")),
+      Cand("block_on(c_mktsegment)", 1, Seq("k2")),
+      Cand("block_on(substr(c_name, 1, 8))", 1, Seq("k3")),
+      Cand("block_on(c_nationkey, c_mktsegment)", 2, Seq("k1", "k2")),
+      Cand("block_on(c_nationkey, substr(c_name, 1, 8))", 2, Seq("k1", "k3")),
+      Cand("block_on(c_mktsegment, substr(c_name, 1, 8))", 2, Seq("k2", "k3")))
+    val branches = cands.map { c =>
+      val where = c.notNull.map(k => s"$k IS NOT NULL").mkString(" AND ")
+      val by = c.notNull.mkString(", ")
+      s"""  SELECT '${c.label}' AS rule, ${c.nCols} AS n_columns, g.* FROM (
+         |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_comparisons,
+         |           count(*) AS n_blocks,
+         |           CAST(coalesce(max(n), 0) AS BIGINT) AS largest_block,
+         |           CAST(coalesce(sum(n), 0) AS BIGINT) AS covered
+         |    FROM (SELECT count(*) AS n FROM t WHERE $where GROUP BY $by)) g""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH t AS (SELECT c_nationkey AS k1, c_mktsegment AS k2,
+       |                  substr(c_name, 1, 8) AS k3 FROM customer$sampleWhere),
+       |tot AS (SELECT count(*) AS n FROM t),
+       |m AS (
+       |$branches)
+       |SELECT rule, n_columns, n_comparisons * $pairScale AS n_comparisons,
+       |       n_blocks, largest_block * $blockScale AS largest_block,
+       |       round(covered * 1.0 / greatest(tot.n, 1), 9) AS completeness
+       |FROM m CROSS JOIN tot""".stripMargin
+  }
 
   private lazy val predictOracleSql: String = {
     // match weights folded from the model params (log2(m/u) per level).
@@ -2671,107 +2733,15 @@ object SparkEntry {
 
     // per-candidate replay of the grouping-sets lattice: one group-by CTE
     // per candidate conjunction, identical null-rejecting semantics
-    "q_blocking_advisor" ->
-      """WITH t AS (SELECT c_nationkey AS k1, c_mktsegment AS k2,
-        |                  substr(c_name, 1, 8) AS k3 FROM customer),
-        |tot AS (SELECT count(*) AS n FROM t),
-        |m AS (
-        |  SELECT 'block_on(c_nationkey)' AS rule, 1 AS n_columns, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_comparisons,
-        |           count(*) AS n_blocks,
-        |           CAST(coalesce(max(n), 0) AS BIGINT) AS largest_block,
-        |           CAST(coalesce(sum(n), 0) AS BIGINT) AS covered
-        |    FROM (SELECT count(*) AS n FROM t WHERE k1 IS NOT NULL GROUP BY k1)) g
-        |  UNION ALL
-        |  SELECT 'block_on(c_mktsegment)', 1, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t WHERE k2 IS NOT NULL GROUP BY k2)) g
-        |  UNION ALL
-        |  SELECT 'block_on(substr(c_name, 1, 8))', 1, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t WHERE k3 IS NOT NULL GROUP BY k3)) g
-        |  UNION ALL
-        |  SELECT 'block_on(c_nationkey, c_mktsegment)', 2, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t
-        |          WHERE k1 IS NOT NULL AND k2 IS NOT NULL GROUP BY k1, k2)) g
-        |  UNION ALL
-        |  SELECT 'block_on(c_nationkey, substr(c_name, 1, 8))', 2, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t
-        |          WHERE k1 IS NOT NULL AND k3 IS NOT NULL GROUP BY k1, k3)) g
-        |  UNION ALL
-        |  SELECT 'block_on(c_mktsegment, substr(c_name, 1, 8))', 2, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t
-        |          WHERE k2 IS NOT NULL AND k3 IS NOT NULL GROUP BY k2, k3)) g)
-        |SELECT rule, n_columns, n_comparisons, n_blocks, largest_block,
-        |       round(covered * 1.0 / greatest(tot.n, 1), 9) AS completeness
-        |FROM m CROSS JOIN tot""".stripMargin,
+    "q_blocking_advisor" -> advisorOracleSql("", pairScale = 1, blockScale = 1),
 
     // the sampled advisor: identical lattice over the portable-hash
     // half-sample (md5-prefix % 10000 < 5000 — same hash family as
     // q_sample), pair counts x4 (1/f^2) and block sizes x2 (1/f) exactly
     // because f = 0.5; completeness stays a within-sample ratio
-    "q_blocking_advisor_sampled" ->
-      """WITH t AS (SELECT c_nationkey AS k1, c_mktsegment AS k2,
-        |                  substr(c_name, 1, 8) AS k3 FROM customer
-        |           WHERE (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000 < 5000),
-        |tot AS (SELECT count(*) AS n FROM t),
-        |m AS (
-        |  SELECT 'block_on(c_nationkey)' AS rule, 1 AS n_columns, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_comparisons,
-        |           count(*) AS n_blocks,
-        |           CAST(coalesce(max(n), 0) AS BIGINT) AS largest_block,
-        |           CAST(coalesce(sum(n), 0) AS BIGINT) AS covered
-        |    FROM (SELECT count(*) AS n FROM t WHERE k1 IS NOT NULL GROUP BY k1)) g
-        |  UNION ALL
-        |  SELECT 'block_on(c_mktsegment)', 1, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t WHERE k2 IS NOT NULL GROUP BY k2)) g
-        |  UNION ALL
-        |  SELECT 'block_on(substr(c_name, 1, 8))', 1, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t WHERE k3 IS NOT NULL GROUP BY k3)) g
-        |  UNION ALL
-        |  SELECT 'block_on(c_nationkey, c_mktsegment)', 2, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t
-        |          WHERE k1 IS NOT NULL AND k2 IS NOT NULL GROUP BY k1, k2)) g
-        |  UNION ALL
-        |  SELECT 'block_on(c_nationkey, substr(c_name, 1, 8))', 2, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t
-        |          WHERE k1 IS NOT NULL AND k3 IS NOT NULL GROUP BY k1, k3)) g
-        |  UNION ALL
-        |  SELECT 'block_on(c_mktsegment, substr(c_name, 1, 8))', 2, g.* FROM (
-        |    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
-        |           count(*), CAST(coalesce(max(n), 0) AS BIGINT),
-        |           CAST(coalesce(sum(n), 0) AS BIGINT)
-        |    FROM (SELECT count(*) AS n FROM t
-        |          WHERE k2 IS NOT NULL AND k3 IS NOT NULL GROUP BY k2, k3)) g)
-        |SELECT rule, n_columns, n_comparisons * 4 AS n_comparisons,
-        |       n_blocks, largest_block * 2 AS largest_block,
-        |       round(covered * 1.0 / greatest(tot.n, 1), 9) AS completeness
-        |FROM m CROSS JOIN tot""".stripMargin,
+    "q_blocking_advisor_sampled" -> advisorOracleSql(
+      " WHERE (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000 < 5000",
+      pairScale = 4, blockScale = 2),
 
     // full replay of the single constrained round: symmetric neighbours ->
     // drop same-dataset equal-probability ties (both directions) ->
@@ -2863,51 +2833,17 @@ object SparkEntry {
 
     // SimHash replay: per-bit FNV votes -> 64-bit signature -> all
     // within-block pairs at hamming <= 3 (band blocking is exhaustive
-    // there, so LSH output == brute force within blocks).
-    "q_simhash_pairs" -> {
-      val bits = (0 until 64).map { b =>
-        val p = u64(1L << b)
-        s"(CASE WHEN sum(CASE WHEN (hv // $p::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
-          s"THEN $p::HUGEINT ELSE 0::HUGEINT END)"
-      }.mkString(" + ")
-      s"""WITH ${shingleCte(", lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket", ", lang, bucket")},
-         |tok AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM sh),
-         |hashed AS (SELECT doc_id, ${fnvSql("g")} AS hv FROM tok),
-         |simv AS (SELECT doc_id, ($bits) AS v FROM hashed GROUP BY doc_id),
-         |sim AS (SELECT n.doc_id, n.lang, n.bucket,
-         |    CAST(CASE WHEN coalesce(s.v, 0::HUGEINT) >= $Neg
-         |         THEN coalesce(s.v, 0::HUGEINT) - $M64
-         |         ELSE coalesce(s.v, 0::HUGEINT) END AS BIGINT) AS sh
-         |  FROM norm n LEFT JOIN simv s ON n.doc_id = s.doc_id)
-         |SELECT l.doc_id AS id_l, r.doc_id AS id_r,
-         |  CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
-         |FROM sim l JOIN sim r
-         |  ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-         |WHERE bit_count(xor(l.sh, r.sh)) <= 3""".stripMargin
-    },
+    // there, so LSH output == brute force within blocks). Pair semantics
+    // live in the shared simhashPairCtes — the end-to-end dedupe entry
+    // composes the SAME definition, so the two can never drift.
+    "q_simhash_pairs" ->
+      s"""WITH $simhashPairCtes
+         |SELECT id_l, id_r, hamming FROM pairs""".stripMargin,
 
-    // the simhash end-to-end dedupe: the q_simhash_pairs replay as a
-    // `pairs` CTE, then the q_dedup_docs recursive-CTE transitive closure
-    "q_dedup_simhash" -> {
-      val bits = (0 until 64).map { b =>
-        val p = u64(1L << b)
-        s"(CASE WHEN sum(CASE WHEN (hv // $p::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
-          s"THEN $p::HUGEINT ELSE 0::HUGEINT END)"
-      }.mkString(" + ")
-      s"""WITH RECURSIVE ${shingleCte(", lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket", ", lang, bucket")},
-         |tok AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM sh),
-         |hashed AS (SELECT doc_id, ${fnvSql("g")} AS hv FROM tok),
-         |simv AS (SELECT doc_id, ($bits) AS v FROM hashed GROUP BY doc_id),
-         |sim AS (SELECT n.doc_id, n.lang, n.bucket,
-         |    CAST(CASE WHEN coalesce(s.v, 0::HUGEINT) >= $Neg
-         |         THEN coalesce(s.v, 0::HUGEINT) - $M64
-         |         ELSE coalesce(s.v, 0::HUGEINT) END AS BIGINT) AS sh
-         |  FROM norm n LEFT JOIN simv s ON n.doc_id = s.doc_id),
-         |pairs AS (
-         |  SELECT l.doc_id AS id_l, r.doc_id AS id_r
-         |  FROM sim l JOIN sim r
-         |    ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-         |  WHERE bit_count(xor(l.sh, r.sh)) <= 3),
+    // the simhash end-to-end dedupe: the shared pairs replay + the
+    // q_dedup_docs recursive-CTE transitive closure
+    "q_dedup_simhash" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
          |edges AS (SELECT id_l AS a, id_r AS b FROM pairs
          |          UNION ALL SELECT id_r, id_l FROM pairs),
          |reach(n, m) AS (
@@ -2916,8 +2852,7 @@ object SparkEntry {
          |  SELECT e.a, reach.m FROM edges e JOIN reach ON reach.n = e.b)
          |SELECT n AS doc_id, min(m) AS canonical_id,
          |  CAST(CASE WHEN n = min(m) THEN 1 ELSE 0 END AS INT) AS keep
-         |FROM reach GROUP BY n""".stripMargin
-    },
+         |FROM reach GROUP BY n""".stripMargin,
 
     "q_exact_dedup" ->
       """SELECT substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16)

@@ -295,12 +295,13 @@ object ConnectedComponents {
               .as("representative"))
           .breakLineage(eager)
         // under the parquet policy the compose is on disk at this point
-        // and supersedes reps; the recursion's own materialisation
-        // consumed contracted — reclaim both (no-op elsewhere). In the
-        // empty/valve paths reps IS the output, so only this branch may
-        // release it.
+        // and supersedes reps, contracted, AND the recursion's returned
+        // labelling (sub — release strips its role-repartition wrapper);
+        // reclaim all three (no-op elsewhere). In the empty/valve paths
+        // reps IS the output, so only this branch may release it.
         graft.operators.Materialise.release(reps)
         graft.operators.Materialise.release(contracted)
+        graft.operators.Materialise.release(sub)
         composed
       }
     // empty/valve paths never handed contracted to a consumer — the count

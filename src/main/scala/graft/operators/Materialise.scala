@@ -120,12 +120,17 @@ object Materialise {
     * cluster-default parquet policy accumulates one full frame copy per
     * iteration in the scratch dir. */
   def release(df: DataFrame): Unit = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
+      Project, Repartition, RepartitionByExpression}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     @annotation.tailrec
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case pr: Project => strip(pr.child)
       case f: Filter => strip(f.child)
+      // run()-style outputs wrap their materialised frame in a role
+      // repartition; the exchange is a pure view over the scratch files
+      case r: Repartition => strip(r.child)
+      case r: RepartitionByExpression => strip(r.child)
       case other => other
     }
     strip(df.queryExecution.optimizedPlan) match {
