@@ -196,10 +196,19 @@ object ConnectedComponents {
     // ROOTS) is then radically smaller — usually empty or driver-sized.
     var reps: DataFrame = reps0
     var prevPersisted: DataFrame = reps0
+    var prevCheckpointed: DataFrame = null
     var jumping = true
     var jumps = 0
     while (jumping && jumps < 40) {
       jumps += 1
+      // Each jump BREAKS LINEAGE (flat LogicalRDD plan), it does not
+      // merely persist: the self-join embeds the previous jump's logical
+      // tree TWICE (immutable trees, no sharing), so with persist alone
+      // the ANALYZED plan doubles per jump and driver-side analysis goes
+      // exponential — measured on a 2M-node forest needing 9 jumps:
+      // 1.5s, ..., 5s, 18s, 58s per jump (2^9 x base analysis cost),
+      // with the allocation churn masquerading as GC variance. Data-wise
+      // the checkpoint costs the same materialisation the persist did.
       val j = reps.alias("a")
         .join(reps.select(col("node_id").as("rep_node"),
             col("representative").as("rep_rep")).alias("b"),
@@ -209,27 +218,31 @@ object ConnectedComponents {
           least(col("a.representative"),
             coalesce(col("rep_rep"), col("a.representative")))
             .as("representative"))
-        .persist()
+        .breakLineage(eager)
       // ONE FULLY-PARALLEL job materialises j and counts still-moving
       // pointers. NOT isEmpty: executeTake(1) evaluates partitions in
       // incremental waves (1, then 4, then 16...), so exactly on the late
-      // jumps — where movers are rare or absent — the persisted frame
-      // materialises at 1-4-task parallelism (measured 10-25s spikes on
-      // the closing jumps of a 15M-node frame vs ~3s for the wide count).
+      // jumps — where movers are rare or absent — the frame would
+      // materialise at 1-4-task parallelism.
       jumping = j.filter(col("representative") =!= col("__old_rep"))
         .count() > 0
+      // j is materialised: the propagation frame (persist) and the
+      // previous jump (checkpoint) are both superseded — unpersist the
+      // former, reclaim the latter's parquet scratch (no-op elsewhere;
+      // localCheckpoint blocks are reclaimed by the ContextCleaner)
       prevPersisted.unpersist()
-      prevPersisted = j
+      if (prevCheckpointed != null)
+        graft.operators.Materialise.release(prevCheckpointed)
+      prevCheckpointed = j
       reps = j.select(col("node_id"), col("representative"))
       if (verbose) System.err.println(
         f"[cc]   jump $jumps%d (moving=${jumping}) " +
           f"${(System.nanoTime() - levelT0) / 1e9}%.2fs")
     }
-    reps = reps.breakLineage(eager)
-    reps.count() // materialise before releasing the last jump frame
-    prevPersisted.unpersist()
+    // the last jump frame IS reps (modulo the projection) — it stays; the
+    // contraction below and the compose read it
     if (verbose) System.err.println(
-      f"[cc]   reps closed+checkpointed ${(System.nanoTime() - levelT0) / 1e9}%.2fs")
+      f"[cc]   reps closed ${(System.nanoTime() - levelT0) / 1e9}%.2fs")
 
     // Rep-level edges: endpoints mapped through reps, intra-cluster edges
     // dropped. Each UNDIRECTED edge is processed once (node_id < neighbour
