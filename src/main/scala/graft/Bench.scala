@@ -107,7 +107,12 @@ object Bench {
     * ~13.5M path edges, above the CC driver gate, so this decade ALSO
     * exercises the fully distributed loops by size alone. */
   private val Sf10Queries = Seq("q_cluster", "q_multi_threshold",
-    "q_bridges", "q_articulation", "q_minhash_pairs", "q_dedup_docs")
+    "q_bridges", "q_articulation", "q_minhash_pairs", "q_dedup_docs",
+    // the flagship scoring workload (blocking + TF-aware predict — the
+    // reference's headline "100M+ pairs on a cluster" shape) and the
+    // forced distributed-only paths: one scale point pins no slope, so
+    // all of these carry sf1 AND sf10 entries
+    "q_predict_tf", "q_cluster_dist", "q_one_to_one_dist", "q_em_mstep_dist")
 
   /** Generation markers. target/ persists across rounds, so a changed
     * generator must not silently reuse a stale fixture — and since sf10

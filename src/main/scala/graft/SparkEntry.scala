@@ -68,8 +68,6 @@ object SparkEntry {
   private def customers(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "customer").withColumnRenamed("c_custkey", "unique_id")
 
-  /** Consecutive orders of each customer as path edges — the graph for
-    * q_cluster / q_cluster_dist (components = customers with >= 2 orders). */
   /** Consecutive-order edge derivation (lag window per customer) — the
     * ONE definition every graph-query family derives from: q_cluster /
     * q_cluster_dist, the one-to-one families, and their DuckDB oracles

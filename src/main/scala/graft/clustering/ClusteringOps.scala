@@ -47,14 +47,18 @@ object ClusteringOps {
       round += 1
       val sym = remaining.unionByName(
         remaining.select(col("b").as("a"), col("a").as("b"), col("p")))
-      val w = Window.partitionBy("a").orderBy(desc("p"), asc("b"))
+      // best neighbour per node as a HASH AGGREGATE, not a sort window:
+      // min_by over struct(-p, b) is ORDER BY p DESC, b ASC rank-1
+      // (lexicographic min = largest p then smallest id, generic over the
+      // id type; null p coalesced to -Inf = NULLS LAST, negated to +Inf).
+      // Partial aggregation combines map-side so the exchange carries one
+      // row per node, and the full-frame sort disappears.
       // persisted: the mutuality check self-joins this frame, and Spark
-      // does not CSE across self-join branches — unpersisted, the
-      // sort+rank over the symmetric frame runs once per branch
-      // (ReuseExchange shares only the partition exchange below the
-      // window, not the window itself)
-      val best = sym.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+      // does not CSE across self-join branches
+      val best = sym.groupBy(col("a"))
+        .agg(min_by(col("b"), struct(
+          -coalesce(col("p"), lit(Double.NegativeInfinity)),
+          col("b"))).as("b"))
         .persist()
       // mutual: (a -> b) and (b -> a) both rank-1
       val mutual = best.alias("x")
@@ -75,11 +79,16 @@ object ClusteringOps {
         matched += mutual
         val used = mutual.select(col("a").as("n"))
           .unionByName(mutual.select(col("b").as("n")))
+        val prevRemaining = remaining
         remaining = remaining
           .join(used.withColumnRenamed("n", "__a"), col("a") === col("__a"), "left_anti")
           .join(used.withColumnRenamed("n", "__b"), col("b") === col("__b"), "left_anti")
           .breakLineage()
         if (remaining.count() == 0) done = true
+        // the count above materialised the successor frame — the
+        // superseded round's blocks are strong-releasable (mutual frames
+        // stay: the final union reads them)
+        graft.operators.Materialise.releaseConsumed(prevRemaining)
       }
     }
     if (matched.isEmpty) {
@@ -106,6 +115,8 @@ object ClusteringOps {
     // p DESC (Spark desc = nulls last) — mirror it as -Inf, don't NPE
     var edges = remaining.collect().map(r => (r.getLong(0), r.getLong(1),
       if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2)))
+    // the collect fully consumed the loop-owned materialised edge frame
+    graft.operators.Materialise.releaseConsumed(remaining)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0
     var done = false
@@ -184,58 +195,137 @@ object ClusteringOps {
         nodeDatasets.schema("node_id"))
       .forall(_.dataType == org.apache.spark.sql.types.LongType) &&
       e0raw.schema("p").dataType == org.apache.spark.sql.types.DoubleType
+    // per-phase wall timers (SPARK_GRAFT_O2O_VERBOSE=1), same profiling
+    // aid as the CC loop's [cc] lines
+    val verbose = sys.env.get("SPARK_GRAFT_O2O_VERBOSE").contains("1")
+    val t0 = System.nanoTime()
+    def mark(phase: String): Unit = if (verbose) System.err.println(
+      f"[o2o]   $phase: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     if (longIds && e0raw.count() <= smallGate)
       return driverOneToOneConstrained(e0raw, nodeDatasets,
         duplicateFreeDatasets, tiesMethod, maxRounds)
-    val e0 = tiesMethod match {
-      case "drop" =>
-        dropTies(e0raw, nodeDatasets, duplicateFreeDatasets).breakLineage()
-      case _ => e0raw
+    mark("gate probe")
+    // isDupFree as a Column predicate (shared by dropTies and the round-1
+    // pair-level constraint below)
+    val isDupFreeCol: Column => Column = duplicateFreeDatasets match {
+      case Some(ds) => c => c.isin(ds: _*)
+      case None => _ => lit(true)
     }
+    val (e0, invalid1) = tiesMethod match {
+      case "drop" =>
+        // dropTies materialises its own outputs, so the raw edge frame —
+        // whose last distributed-path consumer it is — is strong-releasable
+        val (d, iv) = dropTies(e0raw, nodeDatasets, isDupFreeCol)
+        graft.operators.Materialise.releaseConsumed(e0raw)
+        mark("dropTies")
+        (d, iv)
+      case _ =>
+        // round-1 invalid pairs (endpoints sharing a duplicate-free
+        // dataset) straight from the constraining table; single lazy
+        // consumer, so no materialisation
+        val iv = e0raw.alias("s")
+          .join(constraining.alias("dl"), col("s.na") === col("dl.node_id"))
+          .join(constraining.alias("dr"), col("s.nb") === col("dr.node_id"))
+          .filter(col("dl.source_dataset") === col("dr.source_dataset"))
+          .select(col("s.na"), col("s.nb"))
+        (e0raw, iv)
+    }
+    // LAZY: the initial identity membership is only ever read through the
+    // round-1 update (or the final output when no merge lands) — a
+    // separate eager pass over the node set would be a wasted schedule
     var membership = e0.select(col("na").as("node_id"))
       .unionByName(e0.select(col("nb").as("node_id")))
       .distinct()
       .withColumn("rep", col("node_id"))
-      .breakLineage()
+    // Cluster-level dataset sets, maintained INCREMENTALLY from round 2
+    // on: built once from the post-round-1 membership, then each accepted
+    // merge re-keys the absorbed cluster's row to the absorber and unions
+    // the two arrays — a cluster-count-sized aggregate per round instead
+    // of a corpus-sized join (the driver fast path keeps the same
+    // invariant in its index arrays). Round 1 needs no sets at all: its
+    // clusters are single nodes, so the constraint collapses to the
+    // pair-level invalid1 anti-join below — a one-round run (common for
+    // the reference's default) never pays a set build.
+    var clusterSets: DataFrame = null
+    // Cluster-level candidate edges, ALSO maintained incrementally: round
+    // 1 starts from the node-level edges verbatim (initial membership is
+    // the identity, so the reference's membership re-join would be an
+    // identity join); each later round rewrites the surviving edges'
+    // endpoints through the merge map. Dropping an edge is PERMANENT and
+    // sound because cluster dataset sets only ever grow: an edge whose
+    // endpoint sets overlap at round k overlaps at every later round
+    // (both clusters' sets are supersets by then), and an intra-cluster
+    // edge stays intra-cluster — so re-deriving candidates from the full
+    // node-level frame every round (the from-scratch formulation) yields
+    // exactly this surviving multiset.
+    var ce: DataFrame =
+      e0.select(col("na").as("ra"), col("nb").as("rb"), col("p"))
     var round = 0
     var done = false
+    // true once membership is a loop-owned checkpoint (>= 1 merge round):
+    // only then is the output independent of e0 and the exit releases safe
+    var membershipMaterialised = false
     while (round < maxRounds && !done) {
       round += 1
-      // cluster-level candidate edges, with the dataset-disjointness
-      // constraint applied BEFORE best-rank selection: an invalid merge
-      // does not consume a cluster's "best link" — the next-best valid
-      // cluster can still win (reference filters invalid merges out of the
-      // candidate set, `one_to_one_clustering.py:203-246`).
-      val clusterSets = membership.alias("m")
-        .join(constraining.alias("d"), col("m.node_id") === col("d.node_id"))
-        .groupBy(col("m.rep").as("r"))
-        .agg(collect_set(col("d.source_dataset")).as("ds"))
-      // left joins + empty-set default: a cluster holding no record from
-      // any duplicate-free dataset constrains nothing
+      // the dataset-disjointness constraint applies BEFORE best-rank
+      // selection: an invalid merge does not consume a cluster's "best
+      // link" — the next-best valid cluster can still win (reference
+      // filters invalid merges out of the candidate set,
+      // `one_to_one_clustering.py:203-246`).
+      if (round >= 2 && clusterSets == null) {
+        // deferred init (see the declaration comment): membership is the
+        // post-round-1 checkpoint here, so the sets carry round 1's merges
+        clusterSets = membership.alias("m")
+          .join(constraining.alias("d"), col("m.node_id") === col("d.node_id"))
+          .groupBy(col("m.rep").as("r"))
+          .agg(collect_set(col("d.source_dataset")).as("ds"))
+          .breakLineage(eager = true)
+        mark("clusterSets init")
+      }
+      // Round 1: single-node clusters — the constraint is exactly "the
+      // endpoints share no duplicate-free dataset", a pair-level anti-join
+      // against the precomputed invalid pairs (no set arrays involved).
+      // Later rounds: left joins + empty-set default — a cluster holding
+      // no record from any duplicate-free dataset constrains nothing.
       val noDs = array().cast("array<string>")
-      val clusterEdges = e0.alias("e")
-        .join(membership.alias("ma"), col("e.na") === col("ma.node_id"))
-        .join(membership.alias("mb"), col("e.nb") === col("mb.node_id"))
-        .filter(col("ma.rep") =!= col("mb.rep"))
-        .select(col("ma.rep").as("ra"), col("mb.rep").as("rb"), col("p"))
-        .join(clusterSets.alias("sa"), col("ra") === col("sa.r"), "left")
-        .join(clusterSets.alias("sb"), col("rb") === col("sb.r"), "left")
-        .filter(!arrays_overlap(coalesce(col("sa.ds"), noDs),
-          coalesce(col("sb.ds"), noDs)))
-        .select(col("ra"), col("rb"), col("p"))
-      // symmetric via one explode: a union would evaluate the 4-join
-      // clusterEdges pipeline twice per round
-      val sym = clusterEdges.select(explode(array(
+      val validPlan =
+        if (round == 1)
+          ce.alias("e").join(invalid1.alias("iv"),
+            col("e.ra") === col("iv.na") && col("e.rb") === col("iv.nb"),
+            "left_anti")
+        else ce.alias("e")
+          .join(clusterSets.alias("sa"), col("e.ra") === col("sa.r"), "left")
+          .join(clusterSets.alias("sb"), col("e.rb") === col("sb.r"), "left")
+          .filter(!arrays_overlap(coalesce(col("sa.ds"), noDs),
+            coalesce(col("sb.ds"), noDs)))
+          .select(col("e.ra"), col("e.rb"), col("e.p"))
+      // eager ONLY while the loop continues (the post-merge endpoint
+      // rewrite re-reads it); on the final round its one consumer is the
+      // persisted rank frame, which materialises it exactly once anyway
+      val valid =
+        if (round < maxRounds) {
+          val v = validPlan.breakLineage(eager = true)
+          mark(s"round $round valid")
+          v
+        } else validPlan
+      // symmetric via one explode: a union would evaluate the input twice
+      val sym = valid.select(explode(array(
           struct(col("ra"), col("rb"), col("p")),
           struct(col("rb").as("ra"), col("ra").as("rb"), col("p")))).as("e"))
         .select(col("e.ra"), col("e.rb"), col("e.p"))
-      val w = Window.partitionBy("ra").orderBy(desc("p"), asc("rb"))
+      // best neighbour per cluster as a HASH AGGREGATE, not a sort window:
+      // min_by over struct(-p, rb) reproduces ORDER BY p DESC, rb ASC
+      // rank-1 exactly (lexicographic min = largest p, then smallest id;
+      // null p coalesced to -Inf = the window's NULLS LAST, and negation
+      // sends it to +Inf). The partial aggregate combines map-side, so the
+      // exchange carries one row per cluster instead of the whole
+      // symmetric edge frame, and the full-frame sort disappears.
       // persisted before the mutuality self-join (no CSE across self-join
-      // branches): unpersisted, the sort/rank — and any part of the
-      // 4-join clusterEdges pipeline not covered by exchange reuse —
-      // evaluates once per branch every round
-      val best = sym.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("ra", "rb")
+      // branches): unpersisted, the aggregate evaluates once per branch
+      val best = sym.groupBy(col("ra"))
+        .agg(min_by(col("rb"), struct(
+          -coalesce(col("p"), lit(Double.NegativeInfinity)),
+          col("rb"))).as("rb"))
         .persist()
       val merges = best.alias("x")
         .join(best.alias("y"), col("x.ra") === col("y.rb") && col("x.rb") === col("y.ra"))
@@ -244,15 +334,73 @@ object ClusteringOps {
         .breakLineage()
       // wide probe — see the comment on the mutual-best loop above
       val anyMerge = merges.count() > 0
+      mark(s"round $round merges")
       best.unpersist(blocking = false)
-      if (!anyMerge) done = true
-      else {
+      // round 1's valid frame (eager or via the persisted rank frame) has
+      // consumed the invalid-pair table by now; under "lowest_id" it is a
+      // lazy plan and this is a no-op
+      if (round == 1) graft.operators.Materialise.releaseConsumed(invalid1)
+      if (!anyMerge) {
+        done = true
+        graft.operators.Materialise.releaseConsumed(valid)
+      } else {
+        // mutual-best merges never chain inside a round (each cluster has
+        // exactly one rank-1 neighbour), so a single-step kb -> ka rewrite
+        // is the full round update for all three maintained frames. Every
+        // successor is eagerly materialised before its predecessor's
+        // blocks are strong-released.
+        val prevMembership = membership
         membership = membership.alias("m")
           .join(merges.alias("g"), col("m.rep") === col("g.kb"), "left")
           .select(col("m.node_id"),
             coalesce(col("g.ka"), col("m.rep")).as("rep"))
-          .breakLineage()
+          .breakLineage(eager = true)
+        graft.operators.Materialise.releaseConsumed(prevMembership)
+        membershipMaterialised = true
+        mark(s"round $round membership")
+        if (round < maxRounds) {
+          // only a continuing loop needs the candidate state rolled
+          // forward; on the final round the merge lands in the output
+          // membership alone. clusterSets is null until its deferred
+          // round-2 init — which absorbs this round's merges via
+          // membership, so there is nothing to roll yet.
+          if (clusterSets != null) {
+            val prevSets = clusterSets
+            clusterSets = clusterSets.alias("s")
+              .join(merges.alias("g"), col("s.r") === col("g.kb"), "left")
+              .select(coalesce(col("g.ka"), col("s.r")).as("r"), col("s.ds"))
+              .groupBy(col("r"))
+              .agg(array_distinct(flatten(collect_list(col("ds")))).as("ds"))
+              .breakLineage(eager = true)
+            graft.operators.Materialise.releaseConsumed(prevSets)
+          }
+          val prevCe = ce
+          ce = valid.alias("e")
+            .join(merges.alias("ga"), col("e.ra") === col("ga.kb"), "left")
+            .join(merges.alias("gb"), col("e.rb") === col("gb.kb"), "left")
+            .select(coalesce(col("ga.ka"), col("e.ra")).as("ra"),
+              coalesce(col("gb.ka"), col("e.rb")).as("rb"), col("e.p"))
+            .filter(col("ra") =!= col("rb"))
+            .breakLineage(eager = true)
+          // round 1's ce is a projection of e0, not a materialised frame
+          // of its own — e0 is torn down once at exit instead
+          if (round > 1) graft.operators.Materialise.releaseConsumed(prevCe)
+        }
+        graft.operators.Materialise.releaseConsumed(valid)
+        graft.operators.Materialise.releaseConsumed(merges)
       }
+    }
+    // everything the loop owned besides the output membership is dead:
+    // the last round's eager frames consumed ce/e0 fully, and the output
+    // below is a pure projection of the (checkpoint-backed) membership.
+    // With NO merge round the output is still the lazy identity plan over
+    // e0 — the edge frame must then survive for the caller to evaluate.
+    if (round > 1) graft.operators.Materialise.releaseConsumed(ce)
+    if (clusterSets != null)
+      graft.operators.Materialise.releaseConsumed(clusterSets)
+    if (membershipMaterialised) {
+      if (tiesMethod == "drop") graft.operators.Materialise.releaseConsumed(e0)
+      else graft.operators.Materialise.releaseConsumed(e0raw)
     }
     membership.select(col("node_id"), col("rep").as("cluster_id"))
   }
@@ -272,6 +420,8 @@ object ClusteringOps {
     // (nulls last) instead of a data-dependent NullPointerException
     val allEdges = e0raw.collect().map(r => (r.getLong(0), r.getLong(1),
       if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2)))
+    // the collect fully consumed the loop-owned materialised edge frame
+    graft.operators.Materialise.releaseConsumed(e0raw)
     val nodes0 = allEdges.flatMap(e => Seq(e._1, e._2)).distinct
     // fetch datasets only for nodes in play (the corpus can be far larger
     // than the edge set) — broadcast semi-join, then one small collect
@@ -389,48 +539,78 @@ object ClusteringOps {
     * aggregates collapses, by the symmetry of the neighbours frame, to
     * "row (a,b) survives iff neither (a,b) nor (b,a) is tie_l-marked". */
   private def dropTies(e0: DataFrame, nodeDatasets: DataFrame,
-      duplicateFreeDatasets: Option[Seq[String]]): DataFrame = {
-    val isDupFree: Column => Column = duplicateFreeDatasets match {
-      case Some(ds) => c => c.isin(ds: _*)
-      case None => _ => lit(true)
-    }
+      isDupFree: Column => Column): (DataFrame, DataFrame) = {
     // null datasets constrain nothing (collect_set in the round loop drops
     // them); filtering here also makes the documented behaviour true — an
     // edge whose endpoint has only a null dataset drops out of the inner
     // joins below exactly like a dataset-less endpoint
     val nd = nodeDatasets.select(col("node_id"), col("source_dataset"))
       .filter(col("source_dataset").isNotNull)
-    // one explode over a single scan, not a `fwd UNION ALL bwd` (Spark
-    // does not CSE across union branches — the input plan would run twice)
-    val sym = e0.select(explode(array(
-        struct(col("na"), col("nb"), col("p")),
-        struct(col("nb").as("na"), col("na").as("nb"), col("p")))).as("e"))
-      .select(col("e.na"), col("e.nb"), col("e.p"))
-    val withSd = sym.alias("s")
+    // Dataset labels attach to the ORIENTED edges, BEFORE the symmetric
+    // explode: joining the exploded frame instead would run both
+    // node-table joins over twice the rows for the same information (the
+    // two directions carry mirrored labels). One row per edge per
+    // (sd_a, sd_b) combination — nodes may carry several datasets.
+    // Materialised: the tie aggregate, both anti-joins, and the final
+    // semi-join all read it, and Spark does not CSE across branches.
+    val withBoth = e0.alias("s")
       .join(nd.alias("dl"), col("s.na") === col("dl.node_id"))
       .join(nd.alias("dr"), col("s.nb") === col("dr.node_id"))
       .select(col("s.na"), col("s.nb"), col("s.p"),
-        col("dl.source_dataset").as("sd_l"), col("dr.source_dataset").as("sd_r"))
-    // materialised: both anti-joins below read this tie table, and it is
-    // tiny (one row per tie group) next to its groupBy input
-    val tied = withSd.groupBy("na", "sd_l", "sd_r", "p")
-      .agg(count_distinct(col("nb")).as("cnt"))
-      .filter(col("cnt") > 1 && isDupFree(col("sd_r")))
+        col("dl.source_dataset").as("sd_a"), col("dr.source_dataset").as("sd_b"))
+      .breakLineage()
+    // the symmetric view exists only for the tie AGGREGATE — a projection
+    // explode over the checkpoint, no joins downstream of it
+    val sym = withBoth.select(explode(array(
+        struct(col("na"), col("nb"), col("sd_a").as("sd_l"),
+          col("sd_b").as("sd_r"), col("p")),
+        struct(col("nb").as("na"), col("na").as("nb"),
+          col("sd_b").as("sd_l"), col("sd_a").as("sd_r"), col("p")))).as("e"))
+      .select(col("e.na"), col("e.nb"), col("e.sd_l"), col("e.sd_r"), col("e.p"))
+    // tiny (one row per tie group) next to its groupBy input. ">= 2
+    // distinct nb" computed as min(nb) != max(nb): same nulls-ignored
+    // semantics as count_distinct, without the Expand plan distinct
+    // aggregation costs
+    val tied = sym.groupBy("na", "sd_l", "sd_r", "p")
+      .agg(min(col("nb")).as("mn"), max(col("nb")).as("mx"))
+      .filter(col("mn") =!= col("mx") && isDupFree(col("sd_r")))
       .select(col("na"), col("sd_l"), col("sd_r"), col("p"))
       .breakLineage()
-    val kept = withSd.alias("w")
+    // a (sd_a, sd_b) combination survives when NEITHER direction of the
+    // link is tie-marked; both anti-joins run on the oriented frame (half
+    // the rows of the symmetric one — direction symmetry is encoded by
+    // probing `tied` with the labels swapped)
+    val kept = withBoth.alias("w")
       .join(tied.alias("tl"),
-        col("w.na") === col("tl.na") && col("w.sd_l") === col("tl.sd_l") &&
-          col("w.sd_r") === col("tl.sd_r") && col("w.p") === col("tl.p"),
+        col("w.na") === col("tl.na") && col("w.sd_a") === col("tl.sd_l") &&
+          col("w.sd_b") === col("tl.sd_r") && col("w.p") === col("tl.p"),
         "left_anti")
       .alias("w")
       .join(tied.alias("tr"),
-        col("w.nb") === col("tr.na") && col("w.sd_r") === col("tr.sd_l") &&
-          col("w.sd_l") === col("tr.sd_r") && col("w.p") === col("tr.p"),
+        col("w.nb") === col("tr.na") && col("w.sd_b") === col("tr.sd_l") &&
+          col("w.sd_a") === col("tr.sd_r") && col("w.p") === col("tr.p"),
         "left_anti")
-    e0.alias("e").join(kept.alias("k"),
+    // an edge survives when ANY of its combinations survives; the
+    // semi-join also restores e0's exact row multiset (duplicate edges in,
+    // duplicate edges out). Output materialised HERE so the working frames
+    // above can be strong-released before returning — callers receive a
+    // flat checkpoint-backed frame.
+    val out = e0.alias("e").join(kept.alias("k"),
       col("e.na") === col("k.na") && col("e.nb") === col("k.nb") &&
         col("e.p") === col("k.p"), "left_semi")
+      .breakLineage(eager = true)
+    // round-1 invalid pairs for the caller's pair-level constraint, free
+    // off the already-materialised combo frame: an edge between two
+    // single-node clusters is invalid exactly when some combination pairs
+    // the same duplicate-free dataset on both ends. Materialised (tiny)
+    // BEFORE withBoth's blocks are dropped.
+    val invalid1 = withBoth
+      .filter(col("sd_a") === col("sd_b") && isDupFree(col("sd_a")))
+      .select(col("na"), col("nb"))
+      .breakLineage(eager = true)
+    graft.operators.Materialise.releaseConsumed(withBoth)
+    graft.operators.Materialise.releaseConsumed(tied)
+    (out, invalid1)
   }
 
   /**

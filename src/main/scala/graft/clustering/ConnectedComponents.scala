@@ -150,7 +150,7 @@ object ConnectedComponents {
       val solved = driverUnionFind(neighbours)
       // the collect fully consumed the symmetric frame; the output is a
       // driver-parallelized RDD with no reference to it
-      graft.operators.Materialise.release(neighbours)
+      graft.operators.Materialise.releaseConsumed(neighbours)
       return solved
     }
 
@@ -224,19 +224,23 @@ object ConnectedComponents {
       // incremental waves (1, then 4, then 16...), so exactly on the late
       // jumps — where movers are rare or absent — the frame would
       // materialise at 1-4-task parallelism.
-      jumping = j.filter(col("representative") =!= col("__old_rep"))
-        .count() > 0
-      // j is materialised: the propagation frame (persist) and the
-      // previous jump (checkpoint) are both superseded — unpersist the
-      // former, reclaim the latter's parquet scratch (no-op elsewhere;
-      // localCheckpoint blocks are reclaimed by the ContextCleaner)
+      val movers = j.filter(col("representative") =!= col("__old_rep"))
+        .count()
+      jumping = movers > 0
+      // j is materialised (the count scanned every partition): the
+      // propagation frame (persist) and the previous jump are both
+      // superseded — unpersist the former and STRONG-release the latter
+      // (drop its checkpoint blocks / parquet scratch now; left to the
+      // GC-driven ContextCleaner, the superseded ~full-node-frame copies
+      // pile up in unified memory until storage eviction fights the join
+      // execution memory — measured 3-10x per-jump spikes at sf10)
       prevPersisted.unpersist()
       if (prevCheckpointed != null)
-        graft.operators.Materialise.release(prevCheckpointed)
+        graft.operators.Materialise.releaseConsumed(prevCheckpointed)
       prevCheckpointed = j
       reps = j.select(col("node_id"), col("representative"))
       if (verbose) System.err.println(
-        f"[cc]   jump $jumps%d (moving=${jumping}) " +
+        f"[cc]   jump $jumps%d (moving=$movers%d) " +
           f"${(System.nanoTime() - levelT0) / 1e9}%.2fs")
     }
     // the last jump frame IS reps (modulo the projection) — it stays; the
@@ -268,10 +272,11 @@ object ConnectedComponents {
     // the empty case (same fix as the jump probe above)
     val contractedEmpty = contracted.count() == 0
     // the contraction is on disk/cache now, so the symmetric neighbour
-    // frame is fully consumed — reclaim its scratch immediately under the
-    // parquet policy (no-op elsewhere); without this a long-lived cluster
-    // session accumulates one ~2x-edge-list copy per solve per level
-    graft.operators.Materialise.release(neighbours)
+    // frame is fully consumed — reclaim its scratch AND blocks immediately
+    // (the jump frames are checkpoint-backed, so nothing recomputes
+    // through neighbours); without this a long-lived cluster session
+    // accumulates one ~2x-edge-list copy per solve per level
+    graft.operators.Materialise.releaseConsumed(neighbours)
     if (verbose) System.err.println(
       f"[cc] level: $edgeCount edges propagated+contracted in " +
         f"${(System.nanoTime() - levelT0) / 1e9}%.2fs " +
@@ -300,27 +305,28 @@ object ConnectedComponents {
         // checkpointed frame keeps every caller's plan linear; the cost
         // (one N_L-row materialisation per level) shrinks geometrically
         // with depth.
+        // EAGER: the compose must be on disk/in blocks before the strong
+        // releases below drop what it reads (reps + sub)
         val composed = reps.alias("r")
           .join(sub.alias("s"), col("r.representative") === col("s.node_id"),
             "left")
           .select(col("r.node_id"),
             coalesce(col("s.cluster_id"), col("r.representative"))
               .as("representative"))
-          .breakLineage(eager)
-        // under the parquet policy the compose is on disk at this point
-        // and supersedes reps, contracted, AND the recursion's returned
-        // labelling (sub — release strips its role-repartition wrapper);
-        // reclaim all three (no-op elsewhere). In the empty/valve paths
-        // reps IS the output, so only this branch may release it.
-        graft.operators.Materialise.release(reps)
-        graft.operators.Materialise.release(contracted)
-        graft.operators.Materialise.release(sub)
+          .breakLineage(eager = true)
+        // the compose supersedes reps, contracted, AND the recursion's
+        // returned labelling (sub — release strips its role-repartition
+        // wrapper); reclaim all three now. In the empty/valve paths reps
+        // IS the output, so only this branch may release it.
+        graft.operators.Materialise.releaseConsumed(reps)
+        graft.operators.Materialise.releaseConsumed(contracted)
+        graft.operators.Materialise.releaseConsumed(sub)
         composed
       }
     // empty/valve paths never handed contracted to a consumer — the count
-    // above fully evaluated it, so its scratch is reclaimable too
+    // above fully evaluated it, so its scratch and blocks are reclaimable
     if (maxIterations <= 1 || contractedEmpty)
-      graft.operators.Materialise.release(contracted)
+      graft.operators.Materialise.releaseConsumed(contracted)
     // The role exchange (`__splink__clusters_at_*` ÷10) collapses the
     // join partitioning to a sane count for the caller's write / re-join —
     // SIZE-FLOORED so a many-million-node labelling never squeezes into a

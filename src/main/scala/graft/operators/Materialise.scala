@@ -147,6 +147,47 @@ object Materialise {
     }
   }
 
+  /** Strong release for a frame whose EVERY consumer is already
+    * materialised: in addition to [[release]]'s parquet-scratch
+    * reclamation, (local)checkpoint-backed frames get their block-manager
+    * blocks dropped NOW instead of whenever the ContextCleaner's GC hook
+    * notices the dead RDD. Iterative loops need this determinism: a
+    * pointer-jump or mutual-best loop supersedes a full working frame per
+    * round, and under the localCheckpoint policy the superseded blocks
+    * (hundreds of MB each at scale) otherwise pile up in the unified
+    * memory region until storage eviction starts fighting the join/sort
+    * execution memory mid-loop — measured as 3-10x per-round time spikes
+    * in the CC jump loop at sf10.
+    *
+    * SAFETY CONTRACT (the caller's to uphold — MaterialiseSpec
+    * fault-injects the violation): a localCheckpoint has NO lineage to
+    * recompute from, so the frame must be provably dead — every successor
+    * frame derived from it must have finished materialising its own
+    * blocks (an eager breakLineage, or a count()/action that scanned all
+    * partitions). For a frame that a LAZY successor still references, use
+    * [[release]], which never drops blocks. */
+  def releaseConsumed(df: DataFrame): Unit = {
+    release(df)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
+      Project, Repartition, RepartitionByExpression}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => strip(pr.child)
+      case f: Filter => strip(f.child)
+      case r: Repartition => strip(r.child)
+      case r: RepartitionByExpression => strip(r.child)
+      case other => other
+    }
+    strip(df.queryExecution.optimizedPlan) match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ =>
+    }
+    // persist-policy frames: unpersist is correctness-neutral (lineage
+    // intact, a late reader recomputes), and a no-op when df isn't cached
+    df.unpersist(blocking = false): Unit
+  }
+
   /** Run `body` with the session policy temporarily set to `p`. */
   def withSessionPolicy[T](spark: SparkSession, p: Policy)(body: => T): T = {
     val prev = spark.conf.getOption(ConfKey)

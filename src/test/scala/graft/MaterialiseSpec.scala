@@ -163,6 +163,84 @@ class MaterialiseSpec extends SparkSpec {
       s"expected a loud missing-file failure, got: ${e.getMessage.take(200)}")
   }
 
+  private def allPolicies = Seq(Materialise.LocalCheckpointPolicy,
+    Materialise.PersistPolicy, Materialise.CheckpointPolicy,
+    Materialise.ParquetPolicy)
+
+  private def stripToRdd(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  test("weak release with a LAZY successor still in flight is safe under every policy") {
+    // the invariant that keeps release() callable from loop code that
+    // cannot prove its consumers are materialised: a successor derived
+    // lazily from the released frame must still evaluate correctly.
+    // (Parquet frames write eagerly at creation, so the successor's files
+    // exist before the release; block-backed policies never drop blocks
+    // on a weak release.)
+    allPolicies.foreach { p =>
+      val a = Materialise.withPolicy(
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), p,
+        eager = true)
+      assert(a.count() == 3) // materialise lazy-capable policies too
+      val b = Materialise.withPolicy(
+        a.withColumn("v2", col("v") * 2), p, eager = false)
+      Materialise.release(a) // b has NOT evaluated yet
+      assert(b.agg(sum(col("v2"))).collect()(0).getLong(0) == 120L,
+        s"lazy successor broken after weak release under ${p.name}")
+    }
+  }
+
+  test("releaseConsumed after an eager successor is safe under every policy") {
+    // the strong-release contract the iterative loops rely on: once the
+    // successor has materialised its own blocks/files, dropping the
+    // predecessor's storage must not disturb it
+    allPolicies.foreach { p =>
+      val a = Materialise.withPolicy(
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), p,
+        eager = true)
+      assert(a.count() == 3)
+      val b = Materialise.withPolicy(
+        a.withColumn("v2", col("v") * 2), p, eager = true)
+      if (p == Materialise.PersistPolicy) b.count(): Unit // eager = count()
+      Materialise.releaseConsumed(a)
+      assert(b.agg(sum(col("v2"))).collect()(0).getLong(0) == 120L,
+        s"eager successor broken after releaseConsumed under ${p.name}")
+    }
+  }
+
+  test("simulated executor loss between checkpoint and first read: parquet survives, local blocks fail loudly") {
+    // why the cluster default is the parquet policy
+    // (`optimising_spark.md:36-57`): localCheckpoint blocks live in
+    // executor memory and die with the executor; parquet scratch lives on
+    // (shared) storage. Simulate the loss by dropping the checkpointed
+    // RDD's blocks after materialisation, before the next read.
+    val pq = Materialise.withPolicy(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), Materialise.ParquetPolicy,
+      eager = true)
+    // parquet: losing every cached block costs nothing — the next action
+    // re-reads the scratch files
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(pq.count() == 2)
+    val lc = Materialise.withPolicy(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
+      Materialise.LocalCheckpointPolicy, eager = true)
+    assert(lc.count() == 2)
+    // "executor loss": the checkpoint blocks vanish; lineage was truncated
+    // at checkpoint time, so the frame is unrecoverable and must fail
+    // LOUDLY (silent empty results would corrupt a solve)
+    stripToRdd(lc).getOrElse(fail("expected a checkpoint-backed plan"))
+      .unpersist(blocking = true)
+    val e = intercept[Exception](lc.count())
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("Checkpoint block") || m.contains("block") ||
+        m.contains("Block")),
+      s"expected a missing-block failure, got: ${e.getMessage.take(200)}")
+  }
+
   test("release refuses paths it did not write") {
     // a user-loaded parquet relation must never be deleted, even though it
     // is structurally identical to a parquet-policy frame
