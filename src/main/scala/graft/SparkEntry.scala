@@ -528,7 +528,10 @@ object SparkEntry {
     // §2.11 connected components over a multi-hop path graph:
     // consecutive orders of each customer form a path; components = customers.
     "q_cluster" -> ((s, dir) => {
-      ConnectedComponents.run(orderPathEdges(s, dir))
+      // lag-derived consecutive pairs are distinct and single-orientation
+      // by construction — the documented skip-dedupe contract
+      ConnectedComponents.run(orderPathEdges(s, dir),
+        assumeDistinctPairs = true)
     }),
 
     // the SAME component solve FORCED through the fully distributed
@@ -536,7 +539,8 @@ object SparkEntry {
     // the driver union-find fast path) — the 100 TB path, under the same
     // oracle, and on the bench's sf1 scale point for a measured slope
     "q_cluster_dist" -> ((s, dir) => {
-      ConnectedComponents.run(orderPathEdges(s, dir), smallGraphThreshold = 0L)
+      ConnectedComponents.run(orderPathEdges(s, dir), smallGraphThreshold = 0L,
+        assumeDistinctPairs = true)
     }),
 
     // §2.5 window functions: cluster sizes + rank of node within cluster

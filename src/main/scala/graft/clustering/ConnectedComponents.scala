@@ -67,13 +67,22 @@ object ConnectedComponents {
 
   /**
    * @param edges frame with two node-id columns (self-loops and duplicates ok)
+   * @param assumeDistinctPairs caller-declared hint that `edges` holds
+   *        each undirected pair at most once, in one orientation (true
+   *        for predict outputs — blocking emits `id_l < id_r` pairs once —
+   *        and for lag/window-derived consecutive-row edges). Skips the
+   *        symmetric frame's dedupe aggregate; purely a performance hint —
+   *        a violated promise only means duplicate edges flow through the
+   *        solve (min-propagation, jumps and contraction are all
+   *        duplicate-insensitive), never a wrong labelling.
    * @return DataFrame(node_id, cluster_id), one row per node that appears
    *         in any edge; cluster_id = min node id in the component.
    */
   def run(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxIterations: Int = 60,
       eager: Boolean = false,
-      smallGraphThreshold: Long = -1L): DataFrame = {
+      smallGraphThreshold: Long = -1L,
+      assumeDistinctPairs: Boolean = false): DataFrame = {
     // gate override: spark.graft.cc.smallGraphThreshold (edges); callers
     // passing an explicit threshold keep it
     val smallGate = resolveSmallGate(edges.sparkSession, smallGraphThreshold)
@@ -134,11 +143,15 @@ object ConnectedComponents {
     val inputBytes =
       try edges.queryExecution.optimizedPlan.stats.sizeInBytes * 8
       catch { case _: Exception => BigInt(0) }
-    var neighbours = graft.operators.Repartition
+    val keyed = graft.operators.Repartition
       .sizedByKeys(symmetric, graft.operators.Repartition.Neighbours,
         inputBytes, col("node_id"))
-      .dropDuplicates()
-      .breakLineage(eager)
+    // dedupe is skippable under the caller's distinct-pairs promise: a
+    // single-orientation distinct input explodes to a duplicate-free
+    // symmetric frame, so the in-place aggregate would be pure cost
+    var neighbours =
+      (if (assumeDistinctPairs) keyed else keyed.dropDuplicates())
+        .breakLineage(eager)
 
     val symT0 = System.nanoTime()
     val edgeCount = neighbours.count()
@@ -194,23 +207,42 @@ object ConnectedComponents {
     // measured 4+ levels x ~30s on 13.5M path edges). Jumping to closure
     // collapses each tree in-level; the contracted graph (edges between
     // ROOTS) is then radically smaller — usually empty or driver-sized.
-    var reps: DataFrame = reps0
-    var prevPersisted: DataFrame = reps0
-    var prevCheckpointed: DataFrame = null
+    // SETTLED/ACTIVE SPLIT: a row that does not move in a jump never
+    // moves again — pointers are monotone non-increasing and self-bounded
+    // (rep(t) <= t always), so "didn't move" means rep(rep(x)) == rep(x),
+    // i.e. the row already points at a root, and roots are fixed under
+    // jumping. Each jump therefore joins only the still-ACTIVE rows
+    // (geometrically shrinking a-side sort + checkpoint write: total
+    // write volume is sum(movers) + one all-nodes frame, instead of
+    // jumps x all-nodes), while the lookup side stays the FULL pointer
+    // table — settled nodes are still jump targets. Each jump's settled
+    // slice is checkpointed SEPARATELY (slices are disjoint, so all of
+    // them together cost one node-frame write): left as filter views
+    // over the jump frames, every later jump's lookup side — and the
+    // contraction's two joins — would re-SCAN all retained jump frames
+    // and filter most rows away, a quadratically growing scan (measured
+    // +13s on the sf10 jumps and +7s on its contraction). Only `active`
+    // stays a view over the current jump frame, whose predecessor is
+    // strong-released each jump.
+    val settledSlices = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var active: DataFrame = reps0
+    var lastJump: DataFrame = null
+    def pointerTable: DataFrame =
+      (settledSlices :+ active).reduce(_.unionByName(_))
     var jumping = true
     var jumps = 0
     while (jumping && jumps < 40) {
       jumps += 1
       // Each jump BREAKS LINEAGE (flat LogicalRDD plan), it does not
-      // merely persist: the self-join embeds the previous jump's logical
-      // tree TWICE (immutable trees, no sharing), so with persist alone
-      // the ANALYZED plan doubles per jump and driver-side analysis goes
-      // exponential — measured on a 2M-node forest needing 9 jumps:
+      // merely persist: the join embeds the previous jump's logical tree
+      // in both branches (immutable trees, no sharing), so with persist
+      // alone the ANALYZED plan doubles per jump and driver-side analysis
+      // goes exponential — measured on a 2M-node forest needing 9 jumps:
       // 1.5s, ..., 5s, 18s, 58s per jump (2^9 x base analysis cost),
       // with the allocation churn masquerading as GC variance. Data-wise
       // the checkpoint costs the same materialisation the persist did.
-      val j = reps.alias("a")
-        .join(reps.select(col("node_id").as("rep_node"),
+      val j = active.alias("a")
+        .join(pointerTable.select(col("node_id").as("rep_node"),
             col("representative").as("rep_rep")).alias("b"),
           col("a.representative") === col("rep_node"), "left")
         .select(col("a.node_id"),
@@ -227,24 +259,25 @@ object ConnectedComponents {
       val movers = j.filter(col("representative") =!= col("__old_rep"))
         .count()
       jumping = movers > 0
-      // j is materialised (the count scanned every partition): the
-      // propagation frame (persist) and the previous jump are both
-      // superseded — unpersist the former and STRONG-release the latter
-      // (drop its checkpoint blocks / parquet scratch now; left to the
-      // GC-driven ContextCleaner, the superseded ~full-node-frame copies
-      // pile up in unified memory until storage eviction fights the join
-      // execution memory — measured 3-10x per-jump spikes at sf10)
-      prevPersisted.unpersist()
-      if (prevCheckpointed != null)
-        graft.operators.Materialise.releaseConsumed(prevCheckpointed)
-      prevCheckpointed = j
-      reps = j.select(col("node_id"), col("representative"))
+      if (jumps == 1) reps0.unpersist() // j1 is materialised; reps0 is dead
+      // the settled slice gets its own flat checkpoint; j's remaining live
+      // view is then only `active`, so the PREVIOUS jump frame (fully
+      // consumed by j's materialisation) is reclaimable
+      settledSlices += j.filter(col("representative") === col("__old_rep"))
+        .select(col("node_id"), col("representative"))
+        .breakLineage(eager = true)
+      active = j.filter(col("representative") =!= col("__old_rep"))
+        .select(col("node_id"), col("representative"))
+      if (lastJump != null)
+        graft.operators.Materialise.releaseConsumed(lastJump)
+      lastJump = j
       if (verbose) System.err.println(
         f"[cc]   jump $jumps%d (moving=$movers%d) " +
           f"${(System.nanoTime() - levelT0) / 1e9}%.2fs")
     }
-    // the last jump frame IS reps (modulo the projection) — it stays; the
-    // contraction below and the compose read it
+    // every row has settled (the final active view is empty when the loop
+    // closed on movers == 0; non-empty only at the 40-jump safety valve)
+    val reps: DataFrame = pointerTable
     if (verbose) System.err.println(
       f"[cc]   reps closed ${(System.nanoTime() - levelT0) / 1e9}%.2fs")
 
@@ -314,11 +347,15 @@ object ConnectedComponents {
             coalesce(col("s.cluster_id"), col("r.representative"))
               .as("representative"))
           .breakLineage(eager = true)
-        // the compose supersedes reps, contracted, AND the recursion's
-        // returned labelling (sub — release strips its role-repartition
-        // wrapper); reclaim all three now. In the empty/valve paths reps
-        // IS the output, so only this branch may release it.
-        graft.operators.Materialise.releaseConsumed(reps)
+        // the compose supersedes the settled-slice checkpoints and the
+        // final jump frame (reps is their union), contracted, AND the
+        // recursion's returned labelling (sub — release strips its
+        // role-repartition wrapper); reclaim all of them now. In the
+        // empty/valve paths reps IS the output, so only this branch may
+        // release the slices.
+        settledSlices.foreach(graft.operators.Materialise.releaseConsumed)
+        if (lastJump != null)
+          graft.operators.Materialise.releaseConsumed(lastJump)
         graft.operators.Materialise.releaseConsumed(contracted)
         graft.operators.Materialise.releaseConsumed(sub)
         composed
@@ -327,12 +364,14 @@ object ConnectedComponents {
     // above fully evaluated it, so its scratch and blocks are reclaimable
     if (maxIterations <= 1 || contractedEmpty)
       graft.operators.Materialise.releaseConsumed(contracted)
-    // The role exchange (`__splink__clusters_at_*` ÷10) collapses the
-    // join partitioning to a sane count for the caller's write / re-join —
+    // The role resize (`__splink__clusters_at_*` ÷10) collapses the join
+    // partitioning to a sane count for the caller's write / re-join —
     // SIZE-FLOORED so a many-million-node labelling never squeezes into a
     // couple of tasks (output rows <= 2 x edgeCount, ~32B per unsafe row
-    // of two longs).
-    graft.operators.Repartition.sized(
+    // of two longs), and via COALESCE when it only shrinks: `out` is a
+    // materialised checkpoint, so the narrow dependency replaces a
+    // full-frame round-robin exchange.
+    graft.operators.Repartition.sizedShrink(
       out.select(col("node_id"), col("representative").as("cluster_id")),
       graft.operators.Repartition.ClusteringOutput, 2 * edgeCount * 32)
   }
@@ -433,7 +472,10 @@ object ConnectedComponents {
   def clusterAtThreshold(nodes: DataFrame, edges: DataFrame, uidCol: String,
       threshold: Double): DataFrame = {
     val strong = edges.filter(col("match_probability") >= threshold)
-    val assignments = run(strong, s"${uidCol}_l", s"${uidCol}_r")
+    // predict emits each pair once with id_l < id_r (blocking's pairwise
+    // dedupe), so the solve may skip the symmetric dedupe aggregate
+    val assignments = run(strong, s"${uidCol}_l", s"${uidCol}_r",
+      assumeDistinctPairs = true)
     nodes.alias("n")
       .join(assignments.alias("c"), col(s"n.$uidCol") === col("c.node_id"), "left")
       .withColumn("cluster_id", coalesce(col("c.cluster_id"), col(s"n.$uidCol")))

@@ -76,6 +76,25 @@ object Repartition {
   def sized(df: DataFrame, role: Role, estimatedBytes: BigInt): DataFrame =
     df.repartition(numPartitionsSized(df, role, estimatedBytes))
 
+  /** [[sized]] for a frame whose leaves are ALREADY materialised
+    * (checkpoint / parallelized output): when the role target only
+    * SHRINKS the partition count, a `coalesce` gets the same modest
+    * file/partition count through a narrow dependency — no shuffle of
+    * the full frame (a 15M-row labelling paid an 864MB round-robin
+    * exchange here just to go 32 -> 7 partitions). Falls back to a real
+    * repartition when the frame is narrower than the target (the floor
+    * case) or when the leaf width cannot be read without planning. */
+  def sizedShrink(df: DataFrame, role: Role, estimatedBytes: BigInt)
+      : DataFrame = {
+    val target = numPartitionsSized(df, role, estimatedBytes)
+    val leafParts = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getNumPartitions
+    }
+    if (leafParts.nonEmpty && leafParts.max >= target) df.coalesce(target)
+    else df.repartition(target)
+  }
+
   /** [[byKeys]] with the size floor: iterative loops co-partition their
     * working frame once and inherit that parallelism in every
     * exchange-free stage that follows — an under-sized key exchange
