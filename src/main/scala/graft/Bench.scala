@@ -237,6 +237,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE sizes every exchange from runtime stats: start shuffles wide
+      // and let coalescing shrink the small ones — at the sf10 scale point
+      // a 450M-row pair frame sorted across only 32 partitions spills
+      // ~1.4GB per task (measured 4x wall on the flagship predict)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

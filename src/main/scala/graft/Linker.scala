@@ -175,9 +175,28 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     * registered/pre-computed blocked-pairs table when one exists
     * (`inference.py:353-360`: predict scores exactly the registered
     * table). */
+  /** Whether the record frame is small enough to BROADCAST into the
+    * pairs-to-records joins (see `pairsFromIdsTwoFrames`' scaladoc — the
+    * 100M+-pairs-from-modest-records regime where the pair frame must
+    * never shuffle). Decided from the INPUT relations' optimizer stats
+    * (file sources report real bytes; x4 for parquet-compressed ->
+    * unsafe-row expansion, the same factor the CC loop uses) against
+    * `spark.graft.recordsBroadcastBytes` (default 256MB of expanded
+    * rows — comfortably inside a production executor; billions-of-records
+    * inputs blow past it and keep the sort-merge plan). Unknown stats
+    * (Long.MaxValue default estimates) never broadcast. */
+  private lazy val broadcastRecordsOk: Boolean = {
+    val limit = spark.conf.getOption("spark.graft.recordsBroadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val est =
+      try concat.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+      catch { case _: Exception => BigInt(Long.MaxValue) }
+    est <= limit
+  }
+
   def comparisonVectors(): DataFrame =
     ComparisonVectors.compute(registeredBlockedPairs.getOrElse(blockedIdPairs()),
-      concatWithTf, settings)
+      concatWithTf, settings, broadcastRecords = broadcastRecordsOk)
 
   /** The flagship scoring query (`linker_components/inference.py:294-444`). */
   def predict(thresholdMatchProbability: Option[Double] = None,
@@ -188,7 +207,8 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   /** Deterministic (rules-only) linking: blocked pairs without scoring
     * (`linker_components/inference.py` deterministic_link). */
   def deterministicLink(): DataFrame =
-    ComparisonVectors.pairsFromIds(blockedIdPairs(), concatWithTf, settings)
+    ComparisonVectors.pairsFromIds(blockedIdPairs(), concatWithTf, settings,
+      broadcastRecords = broadcastRecordsOk)
 
   /** Cluster a scored pairs frame (`linker_components/clustering.py:43-179`). */
   def clusterPairwisePredictionsAtThreshold(predictions: DataFrame,

@@ -641,8 +641,13 @@ object ClusteringOps {
     val e0 = edges.select(col(srcCol), col(dstCol), col(probCol))
       .breakLineage()
     val sorted = thresholds.sorted
+    // predict-shaped inputs (the operator's contract, `clustering.py:
+    // 347-449`) emit each pair once with id_l < id_r, and every per-
+    // threshold filter / unstable-subgraph semi-join preserves that — all
+    // the component solves may skip the symmetric dedupe aggregate
     var cc = ConnectedComponents
-      .run(e0.filter(col(probCol) >= sorted.head), srcCol, dstCol)
+      .run(e0.filter(col(probCol) >= sorted.head), srcCol, dstCol,
+        assumeDistinctPairs = true)
       .breakLineage()
     val perThreshold = scala.collection.mutable.ArrayBuffer(sorted.head -> cc)
     sorted.sliding(2).foreach {
@@ -666,7 +671,8 @@ object ClusteringOps {
           .join(unstableNodes, e0(srcCol) === unstableNodes("node_id"),
             "left_semi")
         cc = stable.select(col("node_id"), col("cluster_id"))
-          .unionByName(ConnectedComponents.run(unstableEdges, srcCol, dstCol))
+          .unionByName(ConnectedComponents.run(unstableEdges, srcCol, dstCol,
+            assumeDistinctPairs = true))
           .breakLineage()
         perThreshold += (t -> cc)
       case _ => () // single threshold: nothing incremental to do

@@ -168,6 +168,7 @@ object Materialise {
     * [[release]], which never drops blocks. */
   def releaseConsumed(df: DataFrame): Unit = {
     release(df)
+    rddUnpersistWarnSilenced
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
       Project, Repartition, RepartitionByExpression}
     @annotation.tailrec
@@ -187,6 +188,18 @@ object Materialise {
     // intact, a late reader recomputes), and a no-op when df isn't cached
     df.unpersist(blocking = false): Unit
   }
+
+  /** Unpersisting a locally-checkpointed RDD makes Spark WARN that the
+    * truncated lineage "cannot be recomputed after unpersisting" — which
+    * is exactly this operator's documented contract (the caller proved
+    * the frame dead), so an iterative solve would otherwise emit one
+    * spurious warning line per released frame. Raised to ERROR once, for
+    * that one RDD logger only. */
+  private lazy val rddUnpersistWarnSilenced: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // non-log4j2 backends: keep the noise
 
   /** Run `body` with the session policy temporarily set to `p`. */
   def withSessionPolicy[T](spark: SparkSession, p: Policy)(body: => T): T = {

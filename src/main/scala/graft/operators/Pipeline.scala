@@ -336,16 +336,35 @@ object ComparisonVectors {
 
   /** Pairs with all l/r columns, from id pairs + records. */
   def pairsFromIds(idPairs: DataFrame, concatWithTf: DataFrame,
-      settings: LinkSettings): DataFrame =
-    pairsFromIdsTwoFrames(idPairs, concatWithTf, concatWithTf, settings)
+      settings: LinkSettings, broadcastRecords: Boolean = false): DataFrame =
+    pairsFromIdsTwoFrames(idPairs, concatWithTf, concatWithTf, settings,
+      broadcastRecords)
 
   /** Same, joining the l and r sides back to DIFFERENT record frames
-    * (find-matches-to-new-records shape). */
+    * (find-matches-to-new-records shape).
+    *
+    * `broadcastRecords` is the linkage regime's key plan decision: the
+    * pair frame is usually ORDERS OF MAGNITUDE larger than the record
+    * frame (the reference's headline workload is 100M+ pairs from a few
+    * million records), so when the records fit executor memory,
+    * broadcasting BOTH record sides means the pair frame is generated and
+    * consumed inside one stage and never shuffled at all. Left to AQE's
+    * default 10MB threshold, a few-million-row record table flips these
+    * joins to sort-merge and the whole pair frame pays two full
+    * exchanges + spilling sorts (measured 4x wall on the sf10 flagship
+    * predict). Callers decide by SIZE (see `Linker.broadcastRecordsOk`);
+    * at genuine billions-of-records scale the hint stays false and the
+    * sort-merge path is the right one. */
   def pairsFromIdsTwoFrames(idPairs: DataFrame, leftRecords: DataFrame,
-      rightRecords: DataFrame, settings: LinkSettings): DataFrame = {
+      rightRecords: DataFrame, settings: LinkSettings,
+      broadcastRecords: Boolean = false): DataFrame = {
     val joinKey = Blocking.joinKeyCol(settings)
-    val lrec = leftRecords.withColumn("__join_key", joinKey)
-    val rrec = rightRecords.withColumn("__join_key", joinKey)
+    def side(df: DataFrame) = {
+      val keyed = df.withColumn("__join_key", joinKey)
+      if (broadcastRecords) broadcast(keyed) else keyed
+    }
+    val lrec = side(leftRecords)
+    val rrec = side(rightRecords)
     val projection = col(Cols.MatchKey) +:
       pairProjection(settings, lrec.columns.toSeq)
     idPairs.alias("b")
@@ -366,8 +385,10 @@ object ComparisonVectors {
   }
 
   def compute(idPairs: DataFrame, concatWithTf: DataFrame,
-      settings: LinkSettings): DataFrame =
-    addGammas(pairsFromIds(idPairs, concatWithTf, settings), settings)
+      settings: LinkSettings, broadcastRecords: Boolean = false): DataFrame =
+    addGammas(
+      pairsFromIds(idPairs, concatWithTf, settings, broadcastRecords),
+      settings)
 }
 
 /**

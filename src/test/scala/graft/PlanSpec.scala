@@ -49,6 +49,29 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s)
   }
 
+  test("pairs-to-records joins broadcast the record side by SIZE decision") {
+    // the 100M+-pairs-from-modest-records regime: when the input frame's
+    // stats sit under spark.graft.recordsBroadcastBytes, BOTH record-side
+    // joins broadcast and the (much larger) pair frame never shuffles
+    val s = planString(new Linker(people, settings).predict())
+    val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"expected both record joins broadcast:\n$s")
+    // ... and the decision is a threshold, not a blanket hint: with the
+    // graft limit at zero AND the planner's own size threshold disabled
+    // (tiny test frames auto-broadcast under the 10MB default regardless
+    // of the hint), the same plan reverts to shuffle joins
+    spark.conf.set("spark.graft.recordsBroadcastBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s0 = planString(new Linker(people, settings).predict())
+      assert(s0.contains("SortMergeJoin") || s0.contains("ShuffledHashJoin"),
+        s"expected non-broadcast record joins under a 0 limit:\n$s0")
+    } finally {
+      spark.conf.unset("spark.graft.recordsBroadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("predict plan has no UDF / python / CodegenFallback-only scoring nodes") {
     val linker = new Linker(people, settings)
     val s = planString(linker.predict())
