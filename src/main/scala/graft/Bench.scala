@@ -234,15 +234,15 @@ object Bench {
       System.err.println(f"[bench] WARNING: 1-min loadavg $loadStart%.1f on " +
         s"${Runtime.getRuntime.availableProcessors} cpus before the run — " +
         "timings may be contention noise; prefer an idle box")
+    // NOTE deliberately NO adaptive initialPartitionNum override: starting
+    // every shuffle wide costs the iterative loops (CC jumps, mutual-best
+    // rounds) a ~2s 256-task wave per small stage — measured 3x wall on
+    // q_cluster_dist — while the one workload that wanted wide sorts (the
+    // sf10 predict's pair frame) no longer shuffles at all (record-side
+    // broadcast).
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE sizes every exchange from runtime stats: start shuffles wide
-      // and let coalescing shrink the small ones — at the sf10 scale point
-      // a 450M-row pair frame sorted across only 32 partitions spills
-      // ~1.4GB per task (measured 4x wall on the flagship predict)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

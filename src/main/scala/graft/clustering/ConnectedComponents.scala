@@ -224,24 +224,27 @@ object ConnectedComponents {
     // +13s on the sf10 jumps and +7s on its contraction). Only `active`
     // stays a view over the current jump frame, whose predecessor is
     // strong-released each jump.
+    // The split pays its per-jump fixed costs (an extra job + fresh
+    // codegen for the persist/split plans) only when the node frames are
+    // big enough for write-volume savings to dominate — below the 8M-edge
+    // line (a regime reachable only by forcing the driver gate off) the
+    // simple whole-frame jump loop is ~2x faster wall.
+    val splitJumps = edgeCount > SmallGraphEdgeThreshold
     val settledSlices = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var active: DataFrame = reps0
-    var lastJump: DataFrame = null
     def pointerTable: DataFrame =
       (settledSlices :+ active).reduce(_.unionByName(_))
     var jumping = true
     var jumps = 0
     while (jumping && jumps < 40) {
       jumps += 1
-      // Each jump BREAKS LINEAGE (flat LogicalRDD plan), it does not
-      // merely persist: the join embeds the previous jump's logical tree
-      // in both branches (immutable trees, no sharing), so with persist
-      // alone the ANALYZED plan doubles per jump and driver-side analysis
-      // goes exponential — measured on a 2M-node forest needing 9 jumps:
-      // 1.5s, ..., 5s, 18s, 58s per jump (2^9 x base analysis cost),
-      // with the allocation churn masquerading as GC variance. Data-wise
-      // the checkpoint costs the same materialisation the persist did.
-      val j = active.alias("a")
+      // Either path BREAKS LINEAGE into flat LogicalRDD plans, never
+      // persist alone: the next jump embeds the active plan in both join
+      // branches (immutable trees, no sharing), so with persist the
+      // ANALYZED plan doubles per jump and driver-side analysis goes
+      // exponential — measured on a 2M-node forest needing 9 jumps:
+      // 1.5s, ..., 5s, 18s, 58s per jump (2^9 x base analysis cost).
+      val jPlan = active.alias("a")
         .join(pointerTable.select(col("node_id").as("rep_node"),
             col("representative").as("rep_rep")).alias("b"),
           col("a.representative") === col("rep_node"), "left")
@@ -250,33 +253,48 @@ object ConnectedComponents {
           least(col("a.representative"),
             coalesce(col("rep_rep"), col("a.representative")))
             .as("representative"))
-        .breakLineage(eager)
-      // ONE FULLY-PARALLEL job materialises j and counts still-moving
-      // pointers. NOT isEmpty: executeTake(1) evaluates partitions in
-      // incremental waves (1, then 4, then 16...), so exactly on the late
-      // jumps — where movers are rare or absent — the frame would
-      // materialise at 1-4-task parallelism.
-      val movers = j.filter(col("representative") =!= col("__old_rep"))
-        .count()
-      jumping = movers > 0
-      if (jumps == 1) reps0.unpersist() // j1 is materialised; reps0 is dead
-      // the settled slice gets its own flat checkpoint; j's remaining live
-      // view is then only `active`, so the PREVIOUS jump frame (fully
-      // consumed by j's materialisation) is reclaimable
-      settledSlices += j.filter(col("representative") === col("__old_rep"))
-        .select(col("node_id"), col("representative"))
-        .breakLineage(eager = true)
-      active = j.filter(col("representative") =!= col("__old_rep"))
-        .select(col("node_id"), col("representative"))
-      if (lastJump != null)
-        graft.operators.Materialise.releaseConsumed(lastJump)
-      lastJump = j
+      val prevActive = active
+      var movers = -1L
+      if (splitJumps) {
+        // Jump output TRANSIENTLY persisted, then split into two disjoint
+        // flat checkpoints (settled slice + new active) and unpersisted:
+        // two jobs, one join evaluation, write volume exactly the jump's
+        // row count, and all later stages scan only clean slices.
+        val j = jPlan.persist()
+        settledSlices += j
+          .filter(col("representative") === col("__old_rep"))
+          .select(col("node_id"), col("representative"))
+          .breakLineage(eager = true)
+        active = j.filter(col("representative") =!= col("__old_rep"))
+          .select(col("node_id"), col("representative"))
+          .breakLineage(eager = true)
+        j.unpersist(blocking = false)
+        // termination probe on the ALREADY-MATERIALISED active
+        // checkpoint: isEmpty's incremental take(1) waves just read
+        // cached/scratch blocks, they never force a serial
+        // materialisation
+        jumping = !active.isEmpty
+        if (verbose) movers = active.count()
+      } else {
+        // whole-frame jump: one checkpoint + one count job per jump
+        val j = jPlan.breakLineage(eager)
+        val m = j.filter(col("representative") =!= col("__old_rep")).count()
+        movers = m
+        jumping = m > 0
+        active = j.select(col("node_id"), col("representative"))
+      }
+      // both halves / the new frame are on their own storage: the
+      // previous active checkpoint (jump 1: the persisted propagation
+      // frame) is dead
+      if (jumps == 1) reps0.unpersist()
+      else graft.operators.Materialise.releaseConsumed(prevActive)
       if (verbose) System.err.println(
         f"[cc]   jump $jumps%d (moving=$movers%d) " +
           f"${(System.nanoTime() - levelT0) / 1e9}%.2fs")
     }
-    // every row has settled (the final active view is empty when the loop
-    // closed on movers == 0; non-empty only at the 40-jump safety valve)
+    // split path: every row has settled (the final active frame is empty
+    // when the loop closed; non-empty only at the 40-jump safety valve).
+    // whole-frame path: settledSlices stays empty and reps == active.
     val reps: DataFrame = pointerTable
     if (verbose) System.err.println(
       f"[cc]   reps closed ${(System.nanoTime() - levelT0) / 1e9}%.2fs")
@@ -347,15 +365,13 @@ object ConnectedComponents {
             coalesce(col("s.cluster_id"), col("r.representative"))
               .as("representative"))
           .breakLineage(eager = true)
-        // the compose supersedes the settled-slice checkpoints and the
-        // final jump frame (reps is their union), contracted, AND the
-        // recursion's returned labelling (sub — release strips its
-        // role-repartition wrapper); reclaim all of them now. In the
-        // empty/valve paths reps IS the output, so only this branch may
-        // release the slices.
+        // the compose supersedes the settled-slice and active checkpoints
+        // (reps is their union), contracted, AND the recursion's returned
+        // labelling (sub — release strips its role-repartition wrapper);
+        // reclaim all of them now. In the empty/valve paths reps IS the
+        // output, so only this branch may release the slices.
         settledSlices.foreach(graft.operators.Materialise.releaseConsumed)
-        if (lastJump != null)
-          graft.operators.Materialise.releaseConsumed(lastJump)
+        graft.operators.Materialise.releaseConsumed(active)
         graft.operators.Materialise.releaseConsumed(contracted)
         graft.operators.Materialise.releaseConsumed(sub)
         composed
