@@ -230,8 +230,31 @@ object ConnectedComponents {
     // line (a regime reachable only by forcing the driver gate off) the
     // simple whole-frame jump loop is ~2x faster wall.
     val splitJumps = edgeCount > SmallGraphEdgeThreshold
+    // LATE-JUMP BROADCAST: a jump is a left join of `active` (shrinking
+    // geometrically under the split) against the full pointer table —
+    // sort-merge exchanges BOTH sides every jump, so the closing jumps
+    // (thousands of movers) still pay a full node-frame exchange + sort
+    // on the lookup side. When the frame entering a jump is small, the
+    // lookup only needs rows matching its (at most |active|) distinct
+    // rep targets: semi-reduce the pointer table with a broadcast
+    // key-set, then broadcast the reduced lookup — both join sides stay
+    // in place (the pointer table is SCANNED but never exchanged). A
+    // pure semi-join reduction: the left join matches exactly the same
+    // b-rows, so the result is bit-identical. The reduction pays TWO
+    // driver round-trips of ~|active| rows (key-set, then reduced
+    // lookup), so the ceiling must sit where collects are cheap —
+    // measured at 2.7M rows the round-trips cost MORE than the
+    // sort-merge they replace (4.9s vs 3.6s), at ~40k rows they win
+    // ~2x. 1M rows ~= 32MB hashed relation on the driver.
+    val broadcastJumpNodes = edges.sparkSession.conf
+      .getOption("spark.graft.cc.broadcastJumpNodes").map(_.toLong)
+      .getOrElse(1000000L)
     val settledSlices = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var active: DataFrame = reps0
+    // rows entering the next jump: movers under the split (counted on the
+    // materialised active checkpoint), the constant node count otherwise
+    // (reps0 is persisted — the count materialises the cache jump 1 reuses)
+    var activeCount = if (splitJumps) -1L else reps0.count()
     def pointerTable: DataFrame =
       (settledSlices :+ active).reduce(_.unionByName(_))
     var jumping = true
@@ -244,9 +267,17 @@ object ConnectedComponents {
       // ANALYZED plan doubles per jump and driver-side analysis goes
       // exponential — measured on a 2M-node forest needing 9 jumps:
       // 1.5s, ..., 5s, 18s, 58s per jump (2^9 x base analysis cost).
+      val lookupAll = pointerTable.select(col("node_id").as("rep_node"),
+        col("representative").as("rep_rep"))
+      val lookup =
+        if (activeCount >= 0 && activeCount <= broadcastJumpNodes)
+          broadcast(lookupAll.join(
+            broadcast(active.select(col("representative").as("rep_key"))
+              .distinct()),
+            col("rep_node") === col("rep_key"), "left_semi"))
+        else lookupAll
       val jPlan = active.alias("a")
-        .join(pointerTable.select(col("node_id").as("rep_node"),
-            col("representative").as("rep_rep")).alias("b"),
+        .join(lookup.alias("b"),
           col("a.representative") === col("rep_node"), "left")
         .select(col("a.node_id"),
           col("a.representative").as("__old_rep"),
@@ -269,12 +300,13 @@ object ConnectedComponents {
           .select(col("node_id"), col("representative"))
           .breakLineage(eager = true)
         j.unpersist(blocking = false)
-        // termination probe on the ALREADY-MATERIALISED active
-        // checkpoint: isEmpty's incremental take(1) waves just read
-        // cached/scratch blocks, they never force a serial
-        // materialisation
-        jumping = !active.isEmpty
-        if (verbose) movers = active.count()
+        // termination probe doubles as the next jump's size signal: a
+        // WIDE count over the already-materialised active checkpoint
+        // (all partitions in one parallel wave — cached/scratch block
+        // reads, no recomputation)
+        activeCount = active.count()
+        movers = activeCount
+        jumping = activeCount > 0
       } else {
         // whole-frame jump: one checkpoint + one count job per jump
         val j = jPlan.breakLineage(eager)
