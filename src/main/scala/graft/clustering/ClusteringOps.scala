@@ -183,10 +183,10 @@ object ClusteringOps {
     // only the duplicate-free datasets constrain merges
     // (`clustering.py:201-202`: "This can be a subset of all of the source
     // datasets"); other datasets may repeat inside a cluster freely
-    val constraining = duplicateFreeDatasets match {
+    val constraining = broadcastIfModest(duplicateFreeDatasets match {
       case Some(ds) => nodeDatasets.filter(col("source_dataset").isin(ds: _*))
       case None => nodeDatasets
-    }
+    })
     // adaptive small-input fast path (same strategy pick as CC/oneToOne):
     // the round loop costs ~6 scheduled actions per round distributed —
     // and the tie-drop another ~8 — while under the threshold the whole
@@ -201,10 +201,21 @@ object ClusteringOps {
     val t0 = System.nanoTime()
     def mark(phase: String): Unit = if (verbose) System.err.println(
       f"[o2o]   $phase: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    if (longIds && e0raw.count() <= smallGate)
+    val probedEdges = if (longIds) e0raw.count() else -1L
+    if (longIds && probedEdges <= smallGate)
       return driverOneToOneConstrained(e0raw, nodeDatasets,
         duplicateFreeDatasets, tiesMethod, maxRounds)
     mark("gate probe")
+    // Count-based broadcast decision for frames sized BY the edge count
+    // (the tie-kept combos, the rank-1 self-join side): the gate probe
+    // already paid for an exact count, and the loop's checkpoints carry
+    // no optimizer stats. ~64B/row covers 3 columns plus hashed-relation
+    // overhead; the default 256MB ceiling admits the few-million-edge
+    // forced-distributed regime and keeps sort-merge at 10M+ edges.
+    val bcastLimit = edges.sparkSession.conf
+      .getOption("spark.graft.recordsBroadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val pairsBroadcastOk = probedEdges >= 0 && probedEdges * 64L <= bcastLimit
     // isDupFree as a Column predicate (shared by dropTies and the round-1
     // pair-level constraint below)
     val isDupFreeCol: Column => Column = duplicateFreeDatasets match {
@@ -215,7 +226,8 @@ object ClusteringOps {
       case "drop" =>
         // dropTies materialises its own outputs, so the raw edge frame —
         // whose last distributed-path consumer it is — is strong-releasable
-        val (d, iv) = dropTies(e0raw, nodeDatasets, isDupFreeCol)
+        val (d, iv) = dropTies(e0raw, nodeDatasets, isDupFreeCol,
+          pairsBroadcastOk)
         graft.operators.Materialise.releaseConsumed(e0raw)
         mark("dropTies")
         (d, iv)
@@ -327,13 +339,23 @@ object ClusteringOps {
           -coalesce(col("p"), lit(Double.NegativeInfinity)),
           col("rb"))).as("rb"))
         .persist()
+      // the mutuality probe joins best with ITSELF (one row per cluster,
+      // bounded by the edge count): under the probed ceiling the build
+      // branch broadcasts and the stream branch never exchanges
+      val bestBuild =
+        if (pairsBroadcastOk) broadcast(best.alias("y")) else best.alias("y")
       val merges = best.alias("x")
-        .join(best.alias("y"), col("x.ra") === col("y.rb") && col("x.rb") === col("y.ra"))
+        .join(bestBuild, col("x.ra") === col("y.rb") && col("x.rb") === col("y.ra"))
         .filter(col("x.ra") < col("x.rb"))
         .select(col("x.ra").as("ka"), col("x.rb").as("kb"))
         .breakLineage()
-      // wide probe — see the comment on the mutual-best loop above
-      val anyMerge = merges.count() > 0
+      // wide probe — see the comment on the mutual-best loop above; the
+      // exact count doubles as the merge frame's own broadcast decision
+      // (2 ids/row) for the three endpoint-rewrite joins below
+      val mergeCount = merges.count()
+      val anyMerge = mergeCount > 0
+      val mergesJ =
+        if (mergeCount * 48L <= bcastLimit) broadcast(merges) else merges
       mark(s"round $round merges")
       best.unpersist(blocking = false)
       // round 1's valid frame (eager or via the persisted rank frame) has
@@ -351,7 +373,7 @@ object ClusteringOps {
         // blocks are strong-released.
         val prevMembership = membership
         membership = membership.alias("m")
-          .join(merges.alias("g"), col("m.rep") === col("g.kb"), "left")
+          .join(mergesJ.alias("g"), col("m.rep") === col("g.kb"), "left")
           .select(col("m.node_id"),
             coalesce(col("g.ka"), col("m.rep")).as("rep"))
           .breakLineage(eager = true)
@@ -367,7 +389,7 @@ object ClusteringOps {
           if (clusterSets != null) {
             val prevSets = clusterSets
             clusterSets = clusterSets.alias("s")
-              .join(merges.alias("g"), col("s.r") === col("g.kb"), "left")
+              .join(mergesJ.alias("g"), col("s.r") === col("g.kb"), "left")
               .select(coalesce(col("g.ka"), col("s.r")).as("r"), col("s.ds"))
               .groupBy(col("r"))
               .agg(array_distinct(flatten(collect_list(col("ds")))).as("ds"))
@@ -376,8 +398,8 @@ object ClusteringOps {
           }
           val prevCe = ce
           ce = valid.alias("e")
-            .join(merges.alias("ga"), col("e.ra") === col("ga.kb"), "left")
-            .join(merges.alias("gb"), col("e.rb") === col("gb.kb"), "left")
+            .join(mergesJ.alias("ga"), col("e.ra") === col("ga.kb"), "left")
+            .join(mergesJ.alias("gb"), col("e.rb") === col("gb.kb"), "left")
             .select(coalesce(col("ga.ka"), col("e.ra")).as("ra"),
               coalesce(col("gb.ka"), col("e.rb")).as("rb"), col("e.p"))
             .filter(col("ra") =!= col("rb"))
@@ -538,14 +560,33 @@ object ClusteringOps {
     * an undirected link drop together: the reference's tie_l/tie_r pair of
     * aggregates collapses, by the symmetry of the neighbours frame, to
     * "row (a,b) survives iff neither (a,b) nor (b,a) is tie_l-marked". */
+  /** Stats-decided broadcast wrap for the node-dataset table (same
+    * decision rule as the Linker's record-side broadcast: input-relation
+    * optimizer stats x4 for the compressed->unsafe-row expansion against
+    * `spark.graft.recordsBroadcastBytes`, default 256MB; unknown stats
+    * never broadcast). The constraint joins pair a modest per-node table
+    * against edge frames that dwarf it in the 100M+-pairs regime — when
+    * the node table fits, the edge side must never shuffle. */
+  private def broadcastIfModest(df: DataFrame): DataFrame = {
+    val limit = df.sparkSession.conf
+      .getOption("spark.graft.recordsBroadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+      catch { case _: Exception => BigInt(Long.MaxValue) }
+    if (est <= limit) broadcast(df) else df
+  }
+
   private def dropTies(e0: DataFrame, nodeDatasets: DataFrame,
-      isDupFree: Column => Column): (DataFrame, DataFrame) = {
+      isDupFree: Column => Column,
+      broadcastKept: Boolean = false): (DataFrame, DataFrame) = {
     // null datasets constrain nothing (collect_set in the round loop drops
     // them); filtering here also makes the documented behaviour true — an
     // edge whose endpoint has only a null dataset drops out of the inner
     // joins below exactly like a dataset-less endpoint
-    val nd = nodeDatasets.select(col("node_id"), col("source_dataset"))
-      .filter(col("source_dataset").isNotNull)
+    val nd = broadcastIfModest(
+      nodeDatasets.select(col("node_id"), col("source_dataset"))
+        .filter(col("source_dataset").isNotNull))
     // Dataset labels attach to the ORIENTED edges, BEFORE the symmetric
     // explode: joining the exploded frame instead would run both
     // node-table joins over twice the rows for the same information (the
@@ -595,7 +636,12 @@ object ClusteringOps {
     // duplicate edges out). Output materialised HERE so the working frames
     // above can be strong-released before returning — callers receive a
     // flat checkpoint-backed frame.
-    val out = e0.alias("e").join(kept.alias("k"),
+    // under the caller's probed edge-count ceiling the kept-combo frame
+    // (bounded by edges x dataset-combinations) broadcasts, so the edge
+    // frame streams through the semi-join without an exchange
+    val keptBuild =
+      if (broadcastKept) broadcast(kept.alias("k")) else kept.alias("k")
+    val out = e0.alias("e").join(keptBuild,
       col("e.na") === col("k.na") && col("e.nb") === col("k.nb") &&
         col("e.p") === col("k.p"), "left_semi")
       .breakLineage(eager = true)
