@@ -39,4 +39,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the sf10 bench section; the box has 128 GiB. Override with
   // SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-)
+  // ParallelGC, not the JDK-17 default G1: a 230+-query batch suite in one
+  // long-lived JVM ages the heap (Tungsten page allocations are humongous
+  // by G1 region standards), and G1's concurrent cycles in the aged heap
+  // made the LATE bench sections run 2.5x slower with byte-identical
+  // task/shuffle stats (sf10 CC: 108s in-suite vs 43s in a fresh JVM;
+  // under ParallelGC the same in-suite query is 38s). Stop-the-world
+  // throughput collection is the right trade for a headless batch
+  // engine — same reasoning applies to executor JVMs on a real cluster.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))
