@@ -185,14 +185,8 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     * rows — comfortably inside a production executor; billions-of-records
     * inputs blow past it and keep the sort-merge plan). Unknown stats
     * (Long.MaxValue default estimates) never broadcast. */
-  private lazy val broadcastRecordsOk: Boolean = {
-    val limit = spark.conf.getOption("spark.graft.recordsBroadcastBytes")
-      .map(_.toLong).getOrElse(256L << 20)
-    val est =
-      try concat.queryExecution.optimizedPlan.stats.sizeInBytes * 4
-      catch { case _: Exception => BigInt(Long.MaxValue) }
-    est <= limit
-  }
+  private lazy val broadcastRecordsOk: Boolean =
+    ComparisonVectors.recordsBroadcastOk(concat)
 
   def comparisonVectors(): DataFrame =
     ComparisonVectors.compute(registeredBlockedPairs.getOrElse(blockedIdPairs()),
@@ -271,7 +265,8 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
         pairs.join(seen, Seq("join_key_l", "join_key_r"), "left_anti")
       case None => pairs
     }
-    Predict.score(ComparisonVectors.compute(missing, concatWithTf, settings),
+    Predict.score(ComparisonVectors.compute(missing, concatWithTf, settings,
+        broadcastRecords = broadcastRecordsOk),
       settings, thresholdMatchWeight, thresholdMatchProbability)
   }
 
@@ -379,7 +374,8 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   def scorePairsFromLabels(labels: DataFrame): DataFrame = {
     val prepared = Labels.prepared(labels, settings)
     val cv = ComparisonVectors.compute(
-      Labels.idPairs(prepared, settings), concatWithTf, settings)
+      Labels.idPairs(prepared, settings), concatWithTf, settings,
+      broadcastRecords = broadcastRecordsOk)
     val scored = Predict.score(cv, settings)
     val uid = settings.uniqueIdColumn
     val sd = settings.sourceDatasetColumn
@@ -422,7 +418,7 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     // checkpoints would all materialise inside the caller's first action
     val chunks = (0 until numChunks).map { k =>
       val cv = ComparisonVectors.compute(pairs.filter(chunkCol === k),
-        concatWithTf, settings)
+        concatWithTf, settings, broadcastRecords = broadcastRecordsOk)
       Predict.score(cv, settings, None, thresholdMatchProbability)
         .breakLineage(true)
     }
@@ -457,7 +453,8 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
         concatWithTf.filter(chunkOf(numChunksLeft) === i),
         concatWithTf.filter(chunkOf(numChunksRight) === j), settings)
       Predict.score(
-        ComparisonVectors.compute(pairs, concatWithTf, settings),
+        ComparisonVectors.compute(pairs, concatWithTf, settings,
+          broadcastRecords = broadcastRecordsOk),
         settings, None, thresholdMatchProbability)
         .breakLineage(true) // eager: chunks run one after another
     }
@@ -484,8 +481,13 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     val newWithTf = settings.tfColumns.foldLeft(newRecords) { (df, c) =>
       df.join(TermFrequency.table(concat, c), Seq(c), "left")
     }
+    // both sides must fit: the corpus by the linker's own decision, the
+    // caller-supplied new-records frame measured directly (external frames
+    // with unknown stats estimate high and correctly decline)
     val pairsDf = ComparisonVectors.pairsFromIdsTwoFrames(
-      idPairs, concatWithTf, newWithTf, settings)
+      idPairs, concatWithTf, newWithTf, settings,
+      broadcastRecords = broadcastRecordsOk &&
+        ComparisonVectors.recordsBroadcastOk(newRecords))
     Predict.score(ComparisonVectors.addGammas(pairsDf, settings), settings,
       None, thresholdMatchProbability)
   }
@@ -790,7 +792,8 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     val s2 = overridden(linkTypeOverride, blockingRulesOverride)
     val concat2 = VerticalConcat(records, s2)
     val idPairs = Blocking.blockedIdPairs(concat2, s2)
-    val cv = ComparisonVectors.compute(idPairs, withRequiredTf(concat2, s2), s2)
+    val cv = ComparisonVectors.compute(idPairs, withRequiredTf(concat2, s2), s2,
+      broadcastRecords = ComparisonVectors.recordsBroadcastOk(concat2))
     Predict.score(cv, s2, thresholdMatchWeight, thresholdMatchProbability)
   }
 
@@ -834,7 +837,9 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     val idPairs = Blocking.pairsUnderRules(narrow(lc), narrow(rc), rules,
       extraFilter)
     val pairsDf = ComparisonVectors.pairsFromIdsTwoFrames(idPairs,
-      withRequiredTf(lc, s2), withRequiredTf(rc, s2), s2)
+      withRequiredTf(lc, s2), withRequiredTf(rc, s2), s2,
+      broadcastRecords = ComparisonVectors.recordsBroadcastOk(lc) &&
+        ComparisonVectors.recordsBroadcastOk(rc))
     Predict.score(ComparisonVectors.addGammas(pairsDf, s2), s2,
       thresholdMatchWeight, thresholdMatchProbability)
   }

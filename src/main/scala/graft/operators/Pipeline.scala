@@ -389,6 +389,24 @@ object ComparisonVectors {
     addGammas(
       pairsFromIds(idPairs, concatWithTf, settings, broadcastRecords),
       settings)
+
+  /** The shared SIZE decision behind `broadcastRecords` (see
+    * [[pairsFromIdsTwoFrames]]): whether a record frame's expanded rows
+    * fit `spark.graft.recordsBroadcastBytes` (default 256MB). Optimizer
+    * stats x4 for the parquet-compressed -> unsafe-row expansion; callers
+    * should measure the RAW input relation (file sources report real
+    * bytes) — persisted/checkpointed frames estimate unknown-HIGH and
+    * correctly decline, so a sampled/filtered derivative is covered by
+    * measuring its parent (fits ⇒ the subset fits). */
+  def recordsBroadcastOk(records: DataFrame): Boolean = {
+    val limit = records.sparkSession.conf
+      .getOption("spark.graft.recordsBroadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val est =
+      try records.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+      catch { case _: Exception => BigInt(Long.MaxValue) }
+    est <= limit
+  }
 }
 
 /**

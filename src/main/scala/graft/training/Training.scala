@@ -85,8 +85,13 @@ object Training {
     val chunkCol = pmod(hash(col("join_key_r")), lit(numChunks))
     var k = 0
     while (k < numChunks && !(k > 0 && enough)) {
+      // the records side is a SAMPLE of concat: measuring the raw concat
+      // (file-source stats) covers it — fits ⇒ the sample fits. The pair
+      // frame is a near-cartesian, so keeping it unshuffled matters most
+      // of anywhere in the library.
       val cv = ComparisonVectors.compute(
-        pairs.filter(chunkCol === k), withTf, uSettings)
+        pairs.filter(chunkCol === k), withTf, uSettings,
+        broadcastRecords = ComparisonVectors.recordsBroadcastOk(concat))
       gammaCounts(cv, settings).foreach { case (name, byGamma) =>
         val acc = merged.getOrElse(name, Map.empty)
         merged(name) = (acc.keySet ++ byGamma.keySet).map(g =>
@@ -154,7 +159,8 @@ object Training {
       blockingRules = Seq(BlockingRule.blockOn(labelColumn)))
     val pairs = Blocking.blockedIdPairs(concat, mSettings)
     val cv = ComparisonVectors.compute(pairs,
-      TermFrequency.joinAll(concat, settings.tfColumns), mSettings)
+      TermFrequency.joinAll(concat, settings.tfColumns), mSettings,
+      broadcastRecords = ComparisonVectors.recordsBroadcastOk(concat))
     applyLevelProbabilities(settings, gammaCounts(cv, settings), setM = true,
       sessionDesc = s"estimate m from label column $labelColumn")
   }
@@ -172,7 +178,8 @@ object Training {
     val concat = VerticalConcat(inputs, settings)
     val pairs = Labels.idPairs(labels, settings)
     val cv = ComparisonVectors.compute(pairs,
-      TermFrequency.joinAll(concat, settings.tfColumns), settings)
+      TermFrequency.joinAll(concat, settings.tfColumns), settings,
+      broadcastRecords = ComparisonVectors.recordsBroadcastOk(concat))
     applyLevelProbabilities(settings, gammaCounts(cv, settings), setM = true,
       sessionDesc = "estimate m from pairwise labels")
   }
@@ -541,8 +548,13 @@ object Training {
     val emSettings = settings.copy(blockingRules = Seq(trainingRule),
       comparisons = settings.comparisons)
     val pairs = Blocking.blockedIdPairs(concat, emSettings)
+    // the EM's per-iteration input: at the flagship scale the pair frame
+    // dwarfs the records, so the record joins broadcast by the same size
+    // decision as predict's (measured on the possibly-sampled concat plan,
+    // whose file-source stats are real; the sample filter only shrinks it)
     val cv = ComparisonVectors.compute(pairs,
-      TermFrequency.joinAll(concat, settings.tfColumns), emSettings)
+      TermFrequency.joinAll(concat, settings.tfColumns), emSettings,
+      broadcastRecords = ComparisonVectors.recordsBroadcastOk(concat))
 
     // agreement-pattern shrink: |pairs| rows -> |patterns| rows. With term
     // frequencies (reference default) the key extends by each TF

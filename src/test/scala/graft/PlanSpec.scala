@@ -72,6 +72,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("recordsBroadcastOk: known-small fits, unknown stats decline, 0-limit declines") {
+    import graft.operators.ComparisonVectors
+    import graft.operators.Materialise.Ops
+    // a tiny frame with real stats fits the 256MB default
+    assert(ComparisonVectors.recordsBroadcastOk(people))
+    // a lineage-broken frame has its origin stats dropped (freshStats) —
+    // unknown estimates high and must DECLINE, never broadcast blind
+    assert(!ComparisonVectors.recordsBroadcastOk(people.breakLineage(true)))
+    // the ceiling is live configuration
+    spark.conf.set("spark.graft.recordsBroadcastBytes", "0")
+    try assert(!ComparisonVectors.recordsBroadcastOk(people))
+    finally spark.conf.unset("spark.graft.recordsBroadcastBytes")
+  }
+
   test("predict plan has no UDF / python / CodegenFallback-only scoring nodes") {
     val linker = new Linker(people, settings)
     val s = planString(linker.predict())
