@@ -421,14 +421,19 @@ object DistributedBridges {
         Seq("cluster_id", "node"), "left")
       .join(childComps, Seq("cluster_id", "node"), "left")
       .groupBy(col("cluster_id"), col("node"))
+      // "children span >1 component" is min != max — NOT countDistinct,
+      // which Spark plans through an Expand that doubles the aggregate's
+      // input rows (one copy per distinct-aggregate group)
       .agg(first(col("own_comp")).as("own_comp"),
         count(col("child_comp")).as("n_children"),
-        countDistinct(col("child_comp")).as("n_child_comps"),
+        min(col("child_comp")).as("min_child_comp"),
+        max(col("child_comp")).as("max_child_comp"),
         max(when(col("child_comp") =!= col("own_comp"), 1)
           .otherwise(0)).as("any_foreign"))
     verdict.select(col("cluster_id"), col("node"),
       when(col("n_children") === 0, lit(false))
-        .when(col("own_comp").isNull, col("n_child_comps") > 1)
+        .when(col("own_comp").isNull,
+          col("min_child_comp") =!= col("max_child_comp"))
         .otherwise(col("any_foreign") === 1).as("is_articulation"))
   }
 }

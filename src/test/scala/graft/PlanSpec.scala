@@ -86,6 +86,17 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.recordsBroadcastBytes")
   }
 
+  test("distributed articulation verdict aggregates without an Expand") {
+    // "children span >1 aux component" is computed as min != max; a
+    // countDistinct here would double the verdict aggregate's input rows
+    // through RewriteDistinctAggregates' Expand
+    val edges = Seq((1L, 10L, 11L), (1L, 11L, 12L), (1L, 10L, 12L),
+      (1L, 10L, 13L)).toDF("cluster_id", "unique_id_l", "unique_id_r")
+    val df = graft.clustering.DistributedBridges.articulationPoints(edges)
+    assert(!df.queryExecution.executedPlan.toString.contains("Expand"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("predict plan has no UDF / python / CodegenFallback-only scoring nodes") {
     val linker = new Linker(people, settings)
     val s = planString(linker.predict())
