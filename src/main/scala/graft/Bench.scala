@@ -112,7 +112,11 @@ object Bench {
     // reference's headline "100M+ pairs on a cluster" shape) and the
     // forced distributed-only paths: one scale point pins no slope, so
     // all of these carry sf1 AND sf10 entries
-    "q_predict_tf", "q_cluster_dist", "q_one_to_one_dist", "q_em_mstep_dist")
+    "q_predict_tf", "q_cluster_dist", "q_one_to_one_dist", "q_em_mstep_dist",
+    // exact-substring span dedup — the OTHER flagship training-data dedup
+    // shape (window hashes -> cross-doc spans -> removal), measured to a
+    // third decade like the minhash family
+    "q_dup_spans")
 
   /** Generation markers. target/ persists across rounds, so a changed
     * generator must not silently reuse a stale fixture — and since sf10
