@@ -704,22 +704,43 @@ object ClusteringOps {
         // cluster with no surviving edges is absent, i.e. stable (the
         // reference's coalesce(min, 1.0))
         val relevant = e0.filter(col(probCol) >= tPrev)
-        val unstableIds = cc
+        val minp = cc
           .join(relevant, cc("node_id") === relevant(srcCol))
           .groupBy(col("cluster_id"))
           .agg(min(col(probCol)).as("__minp"))
-          .filter(col("__minp") < t)
-          .select("cluster_id")
-        val stable = cc.join(unstableIds, Seq("cluster_id"), "left_anti")
-        val unstableNodes = cc.join(unstableIds, Seq("cluster_id"), "left_semi")
-          .select(col("node_id"))
-        val unstableEdges = e0.filter(col(probCol) >= t)
-          .join(unstableNodes, e0(srcCol) === unstableNodes("node_id"),
-            "left_semi")
-        cc = stable.select(col("node_id"), col("cluster_id"))
-          .unionByName(ConnectedComponents.run(unstableEdges, srcCol, dstCol,
-            assumeDistinctPairs = true))
-          .breakLineage()
+          .persist()
+        // MOSTLY-UNSTABLE GUARD: the incremental result is bit-identical
+        // to a fresh solve at t (canonical min-node labels), so when the
+        // majority of edge-bearing clusters are unstable the stable-reuse
+        // machinery (two node-frame anti/semi joins + an edge semi-join —
+        // exchanges over the FULL clustering) costs more than it saves;
+        // solve the filtered edges directly instead. Both counts run on
+        // the cached per-cluster aggregate, which the unstable-ids filter
+        // reads anyway in the incremental branch. Stable-reuse keeps its
+        // win in the intended regime (high thresholds over trained
+        // predictions, where most clusters survive intact).
+        val nWithEdges = minp.count()
+        val nUnstable = minp.filter(col("__minp") < t).count()
+        cc =
+          if (2 * nUnstable >= nWithEdges)
+            ConnectedComponents.run(e0.filter(col(probCol) >= t), srcCol,
+              dstCol, assumeDistinctPairs = true).breakLineage()
+          else {
+            val unstableIds = minp.filter(col("__minp") < t)
+              .select("cluster_id")
+            val stable = cc.join(unstableIds, Seq("cluster_id"), "left_anti")
+            val unstableNodes = cc
+              .join(unstableIds, Seq("cluster_id"), "left_semi")
+              .select(col("node_id"))
+            val unstableEdges = e0.filter(col(probCol) >= t)
+              .join(unstableNodes, e0(srcCol) === unstableNodes("node_id"),
+                "left_semi")
+            stable.select(col("node_id"), col("cluster_id"))
+              .unionByName(ConnectedComponents.run(unstableEdges, srcCol,
+                dstCol, assumeDistinctPairs = true))
+              .breakLineage()
+          }
+        minp.unpersist(blocking = false)
         perThreshold += (t -> cc)
       case _ => () // single threshold: nothing incremental to do
     }
