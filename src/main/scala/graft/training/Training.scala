@@ -83,15 +83,16 @@ object Training {
         byGamma.getOrElse(g, 0L) >= minObsPerLevel }
     }
     val chunkCol = pmod(hash(col("join_key_r")), lit(numChunks))
+    // the records side is a SAMPLE of concat: measuring the raw concat
+    // (file-source stats) covers it — fits ⇒ the sample fits. The pair
+    // frame is a near-cartesian, so keeping it unshuffled matters most
+    // of anywhere in the library.
+    val broadcastRecs = ComparisonVectors.recordsBroadcastOk(concat)
     var k = 0
     while (k < numChunks && !(k > 0 && enough)) {
-      // the records side is a SAMPLE of concat: measuring the raw concat
-      // (file-source stats) covers it — fits ⇒ the sample fits. The pair
-      // frame is a near-cartesian, so keeping it unshuffled matters most
-      // of anywhere in the library.
       val cv = ComparisonVectors.compute(
         pairs.filter(chunkCol === k), withTf, uSettings,
-        broadcastRecords = ComparisonVectors.recordsBroadcastOk(concat))
+        broadcastRecords = broadcastRecs)
       gammaCounts(cv, settings).foreach { case (name, byGamma) =>
         val acc = merged.getOrElse(name, Map.empty)
         merged(name) = (acc.keySet ++ byGamma.keySet).map(g =>
