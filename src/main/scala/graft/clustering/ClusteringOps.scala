@@ -721,10 +721,15 @@ object ClusteringOps {
         // predictions, where most clusters survive intact).
         val nWithEdges = minp.count()
         val nUnstable = minp.filter(col("__minp") < t).count()
+        // EAGER checkpoint: the incremental branch reads the cached minp
+        // aggregate from BOTH union branches (stable anti-join + unstable
+        // semi-join — Spark does not CSE across branches), so it must
+        // materialise while minp is still persisted or the per-cluster
+        // aggregate re-evaluates twice at consumption time
         cc =
           if (2 * nUnstable >= nWithEdges)
             ConnectedComponents.run(e0.filter(col(probCol) >= t), srcCol,
-              dstCol, assumeDistinctPairs = true).breakLineage()
+              dstCol, assumeDistinctPairs = true).breakLineage(eager = true)
           else {
             val unstableIds = minp.filter(col("__minp") < t)
               .select("cluster_id")
@@ -738,7 +743,7 @@ object ClusteringOps {
             stable.select(col("node_id"), col("cluster_id"))
               .unionByName(ConnectedComponents.run(unstableEdges, srcCol,
                 dstCol, assumeDistinctPairs = true))
-              .breakLineage()
+              .breakLineage(eager = true)
           }
         minp.unpersist(blocking = false)
         perThreshold += (t -> cc)
