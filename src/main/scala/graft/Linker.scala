@@ -171,10 +171,6 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
     Blocking.blockedIdPairs(concat, effective, twoFrames)
   }
 
-  /** Comparison-vector frame for the model's blocking rules — or for a
-    * registered/pre-computed blocked-pairs table when one exists
-    * (`inference.py:353-360`: predict scores exactly the registered
-    * table). */
   /** Whether the record frame is small enough to BROADCAST into the
     * pairs-to-records joins (see `pairsFromIdsTwoFrames`' scaladoc — the
     * 100M+-pairs-from-modest-records regime where the pair frame must
@@ -188,6 +184,10 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
   private lazy val broadcastRecordsOk: Boolean =
     ComparisonVectors.recordsBroadcastOk(concat)
 
+  /** Comparison-vector frame for the model's blocking rules — or for a
+    * registered/pre-computed blocked-pairs table when one exists
+    * (`inference.py:353-360`: predict scores exactly the registered
+    * table). */
   def comparisonVectors(): DataFrame =
     ComparisonVectors.compute(registeredBlockedPairs.getOrElse(blockedIdPairs()),
       concatWithTf, settings, broadcastRecords = broadcastRecordsOk)
@@ -838,8 +838,8 @@ class Linker(val inputs: Seq[(String, DataFrame)], initialSettings: LinkSettings
       extraFilter)
     val pairsDf = ComparisonVectors.pairsFromIdsTwoFrames(idPairs,
       withRequiredTf(lc, s2), withRequiredTf(rc, s2), s2,
-      broadcastRecords = ComparisonVectors.recordsBroadcastOk(lc) &&
-        ComparisonVectors.recordsBroadcastOk(rc))
+      broadcastRecords = ComparisonVectors.recordsBroadcastOk(lc, sides = 2) &&
+        ComparisonVectors.recordsBroadcastOk(rc, sides = 2))
     Predict.score(ComparisonVectors.addGammas(pairsDf, s2), s2,
       thresholdMatchWeight, thresholdMatchProbability)
   }

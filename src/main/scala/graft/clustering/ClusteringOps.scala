@@ -50,14 +50,18 @@ object ClusteringOps {
       // best neighbour per node as a HASH AGGREGATE, not a sort window:
       // min_by over struct(-p, b) is ORDER BY p DESC, b ASC rank-1
       // (lexicographic min = largest p then smallest id, generic over the
-      // id type; null p coalesced to -Inf = NULLS LAST, negated to +Inf).
-      // Partial aggregation combines map-side so the exchange carries one
-      // row per node, and the full-frame sort disappears.
+      // id type; null AND NaN p coalesced to -Inf — both mean "no usable
+      // probability" and rank last; nanvl keeps the aggregate's ordering
+      // aligned with the driver path, where a raw desc() window would
+      // instead rank NaN greatest). Partial aggregation combines map-side
+      // so the exchange carries one row per node, and the full-frame sort
+      // disappears.
       // persisted: the mutuality check self-joins this frame, and Spark
       // does not CSE across self-join branches
       val best = sym.groupBy(col("a"))
         .agg(min_by(col("b"), struct(
-          -coalesce(col("p"), lit(Double.NegativeInfinity)),
+          -coalesce(nanvl(col("p"), lit(Double.NegativeInfinity)),
+            lit(Double.NegativeInfinity)),
           col("b"))).as("b"))
         .persist()
       // mutual: (a -> b) and (b -> a) both rank-1
@@ -111,10 +115,13 @@ object ClusteringOps {
     * repeat). */
   private def driverOneToOne(remaining: DataFrame, maxRounds: Int): DataFrame = {
     val spark = remaining.sparkSession
-    // null probability sorts LAST under the distributed window's ORDER BY
-    // p DESC (Spark desc = nulls last) — mirror it as -Inf, don't NPE
-    var edges = remaining.collect().map(r => (r.getLong(0), r.getLong(1),
-      if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2)))
+    // null/NaN probability ranks LAST under the distributed aggregate
+    // (both coalesced to -Inf there) — mirror it here, don't NPE
+    var edges = remaining.collect().map { r =>
+      val p = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
+      (r.getLong(0), r.getLong(1),
+        if (p.isNaN) Double.NegativeInfinity else p)
+    }
     // the collect fully consumed the loop-owned materialised edge frame
     graft.operators.Materialise.releaseConsumed(remaining)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -328,15 +335,17 @@ object ClusteringOps {
       // best neighbour per cluster as a HASH AGGREGATE, not a sort window:
       // min_by over struct(-p, rb) reproduces ORDER BY p DESC, rb ASC
       // rank-1 exactly (lexicographic min = largest p, then smallest id;
-      // null p coalesced to -Inf = the window's NULLS LAST, and negation
-      // sends it to +Inf). The partial aggregate combines map-side, so the
+      // null AND NaN p coalesced to -Inf — missing probability ranks
+      // last, and nanvl keeps this aggregate consistent with the driver
+      // path). The partial aggregate combines map-side, so the
       // exchange carries one row per cluster instead of the whole
       // symmetric edge frame, and the full-frame sort disappears.
       // persisted before the mutuality self-join (no CSE across self-join
       // branches): unpersisted, the aggregate evaluates once per branch
       val best = sym.groupBy(col("ra"))
         .agg(min_by(col("rb"), struct(
-          -coalesce(col("p"), lit(Double.NegativeInfinity)),
+          -coalesce(nanvl(col("p"), lit(Double.NegativeInfinity)),
+            lit(Double.NegativeInfinity)),
           col("rb"))).as("rb"))
         .persist()
       // the mutuality probe joins best with ITSELF (one row per cluster,
@@ -438,10 +447,14 @@ object ClusteringOps {
       tiesMethod: String, maxRounds: Int): DataFrame = {
     val spark = e0raw.sparkSession
     import spark.implicits._
-    // null probability = -Inf, matching the distributed ORDER BY p DESC
-    // (nulls last) instead of a data-dependent NullPointerException
-    val allEdges = e0raw.collect().map(r => (r.getLong(0), r.getLong(1),
-      if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2)))
+    // null/NaN probability = -Inf, matching the distributed aggregate
+    // (both coalesced there) instead of a data-dependent NPE or an
+    // inconsistent NaN ordering
+    val allEdges = e0raw.collect().map { r =>
+      val p = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
+      (r.getLong(0), r.getLong(1),
+        if (p.isNaN) Double.NegativeInfinity else p)
+    }
     // the collect fully consumed the loop-owned materialised edge frame
     graft.operators.Materialise.releaseConsumed(e0raw)
     val nodes0 = allEdges.flatMap(e => Seq(e._1, e._2)).distinct

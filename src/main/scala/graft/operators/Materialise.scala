@@ -193,13 +193,42 @@ object Materialise {
     * truncated lineage "cannot be recomputed after unpersisting" — which
     * is exactly this operator's documented contract (the caller proved
     * the frame dead), so an iterative solve would otherwise emit one
-    * spurious warning line per released frame. Raised to ERROR once, for
-    * that one RDD logger only. */
+    * spurious warning line per released frame. Suppressed with a
+    * MESSAGE-MATCHING filter on that one RDD logger (not a level
+    * override): only events whose text contains the exact
+    * lineage-truncation phrase are dropped, so every other warning the
+    * class emits — including from unrelated user code sharing the JVM —
+    * still reaches the log. */
   private lazy val rddUnpersistWarnSilenced: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // non-log4j2 backends: keep the noise
+    try {
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.AbstractFilter
+      val loggerName = "org.apache.spark.rdd.MapPartitionsRDD"
+      val ctx = org.apache.logging.log4j.LogManager
+        .getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val existing = cfg.getLoggerConfig(loggerName)
+      // a dedicated LoggerConfig for exactly this logger name (additive,
+      // same level): never mutate an ancestor config shared by other loggers
+      val target =
+        if (existing.getName == loggerName) existing
+        else {
+          val lc = new LoggerConfig(loggerName, existing.getLevel, true)
+          cfg.addLogger(loggerName, lc)
+          lc
+        }
+      target.addFilter(new AbstractFilter {
+        override def filter(event: LogEvent): Filter.Result = {
+          val msg = event.getMessage
+          if (msg != null && String.valueOf(msg.getFormattedMessage)
+              .contains("cannot be recomputed after unpersisting"))
+            Filter.Result.DENY
+          else Filter.Result.NEUTRAL
+        }
+      })
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () } // non-log4j2 backends: keep the noise
 
   /** Run `body` with the session policy temporarily set to `p`. */
   def withSessionPolicy[T](spark: SparkSession, p: Policy)(body: => T): T = {

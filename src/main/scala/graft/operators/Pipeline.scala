@@ -393,17 +393,31 @@ object ComparisonVectors {
   /** The shared SIZE decision behind `broadcastRecords` (see
     * [[pairsFromIdsTwoFrames]]): whether a record frame's expanded rows
     * fit `spark.graft.recordsBroadcastBytes` (default 256MB). Optimizer
-    * stats x4 for the parquet-compressed -> unsafe-row expansion; callers
-    * should measure the RAW input relation (file sources report real
-    * bytes) — persisted/checkpointed frames estimate unknown-HIGH and
-    * correctly decline, so a sampled/filtered derivative is covered by
-    * measuring its parent (fits ⇒ the subset fits). */
-  def recordsBroadcastOk(records: DataFrame): Boolean = {
-    val limit = records.sparkSession.conf
-      .getOption("spark.graft.recordsBroadcastBytes")
-      .map(_.toLong).getOrElse(256L << 20)
+    * stats are multiplied by `spark.graft.recordsBroadcastExpansion`
+    * (default 4) for the parquet-compressed -> unsafe-row expansion —
+    * string-heavy inputs that compress well past 4x should raise the
+    * factor (or lower the byte ceiling), because an UNDERestimate here
+    * does not merely slow the join down: it drives a driver collect and
+    * one hashed relation per executor past their memory budgets (OOM,
+    * not a plan regression). Callers should measure the RAW input
+    * relation (file sources report real bytes) —
+    * persisted/checkpointed frames estimate unknown-HIGH and correctly
+    * decline, so a sampled/filtered derivative is covered by measuring
+    * its parent (fits ⇒ the subset fits). When the measured frame covers
+    * only ONE of two sides that will both broadcast (e.g.
+    * `predictBetween`'s role frames, measured separately), pass
+    * `sides = 2`: the ceiling is split across the sides so the combined
+    * executor footprint stays inside the single configured budget. The
+    * usual `concat` callers keep `sides = 1` — concat IS the union of
+    * every broadcast side, so it already measures the combined total. */
+  def recordsBroadcastOk(records: DataFrame, sides: Int = 1): Boolean = {
+    val conf = records.sparkSession.conf
+    val limit = conf.getOption("spark.graft.recordsBroadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20) / math.max(1, sides)
+    val expansion = conf.getOption("spark.graft.recordsBroadcastExpansion")
+      .map(_.toInt).getOrElse(4)
     val est =
-      try records.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+      try records.queryExecution.optimizedPlan.stats.sizeInBytes * expansion
       catch { case _: Exception => BigInt(Long.MaxValue) }
     est <= limit
   }

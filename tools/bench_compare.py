@@ -8,9 +8,10 @@ round-over-round comparison needs — byte-equal stats across 2.5x timing
 swings were how the r11 G1-aging and page-cache effects were isolated.
 
 Usage: python3 tools/bench_compare.py OLD.json NEW.json [--section sf10]
+(both `--section sf10` and `--section=sf10` are accepted; repeatable)
 """
+import argparse
 import json
-import sys
 
 
 def load(path):
@@ -25,12 +26,17 @@ def stats_of(rec, section):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sections = [a.split("=", 1)[1] for a in sys.argv[1:]
-                if a.startswith("--section=")] or ["sf0.1", "sf1", "sf10"]
-    if len(args) != 2:
-        sys.exit(__doc__)
-    old, new = load(args[0]), load(args[1])
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("old", help="baseline bench_out.json recording")
+    parser.add_argument("new", help="candidate bench_out.json recording")
+    parser.add_argument("--section", action="append",
+                        choices=["sf0.1", "sf1", "sf10"],
+                        help="limit to one bench section (repeatable; "
+                             "default: all three)")
+    ns = parser.parse_args()  # unrecognised flags error out here
+    sections = ns.section or ["sf0.1", "sf1", "sf10"]
+    old, new = load(ns.old), load(ns.new)
     keys = ("tasks", "shuffle_read_bytes", "shuffle_write_bytes")
     for section in sections:
         so, sn = stats_of(old, section), stats_of(new, section)
