@@ -257,9 +257,18 @@ object ConnectedComponents {
     var activeCount = if (splitJumps) -1L else reps0.count()
     def pointerTable: DataFrame =
       (settledSlices :+ active).reduce(_.unionByName(_))
+    // Safety valve: each jump doubles the compressed pointer depth, so the
+    // default cap of 40 covers trees 2^40 deep — unreachable from real
+    // data. If the loop ever DOES exit with movers left, the labelling is
+    // not at closure and silently returning it would hand the contraction
+    // (and the caller) non-canonical representatives, so the cap is a loud
+    // failure, not a fallback. Configurable for tests that exercise it.
+    val maxJumps = edges.sparkSession.conf
+      .getOption("spark.graft.cc.maxJumps").map(_.toInt).getOrElse(40)
     var jumping = true
     var jumps = 0
-    while (jumping && jumps < 40) {
+    var lastMovers = -1L
+    while (jumping && jumps < maxJumps) {
       jumps += 1
       // Either path BREAKS LINEAGE into flat LogicalRDD plans, never
       // persist alone: the next jump embeds the active plan in both join
@@ -320,13 +329,24 @@ object ConnectedComponents {
       // frame) is dead
       if (jumps == 1) reps0.unpersist()
       else graft.operators.Materialise.releaseConsumed(prevActive)
+      lastMovers = movers
       if (verbose) System.err.println(
         f"[cc]   jump $jumps%d (moving=$movers%d) " +
           f"${(System.nanoTime() - levelT0) / 1e9}%.2fs")
     }
-    // split path: every row has settled (the final active frame is empty
-    // when the loop closed; non-empty only at the 40-jump safety valve).
-    // whole-frame path: settledSlices stays empty and reps == active.
+    if (jumping)
+      // the loop exited at the cap, not at fixpoint: pointers are still
+      // moving, so the labels below would be non-canonical. Fail loudly —
+      // a clustering operator must never return wrong labels silently.
+      throw new IllegalStateException(
+        s"connected-components pointer-jump loop hit the jump cap " +
+          s"($maxJumps jumps, spark.graft.cc.maxJumps) with $lastMovers " +
+          s"row(s) still moving: the labelling has not reached closure. " +
+          s"The default cap covers pointer trees 2^40 deep; hitting it " +
+          s"indicates either a forced low cap or corrupt input ids.")
+    // split path: every row has settled (the final active frame is empty —
+    // the cap case throws above). whole-frame path: settledSlices stays
+    // empty and reps == active.
     val reps: DataFrame = pointerTable
     if (verbose) System.err.println(
       f"[cc]   reps closed ${(System.nanoTime() - levelT0) / 1e9}%.2fs")

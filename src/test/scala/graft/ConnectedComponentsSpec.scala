@@ -60,6 +60,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("jump-cap valve fails loudly instead of returning unconverged labels") {
+    // a monotone path leaves pointer chains that need several jumps to
+    // reach closure; with the cap forced to 1 the loop must THROW (a
+    // silent return would hand back non-canonical labels)
+    val n = 24
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("unique_id_l", "unique_id_r")
+    spark.conf.set("spark.graft.cc.maxJumps", "1")
+    try {
+      val ex = intercept[IllegalStateException] {
+        ConnectedComponents.run(edges, smallGraphThreshold = 0L).collect()
+      }
+      assert(ex.getMessage.contains("jump cap"))
+      assert(ex.getMessage.contains("still moving"))
+    } finally spark.conf.unset("spark.graft.cc.maxJumps")
+    // same graph under the default cap converges fine
+    val got = ConnectedComponents.run(edges, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L))
+  }
+
   test("random graphs match union-find oracle (driver and distributed paths)") {
     val rng = new Random(42)
     for (trial <- 1 to 4) {

