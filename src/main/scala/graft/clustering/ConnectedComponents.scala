@@ -246,6 +246,14 @@ object ConnectedComponents {
     // measured at 2.7M rows the round-trips cost MORE than the
     // sort-merge they replace (4.9s vs 3.6s), at ~40k rows they win
     // ~2x. 1M rows ~= 32MB hashed relation on the driver.
+    // SPLIT PATH ONLY: under the whole-frame loop `activeCount` is the
+    // constant node count (never a shrinking mover count), `active` IS
+    // the full pointer table, and the semi-reduce reduces nothing — it
+    // just adds two scheduled driver round-trips to every jump of a
+    // frame whose sort-merge join is already trivial at that size.
+    // Measured on the forced-distributed 150k-node sf0.1 graph: the
+    // ungated round-trips were ~2 extra jobs per jump, 707 vs 241 tasks
+    // for the same solve, ~+2.5s of pure per-jump fixed cost.
     val broadcastJumpNodes = edges.sparkSession.conf
       .getOption("spark.graft.cc.broadcastJumpNodes").map(_.toLong)
       .getOrElse(1000000L)
@@ -279,7 +287,7 @@ object ConnectedComponents {
       val lookupAll = pointerTable.select(col("node_id").as("rep_node"),
         col("representative").as("rep_rep"))
       val lookup =
-        if (activeCount >= 0 && activeCount <= broadcastJumpNodes)
+        if (splitJumps && activeCount >= 0 && activeCount <= broadcastJumpNodes)
           broadcast(lookupAll.join(
             broadcast(active.select(col("representative").as("rep_key"))
               .distinct()),
