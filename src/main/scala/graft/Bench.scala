@@ -96,7 +96,11 @@ object Bench {
     // (pattern-cap / union-find / mutual-best): the gated fast paths
     // dominate the main suite, so these three put the actual 100 TB code
     // paths on the measured scale point
-    "q_em_mstep_dist", "q_cluster_dist", "q_one_to_one_dist")
+    "q_em_mstep_dist", "q_cluster_dist", "q_one_to_one_dist",
+    // the FULL multi-iteration EM training loop (pattern aggregate once,
+    // three E/M rounds): the reference's training story, not just one
+    // M-step, on a measured slope
+    "q_em_train")
 
   /** Third scale decade: the iterative graph ops (their slopes are the
     * suite's steepest — round-count growth — and two points cannot pin a
@@ -116,7 +120,9 @@ object Bench {
     // exact-substring span dedup — the OTHER flagship training-data dedup
     // shape (window hashes -> cross-doc spans -> removal), measured to a
     // third decade like the minhash family
-    "q_dup_spans")
+    "q_dup_spans",
+    // full 3-iteration EM training on the third decade (pairs ~90M here)
+    "q_em_train")
 
   /** Generation markers. target/ persists across rounds, so a changed
     * generator must not silently reuse a stale fixture — and since sf10

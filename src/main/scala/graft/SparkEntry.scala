@@ -46,7 +46,7 @@ object SparkEntry {
 
   /** The linkage model used by the ER queries: dedupe customers, blocking
     * on (nation, mktsegment) then (nation, acctbal-bucket). */
-  private def customerSettings: LinkSettings = LinkSettings(
+  private[graft] def customerSettings: LinkSettings = LinkSettings(
     linkType = LinkType.DedupeOnly,
     blockingRules = Seq(
       BlockingRule.blockOn("c_nationkey", "c_mktsegment"),
@@ -99,14 +99,18 @@ object SparkEntry {
     (edges, nodeDs)
   }
 
-  /** One EM iteration over blocked customer pairs, parameters flattened to
-    * rows — shared by q_em_mstep (driver M-step) and q_em_mstep_dist
-    * (forced distributed M-step). */
-  private def emMstep(s: SparkSession, dir: String): DataFrame = {
+  /** One-or-more EM iterations over blocked customer pairs, parameters
+    * flattened to rows — shared by q_em_mstep (driver M-step, 1
+    * iteration), q_em_mstep_dist (forced distributed M-step) and
+    * q_em_train (the full multi-iteration training loop; tolerance 0
+    * pins the iteration count so the DuckDB oracle can unroll it
+    * exactly). */
+  private def emMstep(s: SparkSession, dir: String,
+      maxIterations: Int = 1, tolerance: Double = 1e-4): DataFrame = {
     val res = Training.expectationMaximisation(
       Seq("customer" -> customers(s, dir)), customerSettings,
       BlockingRule.blockOn("c_nationkey", "c_mktsegment"),
-      fixU = false, maxIterations = 1)
+      fixU = false, maxIterations = maxIterations, tolerance = tolerance)
     val rows = res.settings.comparisons.flatMap { cmp =>
       cmp.activeLevelsWithGamma.flatMap { case (lv, g) =>
         Seq(("m", cmp.outputColumnName, g, lv.m.get),
@@ -1331,6 +1335,16 @@ object SparkEntry {
       finally s.conf.unset("spark.graft.em.maxPatterns")
     }),
 
+    // the FULL training loop (`expectation_maximisation.py:225-311`):
+    // three complete E/M iterations — pattern aggregate built once,
+    // parameters re-estimated and fed back twice more — with tolerance 0
+    // so the iteration count is data-independent and the DuckDB oracle
+    // can unroll the exact same three rounds as chained CTEs. This is
+    // the reference's estimate_parameters_using_expectation_maximisation
+    // story measured end to end (the mstep queries time one iteration).
+    "q_em_train" -> ((s, dir) =>
+      emMstep(s, dir, maxIterations = 3, tolerance = 0.0)),
+
     // §2.10/§2.12 estimate-u: deterministic hash sample sized for ~1M
     // pairs, cartesian self-join, u = each level's share of non-null
     // gammas (`estimate_u.py:443-517`). numChunks=1 keeps the replay
@@ -1816,6 +1830,96 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'lambda', '', CAST(-1 AS INT),
          |  round(sum(prob * n) / sum(n), 9) FROM p""".stripMargin
+
+  /** q_em_train's oracle: `iterations` complete E/M rounds unrolled as
+    * chained CTEs. Each round scores the (once-computed) agreement
+    * patterns from the PREVIOUS round's parameter table (par{k-1} /
+    * lam{k-1}), then re-estimates. Faithful to the engine's emCore:
+    * a gamma of -1 contributes factor 1.0 (the LEFT JOIN misses),
+    * observed factors are floored at 1e-32 (ProbFloor), a level that
+    * never appears in any pattern re-estimates internally to 0.0 but is
+    * REPORTED as the 1e-6 unobserved sentinel (the engine's merge-back
+    * records LEVEL_NOT_OBSERVED for it — final `obs` join), and an
+    * entirely-unobserved comparison records the sentinel for every
+    * level. */
+  private def emTrainOracleSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { k =>
+      val j = k - 1
+      s"""p$k AS (
+         |  SELECT gn, gb, n, pm / (pm + pu) AS prob FROM (
+         |    SELECT g.gn, g.gb, g.n,
+         |      lam.lam
+         |        * greatest(coalesce(mn.m, 1.0), 1e-32)
+         |        * greatest(coalesce(mb.m, 1.0), 1e-32) AS pm,
+         |      (1.0 - lam.lam)
+         |        * greatest(coalesce(mn.u, 1.0), 1e-32)
+         |        * greatest(coalesce(mb.u, 1.0), 1e-32) AS pu
+         |    FROM g CROSS JOIN lam$j lam
+         |    LEFT JOIN par$j mn ON mn.comparison = 'c_name' AND mn.gamma = g.gn
+         |    LEFT JOIN par$j mb ON mb.comparison = 'c_acctbal' AND mb.gamma = g.gb)),
+         |agg$k AS (
+         |  SELECT 'c_name' AS comparison, gn AS gamma,
+         |         sum(prob * n) AS mw, sum((1 - prob) * n) AS uw
+         |  FROM p$k WHERE gn >= 0 GROUP BY gn
+         |  UNION ALL
+         |  SELECT 'c_acctbal', gb, sum(prob * n), sum((1 - prob) * n)
+         |  FROM p$k WHERE gb >= 0 GROUP BY gb),
+         |tot$k AS (SELECT comparison, sum(mw) AS md, sum(uw) AS ud
+         |          FROM agg$k GROUP BY comparison),
+         |par$k AS (
+         |  SELECT lv.comparison, lv.gamma,
+         |    CASE WHEN coalesce(tot$k.md, 0) = 0 THEN 1e-6
+         |         ELSE coalesce(agg$k.mw, 0) / tot$k.md END AS m,
+         |    CASE WHEN coalesce(tot$k.ud, 0) = 0 THEN 1e-6
+         |         ELSE coalesce(agg$k.uw, 0) / tot$k.ud END AS u
+         |  FROM lv
+         |  LEFT JOIN agg$k ON lv.comparison = agg$k.comparison
+         |                 AND lv.gamma = agg$k.gamma
+         |  LEFT JOIN tot$k ON lv.comparison = tot$k.comparison),
+         |lam$k AS (SELECT sum(prob * n) / sum(n) AS lam FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (
+       |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
+       |  FROM customer l JOIN customer r
+       |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+       |   AND l.c_custkey < r.c_custkey),
+       |g AS (
+       |  SELECT $oracleGammaName AS gn, $oracleGammaBal AS gb, count(*) AS n
+       |  FROM pr p JOIN customer l ON p.uid_l = l.c_custkey
+       |            JOIN customer r ON p.uid_r = r.c_custkey
+       |  GROUP BY 1, 2),
+       |lv AS (SELECT * FROM (VALUES
+       |  ('c_name', 3), ('c_name', 2), ('c_name', 1), ('c_name', 0),
+       |  ('c_acctbal', 2), ('c_acctbal', 1), ('c_acctbal', 0))
+       |  AS t(comparison, gamma)),
+       |par0 AS (SELECT * FROM (VALUES
+       |  ('c_name', 3, 0.9::DOUBLE, 0.001::DOUBLE),
+       |  ('c_name', 2, 0.05::DOUBLE, 0.01::DOUBLE),
+       |  ('c_name', 1, 0.03::DOUBLE, 0.05::DOUBLE),
+       |  ('c_name', 0, 0.02::DOUBLE, 0.939::DOUBLE),
+       |  ('c_acctbal', 2, 0.7::DOUBLE, 0.02::DOUBLE),
+       |  ('c_acctbal', 1, 0.2::DOUBLE, 0.03::DOUBLE),
+       |  ('c_acctbal', 0, 0.1::DOUBLE, 0.95::DOUBLE))
+       |  AS t(comparison, gamma, m, u)),
+       |lam0 AS (SELECT 0.001::DOUBLE AS lam),
+       |$iterCtes,
+       |obs AS (
+       |  SELECT 'c_name' AS comparison, gn AS gamma FROM g WHERE gn >= 0 GROUP BY gn
+       |  UNION ALL
+       |  SELECT 'c_acctbal', gb FROM g WHERE gb >= 0 GROUP BY gb)
+       |SELECT 'm' AS param, p.comparison, CAST(p.gamma AS INT) AS gamma,
+       |       round(CASE WHEN o.gamma IS NULL THEN 1e-6 ELSE p.m END, 9) AS value
+       |FROM par$iterations p LEFT JOIN obs o
+       |  ON p.comparison = o.comparison AND p.gamma = o.gamma
+       |UNION ALL
+       |SELECT 'u', p.comparison, CAST(p.gamma AS INT),
+       |       round(CASE WHEN o.gamma IS NULL THEN 1e-6 ELSE p.u END, 9)
+       |FROM par$iterations p LEFT JOIN obs o
+       |  ON p.comparison = o.comparison AND p.gamma = o.gamma
+       |UNION ALL
+       |SELECT 'lambda', '', CAST(-1 AS INT), round(lam, 9)
+       |FROM lam$iterations""".stripMargin
+  }
 
   /** The blocking-advisor oracle: the six-candidate (3 singletons + 3
     * pairs) lattice as per-set GROUP BY replays — ONE builder so the
@@ -3288,6 +3392,8 @@ object SparkEntry {
     "q_em_mstep" -> emMstepOracleSql,
 
     "q_em_mstep_dist" -> emMstepOracleSql,
+
+    "q_em_train" -> emTrainOracleSql(3),
 
     // estimate-u replay: portable-hash sample (trunc to match Scala's
     // toLong), cartesian l<r, u = per-level share of non-null gammas;

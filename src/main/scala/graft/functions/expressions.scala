@@ -64,6 +64,35 @@ case class DamerauLevenshtein(left: Expression, right: Expression) extends Strin
     copy(left = l, right = r)
 }
 
+/** `levenshtein(l, r) <= bound` as ONE banded early-exit kernel (see
+  * [[StringSim.levenshteinWithin]]): the bounded predicate is what
+  * comparison levels actually ask, and deciding it costs O(n*bound)
+  * instead of the built-in's full O(n*m) matrix — the dominant term of
+  * the gamma hot path at 100M+ pairs. The byte-equality fast path skips
+  * the DP entirely for exact matches. `bound` is a Scala field, not a
+  * child: levels always use a literal threshold, and keeping the arity
+  * binary reuses the standard null-intolerant codegen. */
+case class LevenshteinLte(left: Expression, right: Expression, bound: Int)
+    extends StringPairExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "levenshtein_lte"
+  protected def staticMethod = "" // unused: doGenCode overridden
+  protected def compute(a: CharSequence, b: CharSequence): Any =
+    StringSim.levenshteinWithin(a, b, bound)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ua = a.asInstanceOf[UTF8String]
+    val ub = b.asInstanceOf[UTF8String]
+    ua.equals(ub) || StringSim.levenshteinWithin(
+      StringSim.cs(ua), StringSim.cs(ub), bound)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"($a.equals($b) || graft.functions.StringSim.levenshteinWithin(" +
+        s"graft.functions.StringSim.cs($a), graft.functions.StringSim.cs($b), $bound))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LevenshteinLte =
+    copy(left = l, right = r)
+}
+
 /** Char-bigram Jaccard, matching the reference jar's `jaccard` UDF surface. */
 case class JaccardSim(left: Expression, right: Expression) extends StringPairExpression {
   override def dataType: DataType = DoubleType
@@ -203,6 +232,8 @@ object funcs {
   def jaro_sim(l: Column, r: Column): Column = expr(JaroSim(ex(l), ex(r)))
   def jaro_winkler(l: Column, r: Column): Column = expr(JaroWinklerSim(ex(l), ex(r)))
   def damerau_levenshtein(l: Column, r: Column): Column = expr(DamerauLevenshtein(ex(l), ex(r)))
+  def levenshtein_lte(l: Column, r: Column, d: Int): Column =
+    expr(LevenshteinLte(ex(l), ex(r), d))
   def jaccard_sim(l: Column, r: Column): Column = expr(JaccardSim(ex(l), ex(r)))
   def jaccard_chars(l: Column, r: Column): Column = expr(JaccardChars(ex(l), ex(r)))
   def metaphone(c: Column): Column = expr(Metaphone(ex(c)))
@@ -249,6 +280,8 @@ object funcs {
     "jaro_sim" -> (es => JaroSim(es(0), es(1))),
     "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
     "damerau_levenshtein" -> (es => DamerauLevenshtein(es(0), es(1))),
+    "levenshtein_lte" -> (es => LevenshteinLte(es(0), es(1),
+      es(2).eval(null).asInstanceOf[Int])),
     "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
     "metaphone" -> (es => Metaphone(es(0))),
     "dmetaphone" -> (es => DMetaphone(es(0))),

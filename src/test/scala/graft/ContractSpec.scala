@@ -48,6 +48,7 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       "jaro_sim" -> "jaro_sim('martha', 'marhta')",
       "jaro_winkler" -> "jaro_winkler('martha', 'marhta')",
       "damerau_levenshtein" -> "damerau_levenshtein('ab', 'ba')",
+      "levenshtein_lte" -> "levenshtein_lte('kitten', 'sitting', 3)",
       "jaccard_sim" -> "jaccard_sim('abc', 'abd')",
       "dmetaphone" -> "dmetaphone('smith')",
       "metaphone" -> "metaphone('smith')",

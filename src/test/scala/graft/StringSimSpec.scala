@@ -31,6 +31,40 @@ class StringSimSpec extends AnyFunSuite {
     assert(StringSim.damerauLevenshtein("martha", "marhta") == 1)
   }
 
+  test("banded levenshteinWithin agrees with the full DP on random strings") {
+    def naiveLev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // fixed cases across the band boundaries
+    assert(StringSim.levenshteinWithin("", "", 0))
+    assert(StringSim.levenshteinWithin("", "abc", 3))
+    assert(!StringSim.levenshteinWithin("", "abcd", 3))
+    assert(StringSim.levenshteinWithin("kitten", "sitting", 3))
+    assert(!StringSim.levenshteinWithin("kitten", "sitting", 2))
+    assert(!StringSim.levenshteinWithin("abc", "abc", -1))
+    // random fuzz: small alphabet forces near-matches; every (pair, d)
+    // must agree with the unbanded full-matrix distance
+    val rng = new scala.util.Random(7)
+    def randStr() = {
+      val n = rng.nextInt(25)
+      (1 to n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    }
+    for (_ <- 1 to 2000) {
+      val (a, b) = (randStr(), randStr())
+      val exact = naiveLev(a, b)
+      for (d <- 0 to 6) {
+        assert(StringSim.levenshteinWithin(a, b, d) == (exact <= d),
+          s"'$a' vs '$b' d=$d exact=$exact")
+      }
+    }
+  }
+
   test("qgram jaccard") {
     assert(StringSim.jaccardQgram("abc", "abc", 2) == 1.0)
     // bigrams: {ab,bc} vs {ab,bd}: inter 1, union 3
