@@ -52,6 +52,20 @@ object DistributedBridges {
   private def freshen(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
 
+  /** Per-phase wall timers (`SPARK_GRAFT_BRIDGE_VERBOSE=1`). Marking a
+    * phase EAGERLY counts its frame, so phase costs stop hiding in the
+    * final action — verbose mode trades extra jobs for attribution and
+    * must stay off in production runs. */
+  private val verbose = sys.env.get("SPARK_GRAFT_BRIDGE_VERBOSE").contains("1")
+  private def mark(t0: Long, phase: String)(df: DataFrame): DataFrame = {
+    if (verbose) {
+      val n = df.count()
+      System.err.println(f"[bridge]   $phase: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs (rows=$n%d)")
+    }
+    df
+  }
+
   /** BFS spanning forest shared by [[bridges]] and [[articulationPoints]].
     * @param in      (cluster_id, a, b) original edges, lineage-free
     * @param pairs   (cluster_id, u, v, mult) distinct undirected pairs
@@ -59,7 +73,7 @@ object DistributedBridges {
     *                parent null at the root (= min node id of the cluster)
     * @param depth   max BFS depth reached */
   private case class Forest(in: DataFrame, pairs: DataFrame,
-      visited: DataFrame, depth: Int)
+      visited: DataFrame, depth: Int, clusterKeyed: Boolean)
 
   private def buildForest(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int): Forest = {
@@ -74,13 +88,42 @@ object DistributedBridges {
       .breakLineage()
     val in = spark.createDataFrame(checked.rdd, checked.schema)
 
+    // CLUSTER-KEYED PARTITIONING GATE: every shuffle downstream of here —
+    // the pair dedupe, node distinct, root/BFS aggregates, all three
+    // articulation folds — clusters on a key list that STARTS with
+    // cluster_id, so one hash partitioning on cluster_id alone satisfies
+    // all of them (ClusteredDistribution is subset-satisfiable) and the
+    // checkpoints preserve it (freshStats keeps outputPartitioning).
+    // That collapses ~a dozen full-frame exchanges into one. It is only
+    // SAFE when no single cluster dominates a partition: the
+    // many-modest-clusters regime. One giant hairball must keep compound
+    // keys for per-key parallelism, so gate on the MEASURED max
+    // edges-per-cluster against an even partition's share (x4 headroom).
+    // The extra aggregate is one map-combined pass over the checkpointed
+    // input — cheap next to the exchanges it removes.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val loadRow = in.groupBy("cluster_id").agg(count(lit(1)).as("ce"))
+      .agg(max(col("ce")), sum(col("ce"))).collect()(0)
+    val clusterKeyed = !loadRow.isNullAt(0) &&
+      loadRow.getLong(0) * 4L * parts <= loadRow.getLong(1)
+    if (verbose) System.err.println(
+      s"[bridge]   clusterKeyed=$clusterKeyed (maxEdges=${loadRow.get(0)}, " +
+        s"totalEdges=${loadRow.get(1)}, parts=$parts)")
+    val src = if (clusterKeyed) in.repartition(parts, col("cluster_id")) else in
+
     // undirected pair multiplicities; self-loops never bridge and are
     // excluded from the graph entirely (re-attached as false at the end)
-    val pairs = in.filter(col("a") =!= col("b"))
+    // under keying, write pairs sorted on its own join key: the non-tree
+    // anti-join and the duplicate-tree semi-join both probe it on
+    // (cluster_id, u, v), and checkpointed ordering (freshStats keeps
+    // outputOrdering) lets those SMJs skip their sort on this side
+    val pairsAgg = src.filter(col("a") =!= col("b"))
       .select(col("cluster_id"),
         least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .groupBy("cluster_id", "u", "v").agg(count(lit(1)).as("mult"))
-      .breakLineage()
+    val pairs = (if (clusterKeyed)
+        pairsAgg.sortWithinPartitions("cluster_id", "u", "v")
+      else pairsAgg).breakLineage()
 
     // no checkpoint: adj is a trivial explode over the checkpointed pairs,
     // re-deriving it per BFS round reads cached blocks + one cheap operator
@@ -137,8 +180,24 @@ object DistributedBridges {
       levels += next
       frontier = next
     }
-    val visited = levels.map(freshen).reduce(_.unionByName(_))
-    Forest(in, pairs, visited, depth)
+    // under cluster keying the level UNION would forget the partitioning
+    // (UnionExec output is unknown), re-introducing an exchange at every
+    // downstream join — so pay ONE node-frame repartition+checkpoint here
+    // and every consumer join/fold stays exchange-free
+    val visitedU = levels.map(freshen).reduce(_.unionByName(_))
+    val visited =
+      if (clusterKeyed)
+        visitedU.repartition(parts, col("cluster_id"))
+          .sortWithinPartitions("cluster_id", "node").breakLineage()
+      else visitedU
+    Forest(src, pairs, visited, depth, clusterKeyed)
+  }
+
+  private def forestTimed(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int, t0: Long): Forest = {
+    val f = buildForest(edges, srcCol, dstCol, maxRounds)
+    mark(t0, s"forest (depth=${f.depth})")(f.visited)
+    f
   }
 
   /**
@@ -148,7 +207,8 @@ object DistributedBridges {
    */
   def bridges(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame = {
-    val forest = buildForest(edges, srcCol, dstCol, maxRounds)
+    val t0 = System.nanoTime()
+    val forest = forestTimed(edges, srcCol, dstCol, maxRounds, t0)
     val in = forest.in
     val pairs = forest.pairs
     val visited = forest.visited
@@ -172,12 +232,12 @@ object DistributedBridges {
       .filter(col("mult") > 1)
       .select(col("cluster_id"), col("u"), col("v"),
         xxhash64(col("u"), col("v"), lit(1L)).as("lbl"))
-    val phi = nonTree.unionByName(dupTree)
+    val phi = mark(t0, "phi (non-tree xor)")(nonTree.unionByName(dupTree)
       .select(col("cluster_id"), explode(array(
         struct(col("u").as("node"), col("lbl")),
         struct(col("v").as("node"), col("lbl")))).as("e"))
       .select(col("cluster_id"), col("e.node"), col("e.lbl"))
-      .groupBy("cluster_id", "node").agg(bit_xor(col("lbl")).as("val"))
+      .groupBy("cluster_id", "node").agg(bit_xor(col("lbl")).as("val")))
 
     // ---- phase 3: subtree XOR by depth peeling ------------------------
     // byDepth(d) = nodes at depth d with running value; folding level d
@@ -216,9 +276,10 @@ object DistributedBridges {
       if (d % peelCadence == 0) byDepth(d - 1) = byDepth(d - 1).breakLineage()
       d -= 1
     }
-    val sub = byDepth.values.reduce(_.unionByName(_))
-      .select(col("cluster_id"), col("node").as("child"),
-        col("val").as("subtree_xor"))
+    val sub = mark(t0, "subtree xor fold")(
+      byDepth.values.reduce(_.unionByName(_))
+        .select(col("cluster_id"), col("node").as("child"),
+          col("val").as("subtree_xor")))
 
     // ---- verdicts per undirected pair, re-attached to input edges ------
     val treeVerdict = tree.alias("t")
@@ -282,11 +343,31 @@ object DistributedBridges {
    */
   def articulationPoints(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame = {
-    val forest = buildForest(edges, srcCol, dstCol, maxRounds)
+    val t0 = System.nanoTime()
+    val forest = forestTimed(edges, srcCol, dstCol, maxRounds, t0)
     val pairs = forest.pairs
-    val visited = forest.visited.breakLineage()
+    // under cluster keying the forest already checkpointed visited with
+    // the shared partitioning — a second break would only re-write it
+    val visited =
+      if (forest.clusterKeyed) forest.visited else forest.visited.breakLineage()
     val depth = forest.depth
     val peelCadence = math.max(8, math.ceil(depth / 12.0).toInt)
+    // checkpoint helper that keeps (or restores) the shared cluster_id
+    // partitioning: a union/window output forgets it, and one exchange at
+    // the write replaces every exchange its consumers would pay
+    val parts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    // optional sortWithinPartitions on the frame's dominant join key:
+    // freshStats keeps the checkpoint's outputOrdering too, so the
+    // downstream sort-merge join on those keys skips BOTH its exchange
+    // and its sort on this side
+    def keyedBreak(df: DataFrame, sortCols: String*): DataFrame =
+      if (forest.clusterKeyed) {
+        val rep = df.repartition(parts, col("cluster_id"))
+        (if (sortCols.nonEmpty)
+           rep.sortWithinPartitions(sortCols.map(col): _*)
+         else rep).breakLineage()
+      } else df.breakLineage()
 
     val tree = visited.filter(col("parent").isNotNull)
     val treeKeys = tree.select(col("cluster_id"),
@@ -295,10 +376,9 @@ object DistributedBridges {
     // duplicate copies of tree pairs form 2-cycles through no internal
     // vertex — they affect bridges but never cut vertices, so they are
     // excluded here outright
-    val nonTree = pairs
+    val nonTree = keyedBreak(pairs
       .join(treeKeys, Seq("cluster_id", "u", "v"), "left_anti")
-      .select(col("cluster_id"), col("u"), col("v"))
-      .breakLineage()
+      .select(col("cluster_id"), col("u"), col("v")))
 
     // ---- fold 1 (bottom-up): subtree sizes nd ------------------------
     val byDepthNd = scala.collection.mutable.Map[Int, DataFrame]()
@@ -316,9 +396,10 @@ object DistributedBridges {
       if (d % peelCadence == 0) byDepthNd(d - 1) = byDepthNd(d - 1).breakLineage()
       d -= 1
     }
-    val nd = byDepthNd.values.reduce(_.unionByName(_))
-      .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
-        col("nd")).breakLineage()
+    val nd = mark(t0, "nd fold")(keyedBreak(
+      byDepthNd.values.reduce(_.unionByName(_))
+        .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
+          col("nd")), "cluster_id", "node"))
 
     // ---- fold 2 (top-down): preorder numbers, children in id order ---
     // offset(c) = total subtree size of smaller-id siblings
@@ -326,9 +407,12 @@ object DistributedBridges {
       .rowsBetween(Window.unboundedPreceding, -1)
     // materialised once: every depth round of the top-down fold filters
     // this frame, and the window would otherwise recompute per round
-    val kids = nd.filter(col("parent").isNotNull)
-      .withColumn("offset", coalesce(sum(col("nd")).over(sibW), lit(0L)))
-      .breakLineage()
+    // the window clusters on (cluster_id, parent) — satisfied by the
+    // shared cluster_id partitioning, so under keying it sorts in place
+    val kids = mark(t0, "sibling-offset window")(keyedBreak(
+      nd.filter(col("parent").isNotNull)
+        .withColumn("offset", coalesce(sum(col("nd")).over(sibW), lit(0L))),
+      "cluster_id", "parent"))
     val preByDepth = scala.collection.mutable.Map[Int, DataFrame](
       0 -> freshen(nd.filter(col("depth") === 0)
         .select(col("cluster_id"), col("node"), lit(0L).as("pre"))))
@@ -344,8 +428,9 @@ object DistributedBridges {
       if (d % peelCadence == 0) preByDepth(d) = preByDepth(d).breakLineage()
       d += 1
     }
-    val pre = preByDepth.values.map(freshen).reduce(_.unionByName(_))
-      .breakLineage()
+    val pre = mark(t0, "preorder fold")(keyedBreak(
+      preByDepth.values.map(freshen).reduce(_.unionByName(_)),
+      "cluster_id", "node"))
 
     // ---- fold 3 (bottom-up): low/high of non-tree-neighbour preorders -
     val ntAdj = nonTree.select(col("cluster_id"), explode(array(
@@ -356,12 +441,12 @@ object DistributedBridges {
         col("pre").as("nbr_pre")), Seq("cluster_id", "nbr"))
       .groupBy("cluster_id", "node")
       .agg(min(col("nbr_pre")).as("nt_min"), max(col("nbr_pre")).as("nt_max"))
-    val lhInit = nd.join(pre, Seq("cluster_id", "node"))
+    val lhInit = keyedBreak(nd.join(pre, Seq("cluster_id", "node"))
       .join(ntAdj, Seq("cluster_id", "node"), "left")
       .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
         least(col("pre"), coalesce(col("nt_min"), col("pre"))).as("low"),
-        greatest(col("pre"), coalesce(col("nt_max"), col("pre"))).as("high"))
-      .breakLineage()
+        greatest(col("pre"), coalesce(col("nt_max"), col("pre"))).as("high")),
+      "cluster_id", "node")
     val byDepthLh = scala.collection.mutable.Map[Int, DataFrame]()
     (0 to depth).foreach(dd => byDepthLh(dd) =
       freshen(lhInit.filter(col("depth") === dd)))
@@ -380,9 +465,10 @@ object DistributedBridges {
       if (d % peelCadence == 0) byDepthLh(d - 1) = byDepthLh(d - 1).breakLineage()
       d -= 1
     }
-    val lowHigh = byDepthLh.values.reduce(_.unionByName(_))
-      .select(col("cluster_id"), col("node"), col("parent"), col("low"),
-        col("high"))
+    val lowHigh = mark(t0, "low/high fold")(
+      byDepthLh.values.reduce(_.unionByName(_))
+        .select(col("cluster_id"), col("node"), col("parent"), col("low"),
+          col("high")))
 
     // ---- aux graph links + component solve ---------------------------
     // rule B needs the PARENT's preorder interval next to each child
@@ -400,17 +486,22 @@ object DistributedBridges {
     val auxEdges = ruleA.unionByName(ruleB)
       .select(xxhash64(col("cluster_id"), col("x")).as("s"),
         xxhash64(col("cluster_id"), col("y")).as("t"))
-    val auxComp = ConnectedComponents.run(auxEdges, "s", "t")
-      .select(col("node_id").as("aux_id"), col("cluster_id").as("comp"))
+    // assumeDistinctPairs: rule A emits each non-tree pair once, rule B
+    // each (child, parent) tree pair once, and a tree pair can never also
+    // be non-tree — so no undirected aux pair appears twice and the CC
+    // solve's symmetric dedupe aggregate is provably redundant
+    val auxComp = mark(t0, "aux-graph CC")(
+      ConnectedComponents.run(auxEdges, "s", "t", assumeDistinctPairs = true)
+        .select(col("node_id").as("aux_id"), col("cluster_id").as("comp")))
 
     // parent-edge component per non-root node; aux-isolated nodes keep
     // their own id as a singleton component
-    val comp = visited.filter(col("parent").isNotNull)
-      .withColumn("aux_id", xxhash64(col("cluster_id"), col("node")))
-      .join(auxComp, Seq("aux_id"), "left")
-      .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
-        coalesce(col("comp"), col("aux_id")).as("comp"))
-      .breakLineage()
+    val comp = mark(t0, "parent-edge components")(keyedBreak(
+      visited.filter(col("parent").isNotNull)
+        .withColumn("aux_id", xxhash64(col("cluster_id"), col("node")))
+        .join(auxComp, Seq("aux_id"), "left")
+        .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
+          coalesce(col("comp"), col("aux_id")).as("comp")), "cluster_id", "node"))
 
     // ---- verdicts ----------------------------------------------------
     val childComps = comp.select(col("cluster_id"),
