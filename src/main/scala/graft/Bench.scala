@@ -324,6 +324,31 @@ object Bench {
     // from a quiet heap instead of inheriting the previous section's
     // garbage (stabilises the iterative graph ops' sf10 timings)
     def quiesce(): Unit = { System.gc(); Thread.sleep(200) }
+    // untimed fixture pre-read before a timed scale section: the sf10
+    // fixtures are ~2 GB on disk but ~21 GB of cumulative reads across
+    // the section, and PAGE-CACHE state was measured to swing identical
+    // same-head runs up to 1.8x (byte-identical task/shuffle stats). One
+    // sequential pass over every fixture file pins them hot, so every
+    // recording starts from the same deterministic cache state; the pass
+    // itself is reported (prewarm_sec) but never timed into a query.
+    def prewarm(dir: String): Double = {
+      val t0 = System.nanoTime()
+      def readAll(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(readAll)
+        else {
+          val buf = new Array[Byte](1 << 20) // per-file: readAll runs parallel
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      val root = new java.io.File(dir)
+      if (root.exists()) {
+        // parallel over top-level tables, sequential within a file
+        val tables = Option(root.listFiles()).getOrElse(Array.empty)
+        java.util.Arrays.stream(tables.asInstanceOf[Array[AnyRef]]).parallel()
+          .forEach(f => readAll(f.asInstanceOf[java.io.File]))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     def qsJson(results: Seq[(String, QStat)]): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
         .mkString("{", ",", "}")
@@ -365,8 +390,10 @@ object Bench {
         val genSec = (System.nanoTime() - tGen0) / 1e9
         val sel = SparkEntry.queries.filter(q => sf1Selected.contains(q._1))
         quiesce()
+        val warmSec = prewarm(sf1Dir)
         val r = onePass(sel, sf1Dir, "sf1")
         s""","sf1":{"dir":"$sf1Dir","gen_sec":$genSec,""" +
+          s""""prewarm_sec":$warmSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
           s""""stats":${statsJson(r)}}"""
       }
@@ -387,8 +414,10 @@ object Bench {
         val genSec = (System.nanoTime() - tGen0) / 1e9
         val sel = SparkEntry.queries.filter(q => sf10Selected.contains(q._1))
         quiesce()
+        val warmSec = prewarm(sf10Dir)
         val r = onePass(sel, sf10Dir, "sf10")
         s""","sf10":{"dir":"$sf10Dir","gen_sec":$genSec,""" +
+          s""""prewarm_sec":$warmSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
           s""""stats":${statsJson(r)}}"""
       }
