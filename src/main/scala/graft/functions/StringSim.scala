@@ -141,6 +141,83 @@ object StringSim {
     j + prefix * 0.1 * (1.0 - j)
   }
 
+  private def isAsciiU8(u: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) { if (u.getByte(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** [[jaro]] specialised to ASCII `UTF8String`s: identical algorithm,
+    * but monomorphic `getByte` access with no CharSequence view or String
+    * materialisation — the gamma hot path calls this hundreds of millions
+    * of times per predict, and the per-call view allocation plus
+    * megamorphic `charAt` dispatch were a measurable slice of it. */
+  private def jaroU8Ascii(s1: org.apache.spark.unsafe.types.UTF8String,
+      s2: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val len1 = s1.numBytes()
+    val len2 = s2.numBytes()
+    if (len1 == 0 && len2 == 0) return 1.0
+    if (len1 == 0 || len2 == 0) return 0.0
+    val matchDist = math.max(0, math.max(len1, len2) / 2 - 1)
+    val matched1 = new Array[Boolean](len1)
+    val matched2 = new Array[Boolean](len2)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - matchDist)
+      val hi = math.min(len2 - 1, i + matchDist)
+      val c1 = s1.getByte(i)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!matched2(j) && c1 == s2.getByte(j)) {
+          matched1(i) = true
+          matched2(j) = true
+          matches += 1
+          done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var k = 0
+    var transpositions = 0
+    i = 0
+    while (i < len1) {
+      if (matched1(i)) {
+        while (!matched2(k)) k += 1
+        if (s1.getByte(i) != s2.getByte(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / len1 + m / len2 + (m - transpositions / 2.0) / m) / 3.0
+  }
+
+  /** UTF8String entry points for the codegen'd expressions: ASCII inputs
+    * (the overwhelmingly common case for the columns these levels
+    * compare) take the allocation-free byte path; multi-byte UTF-8 falls
+    * back to the CharSequence implementation via [[cs]]. Results are
+    * bit-identical — same algorithm, same arithmetic. */
+  def jaroU8(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Double =
+    if (isAsciiU8(a) && isAsciiU8(b)) jaroU8Ascii(a, b)
+    else jaro(cs(a), cs(b))
+
+  def jaroWinklerU8(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Double =
+    if (isAsciiU8(a) && isAsciiU8(b)) {
+      val j = jaroU8Ascii(a, b)
+      var prefix = 0
+      val maxP = math.min(4, math.min(a.numBytes(), b.numBytes()))
+      while (prefix < maxP && a.getByte(prefix) == b.getByte(prefix))
+        prefix += 1
+      j + prefix * 0.1 * (1.0 - j)
+    } else jaroWinkler(cs(a), cs(b))
+
   /** Unrestricted Damerau-Levenshtein edit distance (adjacent transposition
     * counts as one edit). Full DP with alphabet map. */
   def damerauLevenshtein(s1: CharSequence, s2: CharSequence): Int = {

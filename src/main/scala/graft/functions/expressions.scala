@@ -40,8 +40,12 @@ abstract class StringPairExpression extends BinaryExpression with Serializable {
 case class JaroSim(left: Expression, right: Expression) extends StringPairExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_sim"
-  protected def staticMethod = "graft.functions.StringSim.jaro"
+  protected def staticMethod = "" // unused: U8 entry point below
   protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.jaro(a, b)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.jaroU8(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringSim.jaroU8($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroSim =
     copy(left = l, right = r)
 }
@@ -49,8 +53,13 @@ case class JaroSim(left: Expression, right: Expression) extends StringPairExpres
 case class JaroWinklerSim(left: Expression, right: Expression) extends StringPairExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"
-  protected def staticMethod = "graft.functions.StringSim.jaroWinkler"
+  protected def staticMethod = "" // unused: U8 entry point below
   protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.jaroWinkler(a, b)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.jaroWinklerU8(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.StringSim.jaroWinklerU8($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
     copy(left = l, right = r)
 }
