@@ -73,7 +73,7 @@ object DistributedBridges {
     *                parent null at the root (= min node id of the cluster)
     * @param depth   max BFS depth reached */
   private case class Forest(in: DataFrame, pairs: DataFrame,
-      visited: DataFrame, depth: Int, clusterKeyed: Boolean)
+      visited: DataFrame, depth: Int)
 
   private def buildForest(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int): Forest = {
@@ -88,42 +88,25 @@ object DistributedBridges {
       .breakLineage()
     val in = spark.createDataFrame(checked.rdd, checked.schema)
 
-    // CLUSTER-KEYED PARTITIONING GATE: every shuffle downstream of here —
-    // the pair dedupe, node distinct, root/BFS aggregates, all three
-    // articulation folds — clusters on a key list that STARTS with
-    // cluster_id, so one hash partitioning on cluster_id alone satisfies
-    // all of them (ClusteredDistribution is subset-satisfiable) and the
-    // checkpoints preserve it (freshStats keeps outputPartitioning).
-    // That collapses ~a dozen full-frame exchanges into one. It is only
-    // SAFE when no single cluster dominates a partition: the
-    // many-modest-clusters regime. One giant hairball must keep compound
-    // keys for per-key parallelism, so gate on the MEASURED max
-    // edges-per-cluster against an even partition's share (x4 headroom).
-    // The extra aggregate is one map-combined pass over the checkpointed
-    // input — cheap next to the exchanges it removes.
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val loadRow = in.groupBy("cluster_id").agg(count(lit(1)).as("ce"))
-      .agg(max(col("ce")), sum(col("ce"))).collect()(0)
-    val clusterKeyed = !loadRow.isNullAt(0) &&
-      loadRow.getLong(0) * 4L * parts <= loadRow.getLong(1)
-    if (verbose) System.err.println(
-      s"[bridge]   clusterKeyed=$clusterKeyed (maxEdges=${loadRow.get(0)}, " +
-        s"totalEdges=${loadRow.get(1)}, parts=$parts)")
-    val src = if (clusterKeyed) in.repartition(parts, col("cluster_id")) else in
+    // NOTE (r12, tried and REVERTED with numbers): hash-partitioning the
+    // whole pipeline once on cluster_id — every downstream shuffle here
+    // clusters on a key list starting with cluster_id — does NOT elide
+    // the downstream exchanges in practice: Spark 4 requires ALL join
+    // cluster keys for co-partitioning by default
+    // (spark.sql.requireAllClusterKeysForCoPartition), and a probe
+    // showed checkpointed repartition output re-exchanged at the next
+    // join regardless. The attempt added one exchange + sort per
+    // checkpoint and regressed the bench shape (q_bridges sf1 7.1 ->
+    // 12.0s, sf10 +7s, PLAN-flagged), so the pipeline keeps plain
+    // per-operator exchanges.
 
     // undirected pair multiplicities; self-loops never bridge and are
     // excluded from the graph entirely (re-attached as false at the end)
-    // under keying, write pairs sorted on its own join key: the non-tree
-    // anti-join and the duplicate-tree semi-join both probe it on
-    // (cluster_id, u, v), and checkpointed ordering (freshStats keeps
-    // outputOrdering) lets those SMJs skip their sort on this side
-    val pairsAgg = src.filter(col("a") =!= col("b"))
+    val pairs = in.filter(col("a") =!= col("b"))
       .select(col("cluster_id"),
         least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .groupBy("cluster_id", "u", "v").agg(count(lit(1)).as("mult"))
-    val pairs = (if (clusterKeyed)
-        pairsAgg.sortWithinPartitions("cluster_id", "u", "v")
-      else pairsAgg).breakLineage()
+      .breakLineage()
 
     // no checkpoint: adj is a trivial explode over the checkpointed pairs,
     // re-deriving it per BFS round reads cached blocks + one cheap operator
@@ -180,17 +163,8 @@ object DistributedBridges {
       levels += next
       frontier = next
     }
-    // under cluster keying the level UNION would forget the partitioning
-    // (UnionExec output is unknown), re-introducing an exchange at every
-    // downstream join — so pay ONE node-frame repartition+checkpoint here
-    // and every consumer join/fold stays exchange-free
-    val visitedU = levels.map(freshen).reduce(_.unionByName(_))
-    val visited =
-      if (clusterKeyed)
-        visitedU.repartition(parts, col("cluster_id"))
-          .sortWithinPartitions("cluster_id", "node").breakLineage()
-      else visitedU
-    Forest(src, pairs, visited, depth, clusterKeyed)
+    val visited = levels.map(freshen).reduce(_.unionByName(_))
+    Forest(in, pairs, visited, depth)
   }
 
   private def forestTimed(edges: DataFrame, srcCol: String, dstCol: String,
@@ -346,28 +320,9 @@ object DistributedBridges {
     val t0 = System.nanoTime()
     val forest = forestTimed(edges, srcCol, dstCol, maxRounds, t0)
     val pairs = forest.pairs
-    // under cluster keying the forest already checkpointed visited with
-    // the shared partitioning — a second break would only re-write it
-    val visited =
-      if (forest.clusterKeyed) forest.visited else forest.visited.breakLineage()
+    val visited = forest.visited.breakLineage()
     val depth = forest.depth
     val peelCadence = math.max(8, math.ceil(depth / 12.0).toInt)
-    // checkpoint helper that keeps (or restores) the shared cluster_id
-    // partitioning: a union/window output forgets it, and one exchange at
-    // the write replaces every exchange its consumers would pay
-    val parts = edges.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    // optional sortWithinPartitions on the frame's dominant join key:
-    // freshStats keeps the checkpoint's outputOrdering too, so the
-    // downstream sort-merge join on those keys skips BOTH its exchange
-    // and its sort on this side
-    def keyedBreak(df: DataFrame, sortCols: String*): DataFrame =
-      if (forest.clusterKeyed) {
-        val rep = df.repartition(parts, col("cluster_id"))
-        (if (sortCols.nonEmpty)
-           rep.sortWithinPartitions(sortCols.map(col): _*)
-         else rep).breakLineage()
-      } else df.breakLineage()
 
     val tree = visited.filter(col("parent").isNotNull)
     val treeKeys = tree.select(col("cluster_id"),
@@ -376,9 +331,10 @@ object DistributedBridges {
     // duplicate copies of tree pairs form 2-cycles through no internal
     // vertex — they affect bridges but never cut vertices, so they are
     // excluded here outright
-    val nonTree = keyedBreak(pairs
+    val nonTree = pairs
       .join(treeKeys, Seq("cluster_id", "u", "v"), "left_anti")
-      .select(col("cluster_id"), col("u"), col("v")))
+      .select(col("cluster_id"), col("u"), col("v"))
+      .breakLineage()
 
     // ---- fold 1 (bottom-up): subtree sizes nd ------------------------
     val byDepthNd = scala.collection.mutable.Map[Int, DataFrame]()
@@ -396,10 +352,9 @@ object DistributedBridges {
       if (d % peelCadence == 0) byDepthNd(d - 1) = byDepthNd(d - 1).breakLineage()
       d -= 1
     }
-    val nd = mark(t0, "nd fold")(keyedBreak(
-      byDepthNd.values.reduce(_.unionByName(_))
-        .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
-          col("nd")), "cluster_id", "node"))
+    val nd = mark(t0, "nd fold")(byDepthNd.values.reduce(_.unionByName(_))
+      .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
+        col("nd")).breakLineage())
 
     // ---- fold 2 (top-down): preorder numbers, children in id order ---
     // offset(c) = total subtree size of smaller-id siblings
@@ -407,12 +362,10 @@ object DistributedBridges {
       .rowsBetween(Window.unboundedPreceding, -1)
     // materialised once: every depth round of the top-down fold filters
     // this frame, and the window would otherwise recompute per round
-    // the window clusters on (cluster_id, parent) — satisfied by the
-    // shared cluster_id partitioning, so under keying it sorts in place
-    val kids = mark(t0, "sibling-offset window")(keyedBreak(
+    val kids = mark(t0, "sibling-offset window")(
       nd.filter(col("parent").isNotNull)
-        .withColumn("offset", coalesce(sum(col("nd")).over(sibW), lit(0L))),
-      "cluster_id", "parent"))
+        .withColumn("offset", coalesce(sum(col("nd")).over(sibW), lit(0L)))
+        .breakLineage())
     val preByDepth = scala.collection.mutable.Map[Int, DataFrame](
       0 -> freshen(nd.filter(col("depth") === 0)
         .select(col("cluster_id"), col("node"), lit(0L).as("pre"))))
@@ -428,9 +381,9 @@ object DistributedBridges {
       if (d % peelCadence == 0) preByDepth(d) = preByDepth(d).breakLineage()
       d += 1
     }
-    val pre = mark(t0, "preorder fold")(keyedBreak(
-      preByDepth.values.map(freshen).reduce(_.unionByName(_)),
-      "cluster_id", "node"))
+    val pre = mark(t0, "preorder fold")(
+      preByDepth.values.map(freshen).reduce(_.unionByName(_))
+        .breakLineage())
 
     // ---- fold 3 (bottom-up): low/high of non-tree-neighbour preorders -
     val ntAdj = nonTree.select(col("cluster_id"), explode(array(
@@ -441,12 +394,12 @@ object DistributedBridges {
         col("pre").as("nbr_pre")), Seq("cluster_id", "nbr"))
       .groupBy("cluster_id", "node")
       .agg(min(col("nbr_pre")).as("nt_min"), max(col("nbr_pre")).as("nt_max"))
-    val lhInit = keyedBreak(nd.join(pre, Seq("cluster_id", "node"))
+    val lhInit = nd.join(pre, Seq("cluster_id", "node"))
       .join(ntAdj, Seq("cluster_id", "node"), "left")
       .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
         least(col("pre"), coalesce(col("nt_min"), col("pre"))).as("low"),
-        greatest(col("pre"), coalesce(col("nt_max"), col("pre"))).as("high")),
-      "cluster_id", "node")
+        greatest(col("pre"), coalesce(col("nt_max"), col("pre"))).as("high"))
+      .breakLineage()
     val byDepthLh = scala.collection.mutable.Map[Int, DataFrame]()
     (0 to depth).foreach(dd => byDepthLh(dd) =
       freshen(lhInit.filter(col("depth") === dd)))
@@ -496,12 +449,13 @@ object DistributedBridges {
 
     // parent-edge component per non-root node; aux-isolated nodes keep
     // their own id as a singleton component
-    val comp = mark(t0, "parent-edge components")(keyedBreak(
+    val comp = mark(t0, "parent-edge components")(
       visited.filter(col("parent").isNotNull)
         .withColumn("aux_id", xxhash64(col("cluster_id"), col("node")))
         .join(auxComp, Seq("aux_id"), "left")
         .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
-          coalesce(col("comp"), col("aux_id")).as("comp")), "cluster_id", "node"))
+          coalesce(col("comp"), col("aux_id")).as("comp"))
+        .breakLineage())
 
     // ---- verdicts ----------------------------------------------------
     val childComps = comp.select(col("cluster_id"),
