@@ -38,6 +38,13 @@ object Bench {
       val shufRead = new AtomicLong
       val shufWrite = new AtomicLong
       val input = new AtomicLong
+      // CPU-time accounting makes wall-clock deltas classifiable under
+      // external load (CPU steal inflates wall and run-time but NOT
+      // on-CPU nanoseconds): stats moved => PLAN; stats same but cpu
+      // moved => KERNEL; stats and cpu same, wall moved => ENV/steal.
+      val cpuNs = new AtomicLong // executorCpuTime (on-CPU ns)
+      val runMs = new AtomicLong // executorRunTime (wall ms incl. wait)
+      val gcMs = new AtomicLong // jvmGCTime (ms)
     }
     private val stageGroup = new ConcurrentHashMap[Int, String]()
     private val groups = new ConcurrentHashMap[String, Counters]()
@@ -57,6 +64,9 @@ object Bench {
         c.shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         c.shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         c.input.addAndGet(m.inputMetrics.bytesRead)
+        c.cpuNs.addAndGet(m.executorCpuTime)
+        c.runMs.addAndGet(m.executorRunTime)
+        c.gcMs.addAndGet(m.jvmGCTime)
       }
     }
     def drain(group: String): Unit = {
@@ -72,12 +82,14 @@ object Bench {
     }
     def snapshot(group: String): Array[Long] = {
       val c = of(group)
-      Array(c.tasks.get, c.shufRead.get, c.shufWrite.get, c.input.get)
+      Array(c.tasks.get, c.shufRead.get, c.shufWrite.get, c.input.get,
+        c.cpuNs.get, c.runMs.get, c.gcMs.get)
     }
   }
 
   private final case class QStat(sec: Double, tasks: Long,
-      shufReadB: Long, shufWriteB: Long, inputB: Long)
+      shufReadB: Long, shufWriteB: Long, inputB: Long,
+      cpuMs: Long, runMs: Long, gcMs: Long)
 
   /** The ~10 headline queries re-run at the amplified sf1 scale point. */
   private val Sf1Queries = Seq("q_predict_tf", "q_cluster", "q_minhash_pairs",
@@ -100,7 +112,10 @@ object Bench {
     // the FULL multi-iteration EM training loop (pattern aggregate once,
     // three E/M rounds): the reference's training story, not just one
     // M-step, on a measured slope
-    "q_em_train")
+    "q_em_train",
+    // the pattern aggregate whose scan is dominated by the BOUNDED
+    // DAMERAU-levenshtein predicate — the banded kernel's scale evidence
+    "q_em_patterns_dl")
 
   /** Third scale decade: the iterative graph ops (their slopes are the
     * suite's steepest — round-count growth — and two points cannot pin a
@@ -122,7 +137,9 @@ object Bench {
     // third decade like the minhash family
     "q_dup_spans",
     // full 3-iteration EM training on the third decade (pairs ~90M here)
-    "q_em_train")
+    "q_em_train",
+    // bounded-damerau pattern aggregate at ~90M pairs (kernel evidence)
+    "q_em_patterns_dl")
 
   /** Generation markers. target/ persists across rounds, so a changed
     * generator must not silently reuse a stale fixture — and since sf10
@@ -317,7 +334,7 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
-        name -> QStat(sec, s(0), s(1), s(2), s(3))
+        name -> QStat(sec, s(0), s(1), s(2), s(3), s(4) / 1000000L, s(5), s(6))
     }
     // untimed full GC between suite sections: lets the ContextCleaner
     // finish reaping unpersisted/checkpoint blocks so a section starts
@@ -334,7 +351,10 @@ object Bench {
     def prewarm(dir: String): Double = {
       val t0 = System.nanoTime()
       def readAll(f: java.io.File): Unit =
-        if (f.isDirectory) f.listFiles().foreach(readAll)
+        // Option-guard: listFiles returns null on I/O error, and one
+        // unreadable subdirectory must not NPE the whole bench run.
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(readAll)
         else {
           val buf = new Array[Byte](1 << 20) // per-file: readAll runs parallel
           val in = new java.io.FileInputStream(f)
@@ -357,13 +377,29 @@ object Bench {
         s"\"$k\":{\"sec\":${v.sec},\"tasks\":${v.tasks}," +
           s"\"shuffle_read_bytes\":${v.shufReadB}," +
           s"\"shuffle_write_bytes\":${v.shufWriteB}," +
-          s"\"input_bytes\":${v.inputB}}"
+          s"\"input_bytes\":${v.inputB}," +
+          s"\"cpu_ms\":${v.cpuMs},\"run_ms\":${v.runMs}," +
+          s"\"gc_ms\":${v.gcMs}}"
       }.mkString("{", ",", "}")
+    // Per-SECTION loadavg: a run can start idle and take an external load
+    // spike mid-way (r12: 0.47 -> 16.2), so start-load alone certifies
+    // nothing past the first section. Each section records its own
+    // bracketing 1-min loadavg and the artifact's `contended` flag keys
+    // on the MAX over all section brackets.
+    def load(): Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val sectionLoads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def timedSection[A](name: String)(body: => A): A = {
+      val l0 = load()
+      val r = body
+      sectionLoads(name) = (l0, load())
+      r
+    }
 
     // pass 1 = cold (codegen + data), later passes = warm (data only);
     // both land in the artifact so no judge has to re-litigate noise
     val passes = (1 to math.max(repeat, 2)).map(i =>
-      onePass(selected, sfDir, s"p$i"))
+      timedSection(s"p$i")(onePass(selected, sfDir, s"p$i")))
     val results = passes.head
     val warm = passes.last
     val total = results.map(_._2.sec).sum
@@ -391,7 +427,7 @@ object Bench {
         val sel = SparkEntry.queries.filter(q => sf1Selected.contains(q._1))
         quiesce()
         val warmSec = prewarm(sf1Dir)
-        val r = onePass(sel, sf1Dir, "sf1")
+        val r = timedSection("sf1")(onePass(sel, sf1Dir, "sf1"))
         s""","sf1":{"dir":"$sf1Dir","gen_sec":$genSec,""" +
           s""""prewarm_sec":$warmSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
@@ -415,7 +451,7 @@ object Bench {
         val sel = SparkEntry.queries.filter(q => sf10Selected.contains(q._1))
         quiesce()
         val warmSec = prewarm(sf10Dir)
-        val r = onePass(sel, sf10Dir, "sf10")
+        val r = timedSection("sf10")(onePass(sel, sf10Dir, "sf10"))
         s""","sf10":{"dir":"$sf10Dir","gen_sec":$genSec,""" +
           s""""prewarm_sec":$warmSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
@@ -423,9 +459,19 @@ object Bench {
       }
 
     val loadEnd = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val contended = loadStart > 2.0
+    // contended = any section's bracketing loadavg above 2.0 — a spike in
+    // the MIDDLE of a run (r12's 0.47 -> 16.2) flags the artifact too. A
+    // section's own bracket may still miss a spike fully contained inside
+    // it; the per-query cpu_ms/run_ms ratio is the per-query signal.
+    val maxLoad = (sectionLoads.values.flatMap(t => Seq(t._1, t._2)) ++
+      Seq(loadStart, loadEnd)).max
+    val contended = maxLoad > 2.0
+    val sectionLoadsJson = sectionLoads.map { case (k, (a, b)) =>
+      s""""$k":{"load_start":$a,"load_end":$b}"""
+    }.mkString("{", ",", "}")
     val env = s"""{"procs":${Runtime.getRuntime.availableProcessors},""" +
-      s""""spark_cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+      s""""spark_cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""loadavg_max_seen":$maxLoad,"section_loads":$sectionLoadsJson}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""cold":$total,"warm":$warmTotal,"contended":$contended,""" +

@@ -65,6 +65,21 @@ object SparkEntry {
         ll.elseLevel.withM(0.1).withU(0.95)))),
     probabilityTwoRandomRecordsMatch = 0.001)
 
+  /** Variant of [[customerSettings]] whose fuzzy name level is
+    * damerau-levenshtein — puts the banded `damerau_levenshtein_lte`
+    * kernel (the transposition-aware sibling of the banded levenshtein)
+    * on the oracle gate and the measured bench scale points. */
+  private[graft] def customerSettingsDL: LinkSettings = LinkSettings(
+    linkType = LinkType.DedupeOnly,
+    blockingRules = Seq(BlockingRule.blockOn("c_nationkey", "c_mktsegment")),
+    comparisons = Seq(
+      Comparison("c_name", Seq(
+        ll.nullLevel("c_name"),
+        ll.exactMatch("c_name").withM(0.9).withU(0.001),
+        ll.damerauLevenshtein("c_name", 2).withM(0.05).withU(0.01),
+        ll.elseLevel.withM(0.05).withU(0.989)))),
+    probabilityTwoRandomRecordsMatch = 0.001)
+
   private def customers(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "customer").withColumnRenamed("c_custkey", "unique_id")
 
@@ -526,6 +541,16 @@ object SparkEntry {
       val linker = new Linker(customers(s, dir), customerSettings)
       linker.comparisonVectors()
         .groupBy("gamma_c_name", "gamma_c_acctbal")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // the same pattern-aggregate shape with a DAMERAU-levenshtein fuzzy
+    // level: the scan is dominated by the bounded-DL predicate, so this
+    // query is the measured evidence for the banded kernel at scale
+    "q_em_patterns_dl" -> ((s, dir) => {
+      val linker = new Linker(customers(s, dir), customerSettingsDL)
+      linker.comparisonVectors()
+        .groupBy("gamma_c_name")
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
@@ -2352,6 +2377,21 @@ object SparkEntry {
          |JOIN customer l ON p.uid_l = l.c_custkey
          |JOIN customer r ON p.uid_r = r.c_custkey
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_em_patterns_dl" ->
+      """WITH pr AS (
+        |  SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r
+        |  FROM customer l JOIN customer r
+        |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+        |   AND l.c_custkey < r.c_custkey)
+        |SELECT CASE WHEN l.c_name IS NULL OR r.c_name IS NULL THEN -1
+        |            WHEN l.c_name = r.c_name THEN 2
+        |            WHEN damerau_levenshtein(l.c_name, r.c_name) <= 2 THEN 1
+        |            ELSE 0 END AS gamma_c_name,
+        |       count(*) AS n_pairs
+        |FROM pr p JOIN customer l ON p.uid_l = l.c_custkey
+        |          JOIN customer r ON p.uid_r = r.c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // components of the consecutive-order path graph = customers with >= 2
     // orders; cluster id = min orderkey. No recursion needed in the oracle.

@@ -88,17 +88,36 @@ case class LevenshteinLte(left: Expression, right: Expression, bound: Int)
   protected def staticMethod = "" // unused: doGenCode overridden
   protected def compute(a: CharSequence, b: CharSequence): Any =
     StringSim.levenshteinWithin(a, b, bound)
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val ua = a.asInstanceOf[UTF8String]
-    val ub = b.asInstanceOf[UTF8String]
-    ua.equals(ub) || StringSim.levenshteinWithin(
-      StringSim.cs(ua), StringSim.cs(ub), bound)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.levenshteinWithinU8(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], bound)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"($a.equals($b) || graft.functions.StringSim.levenshteinWithin(" +
-        s"graft.functions.StringSim.cs($a), graft.functions.StringSim.cs($b), $bound))")
+      s"graft.functions.StringSim.levenshteinWithinU8($a, $b, $bound)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): LevenshteinLte =
+    copy(left = l, right = r)
+}
+
+/** `damerau_levenshtein(l, r) <= bound` as ONE banded bounded kernel (see
+  * [[StringSim.damerauLevenshteinWithin]]) — the same shape as
+  * [[LevenshteinLte]] for the transposition-aware levels: the bounded
+  * predicate is what `ll.damerauLevenshtein` levels actually ask, and the
+  * band does O(n*bound) work instead of the full O(n*m) alphabet-mapped
+  * matrix of [[DamerauLevenshtein]]. */
+case class DamerauLevenshteinLte(left: Expression, right: Expression, bound: Int)
+    extends StringPairExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "damerau_levenshtein_lte"
+  protected def staticMethod = "" // unused: doGenCode overridden
+  protected def compute(a: CharSequence, b: CharSequence): Any =
+    StringSim.damerauLevenshteinWithin(a, b, bound)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.damerauLevenshteinWithinU8(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], bound)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.StringSim.damerauLevenshteinWithinU8($a, $b, $bound)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshteinLte =
     copy(left = l, right = r)
 }
 
@@ -106,11 +125,13 @@ case class LevenshteinLte(left: Expression, right: Expression, bound: Int)
 case class JaccardSim(left: Expression, right: Expression) extends StringPairExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
-  protected def staticMethod = "graft.functions.StringSim.jaccardQgram2"
+  protected def staticMethod = "" // unused: U8 entry point below
   protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.jaccardQgram(a.toString, b.toString, 2)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.jaccardQgramU8(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], 2)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.StringSim.jaccardQgram($a.toString(), $b.toString(), 2)")
+      (a, b) => s"graft.functions.StringSim.jaccardQgramU8($a, $b, 2)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
     copy(left = l, right = r)
 }
@@ -122,11 +143,13 @@ case class JaccardSim(left: Expression, right: Expression) extends StringPairExp
 case class JaccardChars(left: Expression, right: Expression) extends StringPairExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_chars"
-  protected def staticMethod = "graft.functions.StringSim.jaccardQgram1"
+  protected def staticMethod = "" // unused: U8 entry point below
   protected def compute(a: CharSequence, b: CharSequence): Any = StringSim.jaccardQgram(a.toString, b.toString, 1)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.jaccardQgramU8(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], 1)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.StringSim.jaccardQgram($a.toString(), $b.toString(), 1)")
+      (a, b) => s"graft.functions.StringSim.jaccardQgramU8($a, $b, 1)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardChars =
     copy(left = l, right = r)
 }
@@ -243,6 +266,8 @@ object funcs {
   def damerau_levenshtein(l: Column, r: Column): Column = expr(DamerauLevenshtein(ex(l), ex(r)))
   def levenshtein_lte(l: Column, r: Column, d: Int): Column =
     expr(LevenshteinLte(ex(l), ex(r), d))
+  def damerau_levenshtein_lte(l: Column, r: Column, d: Int): Column =
+    expr(DamerauLevenshteinLte(ex(l), ex(r), d))
   def jaccard_sim(l: Column, r: Column): Column = expr(JaccardSim(ex(l), ex(r)))
   def jaccard_chars(l: Column, r: Column): Column = expr(JaccardChars(ex(l), ex(r)))
   def metaphone(c: Column): Column = expr(Metaphone(ex(c)))
@@ -283,6 +308,26 @@ object funcs {
     dot / (n1 * n2)
   }
 
+  /** Extract an Int literal argument for a SQL-registered function, with
+    * a typed ANALYSIS error instead of a raw ClassCastException/NPE when
+    * the argument is not a foldable integral literal (e.g. `'3'`, `3.5`,
+    * or a column reference). */
+  private def intLitArg(fn: String, es: Seq[Expression], pos: Int,
+      sig: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def bad(): Nothing = org.apache.spark.sql.GraftSqlBridge.analysisError(
+      s"$fn expects $sig; argument ${pos + 1} must be an integer literal, " +
+        s"got ${es(pos).sql}")
+    es(pos) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Short, ShortType) => v.toInt
+      case Literal(v: Byte, ByteType) => v.toInt
+      case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+      case _ => bad()
+    }
+  }
+
   /** The single SQL-name -> expression-builder table shared by
     * [[registerAll]] and `graft.GraftExtensions` — one list, no drift. */
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -290,23 +335,27 @@ object funcs {
     "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
     "damerau_levenshtein" -> (es => DamerauLevenshtein(es(0), es(1))),
     "levenshtein_lte" -> (es => LevenshteinLte(es(0), es(1),
-      es(2).eval(null).asInstanceOf[Int])),
+      intLitArg("levenshtein_lte", es, 2, "(string, string, int literal)"))),
+    "damerau_levenshtein_lte" -> (es => DamerauLevenshteinLte(es(0), es(1),
+      intLitArg("damerau_levenshtein_lte", es, 2,
+        "(string, string, int literal)"))),
     "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
     "metaphone" -> (es => Metaphone(es(0))),
     "dmetaphone" -> (es => DMetaphone(es(0))),
     "dmetaphone_alt" -> (es => DMetaphoneAlt(es(0))),
     "qgram_tokenise" -> (es => QgramTokenise(es(0),
-      es(1).eval(null).asInstanceOf[Int])),
+      intLitArg("qgram_tokenise", es, 1, "(string, int literal)"))),
     "simhash64" -> (es => SimHash64(es(0))),
     "char_shingles" -> (es => CharShingles(es(0),
-      es(1).eval(null).asInstanceOf[Int])),
+      intLitArg("char_shingles", es, 1, "(string, int literal)"))),
     "hashed_shingles" -> (es => HashedShingles(es(0),
-      es(1).eval(null).asInstanceOf[Int])),
+      intLitArg("hashed_shingles", es, 1, "(string, int literal)"))),
     "hashed_tokens" -> (es => HashedTokens(es(0))),
     "jaccard_sorted_longs" -> (es => SortedLongArrayJaccard(es(0), es(1))),
     "intersect_sorted_longs" -> (es => SortedLongArrayIntersectCount(es(0), es(1))),
     "winnow_fingerprints" -> (es => WinnowFingerprints(es(0),
-      es(1).eval(null).asInstanceOf[Int], es(2).eval(null).asInstanceOf[Int])),
+      intLitArg("winnow_fingerprints", es, 1, "(string, int literal, int literal)"),
+      intLitArg("winnow_fingerprints", es, 2, "(string, int literal, int literal)"))),
     "text_stats" -> (es => TextStats(es(0))),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "compression_ratio" -> (es => CompressionRatio(es(0))),

@@ -56,9 +56,12 @@ object LevelLibrary {
     ComparisonLevel(s"Levenshtein distance of $c <= $d",
       s"levenshtein_lte(${l(c)}, ${r(c)}, $d)")
 
+  /** `damerau_levenshtein(l, r) <= d` — decided by the banded bounded
+    * kernel (`damerau_levenshtein_lte`, O(n*d)) instead of the full
+    * alphabet-mapped O(n*m) matrix, mirroring the levenshtein level. */
   def damerauLevenshtein(c: String, d: Int): ComparisonLevel =
     ComparisonLevel(s"Damerau-Levenshtein distance of $c <= $d",
-      s"damerau_levenshtein(${l(c)}, ${r(c)}) <= $d")
+      s"damerau_levenshtein_lte(${l(c)}, ${r(c)}, $d)")
 
   def jaroWinkler(c: String, t: Double): ComparisonLevel =
     ComparisonLevel(s"Jaro-Winkler distance of $c >= $t",

@@ -12,6 +12,12 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Raise a typed AnalysisException (the user-facing plan-time error) —
+    * the errorClass constructors are private[sql], hence the bridge. */
+  def analysisError(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+
   /** Parse a SQL expression string to a real (unresolved) Catalyst tree.
     * `functions.expr` on Spark 4 defers parsing inside a lazy
     * `SqlExpression` column node, which `transform`/`collect` cannot see

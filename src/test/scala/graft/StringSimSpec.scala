@@ -65,6 +65,104 @@ class StringSimSpec extends AnyFunSuite {
     }
   }
 
+  test("banded damerauLevenshteinWithin agrees with the full DP") {
+    // fixed anchors including the unrestricted-vs-OSA separator
+    assert(StringSim.damerauLevenshteinWithin("abc", "abc", 0))
+    assert(StringSim.damerauLevenshteinWithin("ab", "ba", 1))
+    assert(StringSim.damerauLevenshteinWithin("CA", "ABC", 2)) // unrestricted: 2
+    assert(!StringSim.damerauLevenshteinWithin("CA", "ABC", 1))
+    assert(StringSim.damerauLevenshteinWithin("kitten", "sitting", 3))
+    assert(!StringSim.damerauLevenshteinWithin("kitten", "sitting", 2))
+    assert(StringSim.damerauLevenshteinWithin("martha", "marhta", 1))
+    assert(!StringSim.damerauLevenshteinWithin("abc", "abc", -1))
+    assert(StringSim.damerauLevenshteinWithin("", "ab", 2))
+    assert(!StringSim.damerauLevenshteinWithin("", "abc", 2))
+    // random fuzz vs the full alphabet-mapped matrix: a TINY alphabet
+    // maximises transposition density (the term banding must not break),
+    // and d sweeps past the band width on both sides
+    val rng = new scala.util.Random(13)
+    def randStr(alpha: Int, maxLen: Int) = {
+      val n = rng.nextInt(maxLen)
+      (1 to n).map(_ => ('a' + rng.nextInt(alpha)).toChar).mkString
+    }
+    for (trial <- 1 to 3000) {
+      val alpha = 2 + trial % 3
+      val (a, b) = (randStr(alpha, 14), randStr(alpha, 14))
+      val exact = StringSim.damerauLevenshtein(a, b)
+      for (d <- 0 to 6) {
+        assert(StringSim.damerauLevenshteinWithin(a, b, d) == (exact <= d),
+          s"'$a' vs '$b' d=$d exact=$exact")
+      }
+    }
+  }
+
+  test("levenshteinWithinU8: code-point fallback and negative-bound guard") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    // a single astral (supplementary-plane) substitution is ONE edit,
+    // matching Spark's code-point-counting built-in levenshtein — a
+    // UTF-16 DP would see two surrogate-unit edits
+    val astralA = "a𝕏b" // a 𝕏 b
+    val astralB = "a𝕐b" // a 𝕐 b
+    assert(StringSim.levenshteinWithinU8(u(astralA), u(astralB), 1))
+    assert(!StringSim.levenshteinWithinU8(u(astralA), u(astralB), 0))
+    // deleting one astral char is one edit
+    assert(StringSim.levenshteinWithinU8(u("𝕏ab"), u("ab"), 1))
+    // identical strings with a NEGATIVE bound: false on every path
+    // (the equality fast path must not override d < 0)
+    assert(!StringSim.levenshteinWithinU8(u("abc"), u("abc"), -1))
+    assert(!StringSim.levenshteinWithinU8(u("café"), u("café"), -1))
+    assert(StringSim.levenshteinWithinU8(u("abc"), u("abc"), 0))
+    // BMP multi-byte still works through the code-point path
+    assert(StringSim.levenshteinWithinU8(u("café"), u("cafe"), 1))
+    assert(!StringSim.levenshteinWithinU8(u("café"), u("caxxé"), 1))
+    // ASCII path parity with the CharSequence kernel
+    val rng = new scala.util.Random(17)
+    for (_ <- 1 to 500) {
+      val a = (1 to rng.nextInt(12)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      val b = (1 to rng.nextInt(12)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      for (d <- 0 to 4)
+        assert(StringSim.levenshteinWithinU8(u(a), u(b), d) ==
+          StringSim.levenshteinWithin(a, b, d))
+    }
+  }
+
+  test("damerauLevenshteinWithinU8 guards and parity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    assert(!StringSim.damerauLevenshteinWithinU8(u("abc"), u("abc"), -1))
+    assert(StringSim.damerauLevenshteinWithinU8(u("abc"), u("abc"), 0))
+    assert(StringSim.damerauLevenshteinWithinU8(u("ab"), u("ba"), 1))
+    // UTF-16 semantics on the non-ASCII fallback, matching the full
+    // damerauLevenshtein (the reference's UDF is JVM-char based)
+    assert(StringSim.damerauLevenshteinWithinU8(u("café"), u("café"), 0))
+    assert(StringSim.damerauLevenshteinWithinU8(u("café"), u("cafe"), 1))
+  }
+
+  test("jaccardQgramU8 ASCII fast path is bit-identical to the String path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    val rng = new scala.util.Random(23)
+    def randStr(maxLen: Int) = {
+      val n = rng.nextInt(maxLen)
+      (1 to n).map(_ => ('a' + rng.nextInt(5)).toChar).mkString
+    }
+    // edge lengths 0/1/2 hit the whole-string-token branch on both paths
+    val fixed = Seq("", "a", "ab", "ba", "aa", "abc", "night", "nacht")
+    for (a <- fixed; b <- fixed; q <- Seq(1, 2))
+      assert(StringSim.jaccardQgramU8(u(a), u(b), q) ==
+        StringSim.jaccardQgram(a, b, q), s"'$a' vs '$b' q=$q")
+    for (_ <- 1 to 2000) {
+      val (a, b) = (randStr(20), randStr(20))
+      for (q <- Seq(1, 2))
+        assert(StringSim.jaccardQgramU8(u(a), u(b), q) ==
+          StringSim.jaccardQgram(a, b, q), s"'$a' vs '$b' q=$q")
+    }
+    // non-ASCII falls back to the String path — exact same value
+    assert(StringSim.jaccardQgramU8(u("café"), u("cafe"), 2) ==
+      StringSim.jaccardQgram("café", "cafe", 2))
+  }
+
   test("qgram jaccard") {
     assert(StringSim.jaccardQgram("abc", "abc", 2) == 1.0)
     // bigrams: {ab,bc} vs {ab,bd}: inter 1, union 3
