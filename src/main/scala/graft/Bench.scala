@@ -97,6 +97,9 @@ object Bench {
     // the whole training-data dedup pipeline's slope in one number
     "q_dedup_docs",
     "q_dup_spans", "q_bridges", "q_estimate_u", "q_multi_threshold",
+    // the FUSED bridges+articulation pass (one scaffold, both verdicts):
+    // its target is <= ~65% of the q_bridges + q_articulation sum
+    "q_graph_metrics",
     "q_snm_pairs", "q_ann_ivf", "q_tfidf",
     // the distributed Tarjan-Vishkin articulation pass — the suite's
     // slowest query, so its scaling slope matters most. (q_image_neardup
@@ -126,7 +129,8 @@ object Bench {
     * ~13.5M path edges, above the CC driver gate, so this decade ALSO
     * exercises the fully distributed loops by size alone. */
   private val Sf10Queries = Seq("q_cluster", "q_multi_threshold",
-    "q_bridges", "q_articulation", "q_minhash_pairs", "q_dedup_docs",
+    "q_bridges", "q_articulation", "q_graph_metrics",
+    "q_minhash_pairs", "q_dedup_docs",
     // the flagship scoring workload (blocking + TF-aware predict — the
     // reference's headline "100M+ pairs on a cluster" shape) and the
     // forced distributed-only paths: one scale point pins no slope, so
@@ -381,18 +385,46 @@ object Bench {
           s"\"cpu_ms\":${v.cpuMs},\"run_ms\":${v.runMs}," +
           s"\"gc_ms\":${v.gcMs}}"
       }.mkString("{", ",", "}")
-    // Per-SECTION loadavg: a run can start idle and take an external load
-    // spike mid-way (r12: 0.47 -> 16.2), so start-load alone certifies
-    // nothing past the first section. Each section records its own
-    // bracketing 1-min loadavg and the artifact's `contended` flag keys
-    // on the MAX over all section brackets.
+    // Per-SECTION external-CPU accounting: a run can start idle and take
+    // an external load spike mid-way (r12: 0.47 -> 16.2 loadavg), but
+    // mid-run LOADAVG cannot certify anything — the bench's own 32
+    // threads dominate it. The steal-proof signal is cumulative CPU:
+    // /proc/stat's system busy jiffies (user+nice+system+irq+softirq+
+    // steal — steal included, so hypervisor-level theft counts too)
+    // minus THIS JVM's process CPU time. The difference is CPU burned by
+    // someone else during the section; its fraction of machine capacity
+    // is what `contended` keys on (plus the pre-run loadavg, which IS
+    // meaningful because Spark has not started yet).
+    final case class SectionCpu(wallSec: Double, loadStart: Double,
+      loadEnd: Double, procCpuSec: Double, sysBusySec: Double) {
+      def externalCpuSec: Double = math.max(0.0, sysBusySec - procCpuSec)
+      def externalFrac(procs: Int): Double =
+        if (wallSec <= 0) 0.0 else externalCpuSec / (wallSec * procs)
+    }
     def load(): Double =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val sectionLoads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def procCpuNs(): Long = ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    // USER_HZ is 100 on every mainstream linux (sysconf(_SC_CLK_TCK))
+    def sysBusyJiffies(): Long =
+      try {
+        val f = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        f.indices.collect { case i if i != 3 && i != 4 => f(i) }.sum
+      } catch { case _: Exception => -1L }
+    val sectionCpu = scala.collection.mutable.LinkedHashMap[String, SectionCpu]()
     def timedSection[A](name: String)(body: => A): A = {
       val l0 = load()
+      val p0 = procCpuNs()
+      val s0 = sysBusyJiffies()
+      val t0 = System.nanoTime()
       val r = body
-      sectionLoads(name) = (l0, load())
+      val wall = (System.nanoTime() - t0) / 1e9
+      sectionCpu(name) = SectionCpu(wall, l0, load(),
+        if (p0 < 0) -1.0 else (procCpuNs() - p0) / 1e9,
+        if (s0 < 0) -1.0 else (sysBusyJiffies() - s0) / 100.0)
       r
     }
 
@@ -459,19 +491,25 @@ object Bench {
       }
 
     val loadEnd = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    // contended = any section's bracketing loadavg above 2.0 — a spike in
-    // the MIDDLE of a run (r12's 0.47 -> 16.2) flags the artifact too. A
-    // section's own bracket may still miss a spike fully contained inside
-    // it; the per-query cpu_ms/run_ms ratio is the per-query signal.
-    val maxLoad = (sectionLoads.values.flatMap(t => Seq(t._1, t._2)) ++
-      Seq(loadStart, loadEnd)).max
-    val contended = maxLoad > 2.0
-    val sectionLoadsJson = sectionLoads.map { case (k, (a, b)) =>
-      s""""$k":{"load_start":$a,"load_end":$b}"""
+    val procs = Runtime.getRuntime.availableProcessors
+    // contended = the box was busy BEFORE Spark started (loadavg is only
+    // meaningful then), or someone else burned > 5% of machine capacity
+    // during any section (the /proc/stat external-CPU delta — the
+    // steal-proof certification the loadavg flag never was).
+    val maxExternalFrac = (0.0 +: sectionCpu.values.toSeq
+      .filter(s => s.sysBusySec >= 0 && s.procCpuSec >= 0)
+      .map(_.externalFrac(procs))).max
+    val contended = loadStart > 2.0 || maxExternalFrac > 0.05
+    val sectionCpuJson = sectionCpu.map { case (k, s) =>
+      s""""$k":{"wall_sec":${s.wallSec},"load_start":${s.loadStart},""" +
+        s""""load_end":${s.loadEnd},"proc_cpu_sec":${s.procCpuSec},""" +
+        s""""sys_busy_sec":${s.sysBusySec},""" +
+        s""""external_cpu_sec":${s.externalCpuSec},""" +
+        s""""external_frac":${s.externalFrac(procs)}}"""
     }.mkString("{", ",", "}")
-    val env = s"""{"procs":${Runtime.getRuntime.availableProcessors},""" +
+    val env = s"""{"procs":$procs,""" +
       s""""spark_cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
-      s""""loadavg_max_seen":$maxLoad,"section_loads":$sectionLoadsJson}"""
+      s""""max_external_frac":$maxExternalFrac,"sections":$sectionCpuJson}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""cold":$total,"warm":$warmTotal,"contended":$contended,""" +

@@ -1236,6 +1236,46 @@ object SparkEntry {
           col("is_articulation"))
     }),
 
+    // §2.11 the FUSED graph-metrics pass: bridges AND articulation from
+    // one shared scaffold (one per-cluster aggregate task-side, one BFS
+    // forest + fold set distributed), over the same closed-form family as
+    // q_bridges/q_articulation so both verdict columns stay oracle-exact.
+    // Edge grain: is_bridge plus the cut flags of both endpoints.
+    "q_graph_metrics" -> ((s, dir) => {
+      val base = pq(s, dir, "customer")
+        .select((col("c_custkey").cast("long") * 10).as("b"),
+          (col("c_custkey") % 2).as("odd"))
+      def e(l: Column, r: Column) = struct(l.as("l"), r.as("r"))
+      val edges = base.select(explode(when(col("odd") === 0, array(
+            e(col("b"), col("b") + 1), e(col("b") + 1, col("b") + 2),
+            e(col("b"), col("b") + 2)))
+          .otherwise(array(
+            e(col("b"), col("b") + 1), e(col("b"), col("b") + 2),
+            e(col("b"), col("b") + 3), e(col("b"), col("b") + 4),
+            e(col("b") + 1, col("b") + 2))))
+          .as("ed"))
+        .select(col("ed.l").as("unique_id_l"), col("ed.r").as("unique_id_r"))
+      val clusters = base.select(col("b"), explode(when(col("odd") === 0,
+          sequence(col("b"), col("b") + 2))
+          .otherwise(sequence(col("b"), col("b") + 4))).as("node_id"))
+        .select(col("node_id"), col("b").as("cluster_id"))
+      val gm = ClusteringOps.graphMetrics(clusters, edges,
+        maxClusterSize = 3, distributeOversize = true)
+      gm.bridges.alias("br")
+        .join(gm.articulation.alias("al"),
+          col("br.cluster_id") === col("al.cluster_id") &&
+            col("br.unique_id_l") === col("al.node_id"))
+        .join(gm.articulation.alias("ar"),
+          col("br.cluster_id") === col("ar.cluster_id") &&
+            col("br.unique_id_r") === col("ar.node_id"))
+        .select(col("br.cluster_id").as("cluster_id"),
+          col("br.unique_id_l").cast("bigint").as("uid_l"),
+          col("br.unique_id_r").cast("bigint").as("uid_r"),
+          col("br.is_bridge"),
+          col("al.is_articulation").as("is_cut_l"),
+          col("ar.is_articulation").as("is_cut_r"))
+    }),
+
     // §2.3 deterministic (rules-only) link: blocked pairs re-joined to full
     // records without scoring (`linker_components/inference.py`
     // deterministic_link)
@@ -2714,6 +2754,24 @@ object SparkEntry {
         |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
         |              ELSE [true, false, false, false, false] END)
         |    AS is_articulation
+        |FROM k""".stripMargin,
+
+    "q_graph_metrics" ->
+      """WITH k AS (
+        |  SELECT CAST(c_custkey AS BIGINT) * 10 AS b, c_custkey % 2 AS odd
+        |  FROM customer
+        |)
+        |SELECT CAST(b AS VARCHAR) AS cluster_id,
+        |  unnest(CASE WHEN odd = 0 THEN [b, b+1, b]
+        |              ELSE [b, b, b, b, b+1] END) AS uid_l,
+        |  unnest(CASE WHEN odd = 0 THEN [b+1, b+2, b+2]
+        |              ELSE [b+1, b+2, b+3, b+4, b+2] END) AS uid_r,
+        |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
+        |              ELSE [false, false, true, true, false] END) AS is_bridge,
+        |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
+        |              ELSE [true, true, true, true, false] END) AS is_cut_l,
+        |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
+        |              ELSE [false, false, false, false, false] END) AS is_cut_r
         |FROM k""".stripMargin,
 
     "q_node_metrics" ->

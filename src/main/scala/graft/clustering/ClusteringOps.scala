@@ -1131,6 +1131,117 @@ object ClusteringOps {
     out.toSet
   }
 
+  /** Result of the fused graph-metrics pass: edge-grain bridge verdicts
+    * and node-grain articulation verdicts from shared work. */
+  final case class GraphMetrics(bridges: DataFrame, articulation: DataFrame)
+
+  /**
+   * BOTH graph-metric families in one pass — the reference reports them
+   * together (`edge_metrics.py:28-60` + `graph_metrics.py:116-170` feed
+   * one `compute_graph_metrics` result), and computing them separately
+   * duplicates 55-65% of the work: the task-side path re-collects every
+   * cluster's edge list, the distributed path rebuilds the same BFS
+   * forest, folds and aux graph.
+   *
+   * Shared here: the cluster-tagged edge frame, the size aggregate, the
+   * per-cluster edge-list aggregate (checkpointed once, consumed by both
+   * task-side Tarjan passes), and — for oversized clusters — ONE
+   * [[DistributedBridges.graphEdgeNodeMetrics]] scaffold (one forest,
+   * one fold set; its interval bridge test is exact, with no XOR
+   * collision term). Same oversize contract as [[edgeBridges]] /
+   * [[articulationPoints]]: fail loudly by default, NULL verdicts with
+   * `skipOversize`, exact distributed solve with `distributeOversize`.
+   */
+  def graphMetrics(clusters: DataFrame, edges: DataFrame,
+      srcCol: String = "unique_id_l", dstCol: String = "unique_id_r",
+      maxClusterSize: Int = 10000, skipOversize: Boolean = false,
+      distributeOversize: Boolean = false): GraphMetrics = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val withCluster = edges.alias("e")
+      .join(clusters.alias("c"), col(s"e.$srcCol") === col("c.node_id"))
+      .select(col("c.cluster_id").as("cluster_id"),
+        col(s"e.$srcCol").cast("long").as("a"),
+        col(s"e.$dstCol").cast("long").as("b"))
+      .breakLineage()
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .breakLineage()
+    val oversizedIds = sizes.filter(col("n") > maxClusterSize)
+    if (!skipOversize && !distributeOversize) {
+      val oversized = oversizedIds.orderBy(desc("n")).limit(5).collect()
+      if (oversized.nonEmpty) {
+        val desc = oversized.map(r => s"${r.get(0)} (${r.get(1)} nodes)")
+          .mkString(", ")
+        throw new IllegalArgumentException(
+          s"graphMetrics: cluster(s) exceed maxClusterSize=$maxClusterSize: " +
+            s"$desc. Pass distributeOversize=true to solve them exactly " +
+            "with the distributed algorithm (no size ceiling), raise " +
+            "maxClusterSize, or pass skipOversize=true to keep their " +
+            "edges/nodes with NULL verdicts.")
+      }
+    }
+    // ONE per-cluster edge-list aggregate feeds both Tarjan passes —
+    // checkpointed because each flatMap is a separate consumer
+    val perCluster = withCluster
+      .join(sizes.filter(col("n") <= maxClusterSize), Seq("cluster_id"),
+        "left_semi")
+      .groupBy("cluster_id")
+      .agg(collect_list(struct(col("a"), col("b"))).as("es"))
+      .breakLineage()
+    val bridged = perCluster.flatMap { row =>
+      val cid = row.get(0)
+      val es = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val bridges = findBridges(es)
+      es.map { case (a, b) =>
+        (cid.toString, a, b,
+          Option(bridges.contains((a, b)) || bridges.contains((b, a))))
+      }
+    }.toDF("cluster_id", srcCol, dstCol, "is_bridge")
+    val flagged = perCluster.flatMap { row =>
+      val cid = row.get(0)
+      val es = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val cuts = findArticulationPoints(es)
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => (cid.toString, n, Option(cuts.contains(n))))
+    }.toDF("cluster_id", "node_id", "is_articulation")
+    if (distributeOversize) {
+      if (oversizedIds.limit(1).collect().isEmpty)
+        return GraphMetrics(bridged, flagged)
+      val big = withCluster.join(oversizedIds, Seq("cluster_id"), "left_semi")
+        .select(col("cluster_id"), col("a").as(srcCol), col("b").as(dstCol))
+      val (dBridges, dArtic) =
+        DistributedBridges.graphEdgeNodeMetrics(big, srcCol, dstCol)
+      // rebuild from the RDD before the unions (the Catalyst
+      // originConstraints hazard documented on edgeBridges)
+      val cleanB = {
+        val d = dBridges.select(col("cluster_id").cast("string"),
+          col(srcCol), col(dstCol), col("is_bridge").cast("boolean"))
+        spark.createDataFrame(d.rdd, d.schema)
+      }
+      val cleanA = {
+        val d = dArtic.select(col("cluster_id").cast("string"),
+          col("node").as("node_id"), col("is_articulation").cast("boolean"))
+        spark.createDataFrame(d.rdd, d.schema)
+      }
+      GraphMetrics(bridged.unionByName(cleanB), flagged.unionByName(cleanA))
+    } else if (skipOversize) {
+      val bigEdges = withCluster
+        .join(oversizedIds, Seq("cluster_id"), "left_semi")
+      GraphMetrics(
+        bridged.unionByName(bigEdges
+          .select(col("cluster_id").cast("string"), col("a").as(srcCol),
+            col("b").as(dstCol), lit(null).cast("boolean").as("is_bridge"))),
+        flagged.unionByName(bigEdges
+          .select(col("cluster_id").cast("string"),
+            explode(array(col("a"), col("b"))).as("node_id"))
+          .distinct()
+          .select(col("cluster_id"), col("node_id"),
+            lit(null).cast("boolean").as("is_articulation"))))
+    } else GraphMetrics(bridged, flagged)
+  }
+
   /**
    * Cluster-level metrics (`graph_metrics.py:116-170`): size, edge count,
    * density = 2E / (n(n-1)), cluster centralisation.

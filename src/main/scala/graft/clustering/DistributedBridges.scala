@@ -316,9 +316,38 @@ object DistributedBridges {
    * @return one row per node: (cluster_id, node, is_articulation)
    */
   def articulationPoints(edges: DataFrame, srcCol: String = "unique_id_l",
-      dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame = {
+      dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame =
+    graphEdgeNodeMetrics(edges, srcCol, dstCol, maxRounds)._2
+
+  /**
+   * BOTH graph-metric verdicts from ONE spanning forest: bridges (edge
+   * grain) and articulation points (node grain). The reference exposes
+   * them as one family (`edge_metrics.py:28-60`, `graph_metrics.py:
+   * 116-170`); computing them separately rebuilds the same BFS forest,
+   * folds and aux graph twice — 55-65% duplicated work per the committed
+   * r12 phase breakdown.
+   *
+   * The articulation pipeline already folds everything a bridge verdict
+   * needs: with preorder intervals, tree edge (p, c) is covered by some
+   * non-tree edge iff `low(c) < pre(c) OR high(c) >= pre(c) + nd(c)`
+   * (a non-tree edge leaves subtree(c) — exactly "one endpoint inside"),
+   * so `is_bridge = NOT covered AND mult = 1` (a duplicated tree pair is
+   * its own 2-cycle). That makes the combined pass cost the articulation
+   * pass plus three small verdict-grain joins — no second forest, no XOR
+   * fold, and EXACT (the standalone [[bridges]] XOR keeps a 2^-64
+   * false-bridge probability; the interval test has none). Standalone
+   * [[bridges]] deliberately keeps the XOR path: alone it needs one fold
+   * instead of the three the interval test rides on.
+   *
+   * @return (edge frame (cluster_id, srcCol, dstCol, is_bridge),
+   *          node frame (cluster_id, node, is_articulation))
+   */
+  def graphEdgeNodeMetrics(edges: DataFrame, srcCol: String = "unique_id_l",
+      dstCol: String = "unique_id_r", maxRounds: Int = 300)
+      : (DataFrame, DataFrame) = {
     val t0 = System.nanoTime()
     val forest = forestTimed(edges, srcCol, dstCol, maxRounds, t0)
+    val in = forest.in
     val pairs = forest.pairs
     val visited = forest.visited.breakLineage()
     val depth = forest.depth
@@ -418,10 +447,13 @@ object DistributedBridges {
       if (d % peelCadence == 0) byDepthLh(d - 1) = byDepthLh(d - 1).breakLineage()
       d -= 1
     }
+    // checkpointed: BOTH verdicts read this fold (rule B below, the
+    // bridge interval test at the end) — without the break each consumer
+    // would re-run the un-checkpointed tail of the fold chain
     val lowHigh = mark(t0, "low/high fold")(
       byDepthLh.values.reduce(_.unionByName(_))
         .select(col("cluster_id"), col("node"), col("parent"), col("low"),
-          col("high")))
+          col("high")).breakLineage())
 
     // ---- aux graph links + component solve ---------------------------
     // rule B needs the PARENT's preorder interval next to each child
@@ -475,10 +507,44 @@ object DistributedBridges {
         max(col("child_comp")).as("max_child_comp"),
         max(when(col("child_comp") =!= col("own_comp"), 1)
           .otherwise(0)).as("any_foreign"))
-    verdict.select(col("cluster_id"), col("node"),
+    val articulation = verdict.select(col("cluster_id"), col("node"),
       when(col("n_children") === 0, lit(false))
         .when(col("own_comp").isNull,
           col("min_child_comp") =!= col("max_child_comp"))
         .otherwise(col("any_foreign") === 1).as("is_articulation"))
+
+    // ---- bridge verdicts from the SAME folds -------------------------
+    // tree edge keyed by child c: covered iff some non-tree edge leaves
+    // subtree(c) (low/high outside [pre(c), pre(c)+nd(c))); a duplicated
+    // tree pair (mult > 1) is a 2-cycle covering itself. All three joins
+    // are verdict-grain over checkpointed frames — lazy, so callers that
+    // only consume the articulation frame pay nothing for this branch.
+    val treeIv = lowHigh.filter(col("parent").isNotNull).alias("lh")
+      .join(nd.select(col("cluster_id"), col("node"), col("nd")).alias("sz"),
+        Seq("cluster_id", "node"))
+      .join(pre.alias("pp"), Seq("cluster_id", "node"))
+      .select(col("cluster_id"), col("node"), col("parent"),
+        least(col("node"), col("parent")).as("u"),
+        greatest(col("node"), col("parent")).as("v"),
+        (col("low") < col("pre") ||
+          col("high") >= col("pre") + col("nd")).as("covered"))
+    val treeVerdict = treeIv
+      .join(pairs.select(col("cluster_id"), col("u"), col("v"), col("mult")),
+        Seq("cluster_id", "u", "v"))
+      .select(col("cluster_id"), col("u"), col("v"),
+        (!col("covered") && col("mult") === 1).as("is_bridge"))
+    val edgeVerdicts = freshen(treeVerdict).unionByName(
+      nonTree.select(col("cluster_id").as("cluster_id"), col("u").as("u"),
+        col("v").as("v"), lit(false).as("is_bridge")))
+    val bridgesDf = in.alias("i")
+      .join(edgeVerdicts.alias("vd"),
+        col("i.cluster_id") === col("vd.cluster_id") &&
+          least(col("i.a"), col("i.b")) === col("vd.u") &&
+          greatest(col("i.a"), col("i.b")) === col("vd.v"), "left")
+      .select(col("i.cluster_id").as("cluster_id"),
+        col("i.a").as(srcCol), col("i.b").as(dstCol),
+        coalesce(col("is_bridge"), lit(false)).as("is_bridge"))
+
+    (bridgesDf, articulation)
   }
 }
