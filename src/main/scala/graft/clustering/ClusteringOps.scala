@@ -1158,12 +1158,14 @@ object ClusteringOps {
       distributeOversize: Boolean = false): GraphMetrics = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // lazy like the solo entry points: its two consumers are one
+    // aggregate and one semi-join — recomputing the tag join is cheaper
+    // than holding an edge-frame block set through the whole fused plan
     val withCluster = edges.alias("e")
       .join(clusters.alias("c"), col(s"e.$srcCol") === col("c.node_id"))
       .select(col("c.cluster_id").as("cluster_id"),
         col(s"e.$srcCol").cast("long").as("a"),
         col(s"e.$dstCol").cast("long").as("b"))
-      .breakLineage()
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n"))
       .breakLineage()
     val oversizedIds = sizes.filter(col("n") > maxClusterSize)
@@ -1212,7 +1214,8 @@ object ClusteringOps {
       val big = withCluster.join(oversizedIds, Seq("cluster_id"), "left_semi")
         .select(col("cluster_id"), col("a").as(srcCol), col("b").as(dstCol))
       val (dBridges, dArtic) =
-        DistributedBridges.graphEdgeNodeMetrics(big, srcCol, dstCol)
+        DistributedBridges.graphEdgeNodeMetrics(big, srcCol, dstCol,
+          materialise = true)
       // rebuild from the RDD before the unions (the Catalyst
       // originConstraints hazard documented on edgeBridges)
       val cleanB = {

@@ -73,7 +73,7 @@ object DistributedBridges {
     *                parent null at the root (= min node id of the cluster)
     * @param depth   max BFS depth reached */
   private case class Forest(in: DataFrame, pairs: DataFrame,
-      visited: DataFrame, depth: Int)
+      visited: DataFrame, depth: Int, levels: Seq[DataFrame])
 
   private def buildForest(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int): Forest = {
@@ -164,7 +164,7 @@ object DistributedBridges {
       frontier = next
     }
     val visited = levels.map(freshen).reduce(_.unionByName(_))
-    Forest(in, pairs, visited, depth)
+    Forest(in, pairs, visited, depth, levels.toSeq)
   }
 
   private def forestTimed(edges: DataFrame, srcCol: String, dstCol: String,
@@ -343,13 +343,26 @@ object DistributedBridges {
    *          node frame (cluster_id, node, is_articulation))
    */
   def graphEdgeNodeMetrics(edges: DataFrame, srcCol: String = "unique_id_l",
-      dstCol: String = "unique_id_r", maxRounds: Int = 300)
+      dstCol: String = "unique_id_r", maxRounds: Int = 300,
+      materialise: Boolean = false)
       : (DataFrame, DataFrame) = {
     val t0 = System.nanoTime()
     val forest = forestTimed(edges, srcCol, dstCol, maxRounds, t0)
     val in = forest.in
     val pairs = forest.pairs
-    val visited = forest.visited.breakLineage()
+    // materialise mode = eager stage-by-stage checkpoints + immediate
+    // release of every consumed block set: a caller evaluating BOTH
+    // verdict frames in one plan would otherwise hold the whole scaffold
+    // live to the final action (at sf10 the fused query spent ~50% of
+    // task time in GC before this discipline). The single-verdict
+    // delegation keeps the old lazy cadence — eager scheduling costs a
+    // solo articulation run ~5-8% for no benefit.
+    def ck(df: DataFrame): DataFrame = df.breakLineage(eager = materialise)
+    def releaseIfEager(df: DataFrame): Unit =
+      if (materialise) graft.operators.Materialise.releaseConsumed(df)
+    val visited = ck(forest.visited)
+    if (materialise)
+      forest.levels.foreach(graft.operators.Materialise.releaseConsumed)
     val depth = forest.depth
     val peelCadence = math.max(8, math.ceil(depth / 12.0).toInt)
 
@@ -381,9 +394,9 @@ object DistributedBridges {
       if (d % peelCadence == 0) byDepthNd(d - 1) = byDepthNd(d - 1).breakLineage()
       d -= 1
     }
-    val nd = mark(t0, "nd fold")(byDepthNd.values.reduce(_.unionByName(_))
+    val nd = mark(t0, "nd fold")(ck(byDepthNd.values.reduce(_.unionByName(_))
       .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
-        col("nd")).breakLineage())
+        col("nd"))))
 
     // ---- fold 2 (top-down): preorder numbers, children in id order ---
     // offset(c) = total subtree size of smaller-id siblings
@@ -392,9 +405,8 @@ object DistributedBridges {
     // materialised once: every depth round of the top-down fold filters
     // this frame, and the window would otherwise recompute per round
     val kids = mark(t0, "sibling-offset window")(
-      nd.filter(col("parent").isNotNull)
-        .withColumn("offset", coalesce(sum(col("nd")).over(sibW), lit(0L)))
-        .breakLineage())
+      ck(nd.filter(col("parent").isNotNull)
+        .withColumn("offset", coalesce(sum(col("nd")).over(sibW), lit(0L)))))
     val preByDepth = scala.collection.mutable.Map[Int, DataFrame](
       0 -> freshen(nd.filter(col("depth") === 0)
         .select(col("cluster_id"), col("node"), lit(0L).as("pre"))))
@@ -411,8 +423,10 @@ object DistributedBridges {
       d += 1
     }
     val pre = mark(t0, "preorder fold")(
-      preByDepth.values.map(freshen).reduce(_.unionByName(_))
-        .breakLineage())
+      ck(preByDepth.values.map(freshen).reduce(_.unionByName(_))))
+    // the sibling-offset frame's only consumers are the preorder fold
+    // rounds, all materialised by the eager pre checkpoint above
+    releaseIfEager(kids)
 
     // ---- fold 3 (bottom-up): low/high of non-tree-neighbour preorders -
     val ntAdj = nonTree.select(col("cluster_id"), explode(array(
@@ -423,9 +437,13 @@ object DistributedBridges {
         col("pre").as("nbr_pre")), Seq("cluster_id", "nbr"))
       .groupBy("cluster_id", "node")
       .agg(min(col("nbr_pre")).as("nt_min"), max(col("nbr_pre")).as("nt_max"))
+    // pre/nd ride along as constant per-row columns: the bridge interval
+    // test then needs NO re-join with the pre/nd frames (the delegation
+    // path never reads them, and Catalyst prunes them out of its fold)
     val lhInit = nd.join(pre, Seq("cluster_id", "node"))
       .join(ntAdj, Seq("cluster_id", "node"), "left")
       .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
+        col("pre"), col("nd"),
         least(col("pre"), coalesce(col("nt_min"), col("pre"))).as("low"),
         greatest(col("pre"), coalesce(col("nt_max"), col("pre"))).as("high"))
       .breakLineage()
@@ -441,19 +459,24 @@ object DistributedBridges {
         .join(up.alias("f"), Seq("cluster_id", "node"), "left")
         .select(col("cluster_id").as("cluster_id"), col("node").as("node"),
           col("parent").as("parent"), col("depth").as("depth"),
+          col("pre").as("pre"), col("nd").as("nd"),
           least(col("low"), coalesce(col("low_up"), col("low"))).as("low"),
           greatest(col("high"), coalesce(col("high_up"), col("high")))
             .as("high"))
       if (d % peelCadence == 0) byDepthLh(d - 1) = byDepthLh(d - 1).breakLineage()
       d -= 1
     }
-    // checkpointed: BOTH verdicts read this fold (rule B below, the
-    // bridge interval test at the end) — without the break each consumer
-    // would re-run the un-checkpointed tail of the fold chain
+    // checkpointed in materialise mode: BOTH verdicts then read this fold
+    // (rule B below, the bridge interval test at the end); single-verdict
+    // delegation has one consumer and keeps the plain plan
+    val lowHighRaw = byDepthLh.values.reduce(_.unionByName(_))
+      .select(col("cluster_id"), col("node"), col("parent"), col("pre"),
+        col("nd"), col("low"), col("high"))
     val lowHigh = mark(t0, "low/high fold")(
-      byDepthLh.values.reduce(_.unionByName(_))
-        .select(col("cluster_id"), col("node"), col("parent"), col("low"),
-          col("high")).breakLineage())
+      if (materialise) lowHighRaw.breakLineage(eager = true) else lowHighRaw)
+    // lhInit's consumers are the byDepthLh filters, all folded into the
+    // eager lowHigh checkpoint above
+    releaseIfEager(lhInit)
 
     // ---- aux graph links + component solve ---------------------------
     // rule B needs the PARENT's preorder interval next to each child
@@ -487,7 +510,10 @@ object DistributedBridges {
         .join(auxComp, Seq("aux_id"), "left")
         .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
           coalesce(col("comp"), col("aux_id")).as("comp"))
-        .breakLineage())
+        .breakLineage(eager = materialise))
+    // the aux component solve's output is folded into the eager comp
+    // checkpoint — its blocks (and the CC solve's internal state) die here
+    releaseIfEager(auxComp)
 
     // ---- verdicts ----------------------------------------------------
     val childComps = comp.select(col("cluster_id"),
@@ -519,11 +545,8 @@ object DistributedBridges {
     // tree pair (mult > 1) is a 2-cycle covering itself. All three joins
     // are verdict-grain over checkpointed frames — lazy, so callers that
     // only consume the articulation frame pay nothing for this branch.
-    val treeIv = lowHigh.filter(col("parent").isNotNull).alias("lh")
-      .join(nd.select(col("cluster_id"), col("node"), col("nd")).alias("sz"),
-        Seq("cluster_id", "node"))
-      .join(pre.alias("pp"), Seq("cluster_id", "node"))
-      .select(col("cluster_id"), col("node"), col("parent"),
+    val treeIv = lowHigh.filter(col("parent").isNotNull)
+      .select(col("cluster_id"),
         least(col("node"), col("parent")).as("u"),
         greatest(col("node"), col("parent")).as("v"),
         (col("low") < col("pre") ||
@@ -545,6 +568,19 @@ object DistributedBridges {
         col("i.a").as(srcCol), col("i.b").as(dstCol),
         coalesce(col("is_bridge"), lit(false)).as("is_bridge"))
 
-    (bridgesDf, articulation)
+    if (!materialise) (bridgesDf, articulation)
+    else {
+      // callers that consume BOTH verdict frames in one downstream plan
+      // (the fused graph-metrics surface) would otherwise keep every
+      // scaffold checkpoint alive until that plan's final action — at
+      // sf10 the fused query spent ~50% of task time in GC that way.
+      // Flatten both outputs eagerly, then drop the whole scaffold: the
+      // caller receives two self-contained frames.
+      val bOut = bridgesDf.breakLineage(eager = true)
+      val aOut = articulation.breakLineage(eager = true)
+      Seq(visited, nonTree, nd, pre, lowHigh, comp, pairs, in)
+        .foreach(graft.operators.Materialise.releaseConsumed)
+      (bOut, aOut)
+    }
   }
 }
