@@ -56,19 +56,23 @@ object ClusteringOps {
       // instead rank NaN greatest). Partial aggregation combines map-side
       // so the exchange carries one row per node, and the full-frame sort
       // disappears.
-      // persisted: the mutuality check self-joins this frame, and Spark
-      // does not CSE across self-join branches
       val best = sym.groupBy(col("a"))
         .agg(min_by(col("b"), struct(
           -coalesce(nanvl(col("p"), lit(Double.NegativeInfinity)),
             lit(Double.NegativeInfinity)),
           col("b"))).as("b"))
-        .persist()
-      // mutual: (a -> b) and (b -> a) both rank-1
-      val mutual = best.alias("x")
-        .join(best.alias("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"))
-        .filter(col("x.a") < col("x.b"))
-        .select(col("x.a").as("a"), col("x.b").as("b"))
+      // mutual: (a -> b) and (b -> a) both rank-1 — as ONE aggregate on
+      // the unordered pair key, not a self-join: best has exactly one row
+      // per node, so the only rows a group {u, v} can hold are (u -> v)
+      // and (v -> u), and count = 2 is precisely mutuality. Replaces the
+      // sort-merge self-join (two exchanges + a persist of the rank
+      // frame) with a single exchange of one row per node.
+      val mutual = best
+        .groupBy(least(col("a"), col("b")).as("ka"),
+          greatest(col("a"), col("b")).as("kb"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 2)
+        .select(col("ka").as("a"), col("kb").as("b"))
         .breakLineage()
       // wide count() probes, not isEmpty: executeTake(1) materialises a
       // just-checkpointed frame in incremental 1/4/16-partition waves —
@@ -77,7 +81,6 @@ object ClusteringOps {
       // loop). Both frames get fully consumed when non-empty, so the
       // count is never wasted work.
       val anyMutual = mutual.count() > 0
-      best.unpersist(blocking = false) // mutual is materialised; best is dead
       if (!anyMutual) done = true
       else {
         matched += mutual
@@ -340,23 +343,22 @@ object ClusteringOps {
       // path). The partial aggregate combines map-side, so the
       // exchange carries one row per cluster instead of the whole
       // symmetric edge frame, and the full-frame sort disappears.
-      // persisted before the mutuality self-join (no CSE across self-join
-      // branches): unpersisted, the aggregate evaluates once per branch
       val best = sym.groupBy(col("ra"))
         .agg(min_by(col("rb"), struct(
           -coalesce(nanvl(col("p"), lit(Double.NegativeInfinity)),
             lit(Double.NegativeInfinity)),
           col("rb"))).as("rb"))
-        .persist()
-      // the mutuality probe joins best with ITSELF (one row per cluster,
-      // bounded by the edge count): under the probed ceiling the build
-      // branch broadcasts and the stream branch never exchanges
-      val bestBuild =
-        if (pairsBroadcastOk) broadcast(best.alias("y")) else best.alias("y")
-      val merges = best.alias("x")
-        .join(bestBuild, col("x.ra") === col("y.rb") && col("x.rb") === col("y.ra"))
-        .filter(col("x.ra") < col("x.rb"))
-        .select(col("x.ra").as("ka"), col("x.rb").as("kb"))
+      // mutuality as ONE aggregate on the unordered pair key (see
+      // oneToOne above): best is one row per cluster, so a {u, v} group
+      // holds at most the two directed rows and count = 2 is exactly
+      // "both rank-1". One exchange of one row per cluster replaces the
+      // self-join's two exchanges (or its broadcast build) + persist.
+      val merges = best
+        .groupBy(least(col("ra"), col("rb")).as("ka"),
+          greatest(col("ra"), col("rb")).as("kb"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 2)
+        .select(col("ka"), col("kb"))
         .breakLineage()
       // wide probe — see the comment on the mutual-best loop above; the
       // exact count doubles as the merge frame's own broadcast decision
@@ -366,7 +368,6 @@ object ClusteringOps {
       val mergesJ =
         if (mergeCount * 48L <= bcastLimit) broadcast(merges) else merges
       mark(s"round $round merges")
-      best.unpersist(blocking = false)
       // round 1's valid frame (eager or via the persisted rank frame) has
       // consumed the invalid-pair table by now; under "lowest_id" it is a
       // lazy plan and this is a no-op
@@ -644,20 +645,38 @@ object ClusteringOps {
         col("w.nb") === col("tr.na") && col("w.sd_b") === col("tr.sd_l") &&
           col("w.sd_a") === col("tr.sd_r") && col("w.p") === col("tr.p"),
         "left_anti")
-    // an edge survives when ANY of its combinations survives; the
-    // semi-join also restores e0's exact row multiset (duplicate edges in,
-    // duplicate edges out). Output materialised HERE so the working frames
-    // above can be strong-released before returning — callers receive a
-    // flat checkpoint-backed frame.
-    // under the caller's probed edge-count ceiling the kept-combo frame
-    // (bounded by edges x dataset-combinations) broadcasts, so the edge
-    // frame streams through the semi-join without an exchange
-    val keptBuild =
-      if (broadcastKept) broadcast(kept.alias("k")) else kept.alias("k")
-    val out = e0.alias("e").join(keptBuild,
-      col("e.na") === col("k.na") && col("e.nb") === col("k.nb") &&
-        col("e.p") === col("k.p"), "left_semi")
-      .breakLineage(eager = true)
+    // an edge survives when ANY of its combinations survives. When every
+    // node carries exactly ONE dataset — the reference's shape: a record
+    // has a single source_dataset column — each edge has exactly one
+    // combination row, so `kept` IS the surviving edge multiset and the
+    // multiset-restoring semi-join below is an identity. The probe is one
+    // aggregate over the node table; at sf10 it replaces a 13.5M-row
+    // edge-frame scan + join (the largest single stage of dropTies).
+    val singlePerNode = nd.groupBy(col("node_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .limit(1).collect().isEmpty
+    val out =
+      if (singlePerNode)
+        // p IS NOT NULL mirrors the semi-join branch exactly: its join
+        // equates on p, so a null-probability edge never matches a kept
+        // row — the documented (and spec-pinned) drop-path behaviour
+        kept.select(col("na"), col("nb"), col("p"))
+          .filter(col("p").isNotNull).breakLineage(eager = true)
+      else {
+        // duplicate edges in, duplicate edges out: the semi-join restores
+        // e0's exact row multiset. Output materialised HERE so the working
+        // frames above can be strong-released before returning — callers
+        // receive a flat checkpoint-backed frame.
+        // under the caller's probed edge-count ceiling the kept-combo frame
+        // (bounded by edges x dataset-combinations) broadcasts, so the edge
+        // frame streams through the semi-join without an exchange
+        val keptBuild =
+          if (broadcastKept) broadcast(kept.alias("k")) else kept.alias("k")
+        e0.alias("e").join(keptBuild,
+          col("e.na") === col("k.na") && col("e.nb") === col("k.nb") &&
+            col("e.p") === col("k.p"), "left_semi")
+          .breakLineage(eager = true)
+      }
     // round-1 invalid pairs for the caller's pair-level constraint, free
     // off the already-materialised combo frame: an edge between two
     // single-node clusters is invalid exactly when some combination pairs
