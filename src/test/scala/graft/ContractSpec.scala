@@ -49,6 +49,7 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       "jaro_winkler" -> "jaro_winkler('martha', 'marhta')",
       "damerau_levenshtein" -> "damerau_levenshtein('ab', 'ba')",
       "levenshtein_lte" -> "levenshtein_lte('kitten', 'sitting', 3)",
+      "damerau_levenshtein_lte" -> "damerau_levenshtein_lte('ab', 'ba', 1)",
       "jaccard_sim" -> "jaccard_sim('abc', 'abd')",
       "dmetaphone" -> "dmetaphone('smith')",
       "metaphone" -> "metaphone('smith')",
