@@ -1240,7 +1240,7 @@ object SparkEntry {
     // one shared scaffold (one per-cluster aggregate task-side, one BFS
     // forest + fold set distributed), over the same closed-form family as
     // q_bridges/q_articulation so both verdict columns stay oracle-exact.
-    // Edge grain: is_bridge plus the cut flags of both endpoints.
+    // Output: the edge-grain and node-grain verdict frames stacked.
     "q_graph_metrics" -> ((s, dir) => {
       val base = pq(s, dir, "customer")
         .select((col("c_custkey").cast("long") * 10).as("b"),
@@ -1261,19 +1261,12 @@ object SparkEntry {
         .select(col("node_id"), col("b").as("cluster_id"))
       val gm = ClusteringOps.graphMetrics(clusters, edges,
         maxClusterSize = 3, distributeOversize = true)
-      gm.bridges.alias("br")
-        .join(gm.articulation.alias("al"),
-          col("br.cluster_id") === col("al.cluster_id") &&
-            col("br.unique_id_l") === col("al.node_id"))
-        .join(gm.articulation.alias("ar"),
-          col("br.cluster_id") === col("ar.cluster_id") &&
-            col("br.unique_id_r") === col("ar.node_id"))
-        .select(col("br.cluster_id").as("cluster_id"),
-          col("br.unique_id_l").cast("bigint").as("uid_l"),
-          col("br.unique_id_r").cast("bigint").as("uid_r"),
-          col("br.is_bridge"),
-          col("al.is_articulation").as("is_cut_l"),
-          col("ar.is_articulation").as("is_cut_r"))
+      // the stacked frame: both verdict grains — exactly the two outputs
+      // the separate q_bridges / q_articulation queries produce (so the
+      // fused-vs-separate bench comparison measures only the shared
+      // scaffold), and on the task-side path its rows stream out of ONE
+      // un-checkpointed Tarjan pass
+      gm.stacked
     }),
 
     // §2.3 deterministic (rules-only) link: blocked pairs re-joined to full
@@ -2761,17 +2754,21 @@ object SparkEntry {
         |  SELECT CAST(c_custkey AS BIGINT) * 10 AS b, c_custkey % 2 AS odd
         |  FROM customer
         |)
-        |SELECT CAST(b AS VARCHAR) AS cluster_id,
+        |SELECT CAST(b AS VARCHAR) AS cluster_id, 'edge' AS grain,
         |  unnest(CASE WHEN odd = 0 THEN [b, b+1, b]
-        |              ELSE [b, b, b, b, b+1] END) AS uid_l,
+        |              ELSE [b, b, b, b, b+1] END) AS id_a,
         |  unnest(CASE WHEN odd = 0 THEN [b+1, b+2, b+2]
-        |              ELSE [b+1, b+2, b+3, b+4, b+2] END) AS uid_r,
+        |              ELSE [b+1, b+2, b+3, b+4, b+2] END) AS id_b,
         |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
-        |              ELSE [false, false, true, true, false] END) AS is_bridge,
+        |              ELSE [false, false, true, true, false] END) AS verdict
+        |FROM k
+        |UNION ALL
+        |SELECT CAST(b AS VARCHAR) AS cluster_id, 'node' AS grain,
+        |  unnest(CASE WHEN odd = 0 THEN [b, b+1, b+2]
+        |              ELSE [b, b+1, b+2, b+3, b+4] END) AS id_a,
+        |  CAST(NULL AS BIGINT) AS id_b,
         |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
-        |              ELSE [true, true, true, true, false] END) AS is_cut_l,
-        |  unnest(CASE WHEN odd = 0 THEN [false, false, false]
-        |              ELSE [false, false, false, false, false] END) AS is_cut_r
+        |              ELSE [true, false, false, false, false] END) AS verdict
         |FROM k""".stripMargin,
 
     "q_node_metrics" ->

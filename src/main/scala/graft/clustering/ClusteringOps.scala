@@ -1150,9 +1150,73 @@ object ClusteringOps {
     out.toSet
   }
 
+  /** BOTH task-side verdicts from ONE Tarjan DFS — the fused pass's
+    * local analogue of the shared distributed scaffold. Bridge and cut
+    * detection read the same low-link values, so running
+    * [[findBridges]] and [[findArticulationPoints]] separately walks
+    * the identical DFS tree twice. Works on the raw multigraph:
+    * a parallel copy of a tree edge is a back edge that sets
+    * low(child) = disc(parent), which correctly kills the bridge and
+    * leaves the cut test's low >= disc unchanged (removing the parent
+    * still strands the subtree — both copies pass through it);
+    * self-loops only ever relax low(v) with disc(v), a no-op for both.
+    */
+  def findBridgesAndCuts(edges: Seq[(Long, Long)])
+      : (Set[(Long, Long)], Set[Long]) = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, Int)]]
+    edges.zipWithIndex.foreach { case ((a, b), i) =>
+      adj(a) = (b, i) :: adj.getOrElse(a, Nil)
+      adj(b) = (a, i) :: adj.getOrElse(b, Nil)
+    }
+    val disc = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val rootChildren = scala.collection.mutable.Map.empty[Long, Int]
+    val bridges = scala.collection.mutable.Set.empty[(Long, Long)]
+    val cuts = scala.collection.mutable.Set.empty[Long]
+    var timer = 0
+    adj.keys.foreach { root =>
+      if (!disc.contains(root)) {
+        val stack = scala.collection.mutable.Stack[(Long, Int, List[(Long, Int)])]()
+        disc(root) = timer; low(root) = timer; timer += 1
+        stack.push((root, -1, adj(root)))
+        while (stack.nonEmpty) {
+          val (v, pe, rest) = stack.pop()
+          rest match {
+            case (w, ei) :: tail =>
+              stack.push((v, pe, tail))
+              if (!disc.contains(w)) {
+                disc(w) = timer; low(w) = timer; timer += 1
+                stack.push((w, ei, adj(w)))
+              } else if (ei != pe) {
+                low(v) = math.min(low(v), disc(w))
+              }
+            case Nil =>
+              if (stack.nonEmpty) {
+                val (p, ppe, _) = stack.top
+                low(p) = math.min(low(p), low(v))
+                if (low(v) > disc(p)) bridges += ((p, v))
+                if (ppe == -1)
+                  rootChildren(p) = rootChildren.getOrElse(p, 0) + 1
+                else if (low(v) >= disc(p)) cuts += p
+              }
+          }
+        }
+        if (rootChildren.getOrElse(root, 0) >= 2) cuts += root
+      }
+    }
+    (bridges.toSet, cuts.toSet)
+  }
+
   /** Result of the fused graph-metrics pass: edge-grain bridge verdicts
-    * and node-grain articulation verdicts from shared work. */
-  final case class GraphMetrics(bridges: DataFrame, articulation: DataFrame)
+    * and node-grain articulation verdicts from shared work, plus the
+    * `stacked` union of both grains — (cluster_id, grain 'edge'|'node',
+    * id_a, id_b NULL for nodes, verdict). A consumer that wants BOTH
+    * verdicts should read `stacked`: the task-side rows stream out of
+    * ONE un-checkpointed Tarjan pass, whereas reading `bridges` and
+    * `articulation` separately forces the shared pass through a spilled
+    * checkpoint so the two filtered consumers don't recompute it. */
+  final case class GraphMetrics(bridges: DataFrame, articulation: DataFrame,
+      stacked: DataFrame)
 
   /**
    * BOTH graph-metric families in one pass — the reference reports them
@@ -1202,34 +1266,55 @@ object ClusteringOps {
       }
     }
     // ONE per-cluster edge-list aggregate feeds both Tarjan passes —
-    // checkpointed because each flatMap is a separate consumer
+    // checkpointed because each flatMap is a separate consumer, and
+    // DISK_ONLY because its blocks stay alive through the whole fused
+    // plan (both flatMaps sit in the final action) while the distributed
+    // oversize branch is building its own scaffold on the heap
     val perCluster = withCluster
       .join(sizes.filter(col("n") <= maxClusterSize), Seq("cluster_id"),
         "left_semi")
       .groupBy("cluster_id")
       .agg(collect_list(struct(col("a"), col("b"))).as("es"))
-      .breakLineage()
-    val bridged = perCluster.flatMap { row =>
-      val cid = row.get(0)
+      .breakLineageSpilled()
+    // ONE flatMap, ONE DFS per cluster, emitting both grains — two
+    // separate flatMaps would re-read every edge list and re-walk the
+    // identical DFS tree. Deliberately LAZY and un-checkpointed: the
+    // stacked consumer evaluates it exactly once, streaming rows
+    // straight into its action (a checkpoint here was measured a net
+    // LOSS at sf10 — writing + twice reading 120M verdict rows costs
+    // more than the DFS it saves on small clusters).
+    val combinedRaw = perCluster.flatMap { row =>
+      val cid = row.get(0).toString
       val es = row.getSeq[org.apache.spark.sql.Row](1)
         .map(r => (r.getLong(0), r.getLong(1)))
-      val bridges = findBridges(es)
-      es.map { case (a, b) =>
-        (cid.toString, a, b,
+      val (bridges, cuts) = findBridgesAndCuts(es)
+      val edgeRows = es.map { case (a, b) =>
+        (cid, "edge", a, Option(b),
           Option(bridges.contains((a, b)) || bridges.contains((b, a))))
       }
-    }.toDF("cluster_id", srcCol, dstCol, "is_bridge")
-    val flagged = perCluster.flatMap { row =>
-      val cid = row.get(0)
-      val es = row.getSeq[org.apache.spark.sql.Row](1)
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val cuts = findArticulationPoints(es)
-      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
-      nodes.map(n => (cid.toString, n, Option(cuts.contains(n))))
-    }.toDF("cluster_id", "node_id", "is_articulation")
+      val nodeRows = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => (cid, "node", n, None: Option[Long], Option(cuts.contains(n))))
+      edgeRows ++ nodeRows
+    }.toDF("cluster_id", "grain", "id_a", "id_b", "verdict")
+    // the single-grain views go through a spilled checkpoint so callers
+    // touching BOTH frames don't recompute the shared pass
+    val combinedCk = combinedRaw.breakLineageSpilled()
+    val bridged = combinedCk.filter(col("grain") === "edge")
+      .select(col("cluster_id"), col("id_a").as(srcCol),
+        col("id_b").as(dstCol), col("verdict").as("is_bridge"))
+    val flagged = combinedCk.filter(col("grain") === "node")
+      .select(col("cluster_id"), col("id_a").as("node_id"),
+        col("verdict").as("is_articulation"))
+    // reshape a single-grain frame into the stacked schema
+    def stackEdges(df: DataFrame): DataFrame = df.select(col("cluster_id"),
+      lit("edge").as("grain"), col(srcCol).cast("long").as("id_a"),
+      col(dstCol).cast("long").as("id_b"), col("is_bridge").as("verdict"))
+    def stackNodes(df: DataFrame): DataFrame = df.select(col("cluster_id"),
+      lit("node").as("grain"), col("node_id").cast("long").as("id_a"),
+      lit(null).cast("long").as("id_b"), col("is_articulation").as("verdict"))
     if (distributeOversize) {
       if (oversizedIds.limit(1).collect().isEmpty)
-        return GraphMetrics(bridged, flagged)
+        return GraphMetrics(bridged, flagged, combinedRaw)
       val big = withCluster.join(oversizedIds, Seq("cluster_id"), "left_semi")
         .select(col("cluster_id"), col("a").as(srcCol), col("b").as(dstCol))
       val (dBridges, dArtic) =
@@ -1247,21 +1332,25 @@ object ClusteringOps {
           col("node").as("node_id"), col("is_articulation").cast("boolean"))
         spark.createDataFrame(d.rdd, d.schema)
       }
-      GraphMetrics(bridged.unionByName(cleanB), flagged.unionByName(cleanA))
+      GraphMetrics(bridged.unionByName(cleanB), flagged.unionByName(cleanA),
+        combinedRaw.unionByName(stackEdges(cleanB))
+          .unionByName(stackNodes(cleanA)))
     } else if (skipOversize) {
       val bigEdges = withCluster
         .join(oversizedIds, Seq("cluster_id"), "left_semi")
-      GraphMetrics(
-        bridged.unionByName(bigEdges
-          .select(col("cluster_id").cast("string"), col("a").as(srcCol),
-            col("b").as(dstCol), lit(null).cast("boolean").as("is_bridge"))),
-        flagged.unionByName(bigEdges
-          .select(col("cluster_id").cast("string"),
-            explode(array(col("a"), col("b"))).as("node_id"))
-          .distinct()
-          .select(col("cluster_id"), col("node_id"),
-            lit(null).cast("boolean").as("is_articulation"))))
-    } else GraphMetrics(bridged, flagged)
+      val nullB = bigEdges
+        .select(col("cluster_id").cast("string"), col("a").as(srcCol),
+          col("b").as(dstCol), lit(null).cast("boolean").as("is_bridge"))
+      val nullA = bigEdges
+        .select(col("cluster_id").cast("string"),
+          explode(array(col("a"), col("b"))).as("node_id"))
+        .distinct()
+        .select(col("cluster_id"), col("node_id"),
+          lit(null).cast("boolean").as("is_articulation"))
+      GraphMetrics(bridged.unionByName(nullB), flagged.unionByName(nullA),
+        combinedRaw.unionByName(stackEdges(nullB))
+          .unionByName(stackNodes(nullA)))
+    } else GraphMetrics(bridged, flagged, combinedRaw)
   }
 
   /**

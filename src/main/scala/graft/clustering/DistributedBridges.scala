@@ -354,10 +354,21 @@ object DistributedBridges {
     // release of every consumed block set: a caller evaluating BOTH
     // verdict frames in one plan would otherwise hold the whole scaffold
     // live to the final action (at sf10 the fused query spent ~50% of
-    // task time in GC before this discipline). The single-verdict
-    // delegation keeps the old lazy cadence — eager scheduling costs a
-    // solo articulation run ~5-8% for no benefit.
-    def ck(df: DataFrame): DataFrame = df.breakLineage(eager = materialise)
+    // task time in GC before this discipline). The checkpoints also go
+    // DISK_ONLY in this mode: ~8 scaffold frames of 35M+ rows held
+    // on-heap are old-generation garbage every GC cycle re-walks
+    // (measured at sf10: 500s task GC, 36% of the fused run time);
+    // spilled, the heap holds only the frames being computed. The
+    // single-verdict delegation keeps the old lazy on-heap cadence —
+    // eager scheduling costs a solo articulation run ~5-8% for no
+    // benefit.
+    def ck(df: DataFrame): DataFrame =
+      if (materialise) df.breakLineageSpilled(eager = true)
+      else df.breakLineage()
+    // lazy variant for frames whose first consumer is itself checkpointed
+    // (they compute exactly once either way — only the block home differs)
+    def ckLazy(df: DataFrame): DataFrame =
+      if (materialise) df.breakLineageSpilled() else df.breakLineage()
     def releaseIfEager(df: DataFrame): Unit =
       if (materialise) graft.operators.Materialise.releaseConsumed(df)
     val visited = ck(forest.visited)
@@ -373,10 +384,9 @@ object DistributedBridges {
     // duplicate copies of tree pairs form 2-cycles through no internal
     // vertex — they affect bridges but never cut vertices, so they are
     // excluded here outright
-    val nonTree = pairs
+    val nonTree = ckLazy(pairs
       .join(treeKeys, Seq("cluster_id", "u", "v"), "left_anti")
-      .select(col("cluster_id"), col("u"), col("v"))
-      .breakLineage()
+      .select(col("cluster_id"), col("u"), col("v")))
 
     // ---- fold 1 (bottom-up): subtree sizes nd ------------------------
     val byDepthNd = scala.collection.mutable.Map[Int, DataFrame]()
@@ -440,13 +450,12 @@ object DistributedBridges {
     // pre/nd ride along as constant per-row columns: the bridge interval
     // test then needs NO re-join with the pre/nd frames (the delegation
     // path never reads them, and Catalyst prunes them out of its fold)
-    val lhInit = nd.join(pre, Seq("cluster_id", "node"))
+    val lhInit = ckLazy(nd.join(pre, Seq("cluster_id", "node"))
       .join(ntAdj, Seq("cluster_id", "node"), "left")
       .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
         col("pre"), col("nd"),
         least(col("pre"), coalesce(col("nt_min"), col("pre"))).as("low"),
-        greatest(col("pre"), coalesce(col("nt_max"), col("pre"))).as("high"))
-      .breakLineage()
+        greatest(col("pre"), coalesce(col("nt_max"), col("pre"))).as("high")))
     val byDepthLh = scala.collection.mutable.Map[Int, DataFrame]()
     (0 to depth).foreach(dd => byDepthLh(dd) =
       freshen(lhInit.filter(col("depth") === dd)))
@@ -473,7 +482,8 @@ object DistributedBridges {
       .select(col("cluster_id"), col("node"), col("parent"), col("pre"),
         col("nd"), col("low"), col("high"))
     val lowHigh = mark(t0, "low/high fold")(
-      if (materialise) lowHighRaw.breakLineage(eager = true) else lowHighRaw)
+      if (materialise) lowHighRaw.breakLineageSpilled(eager = true)
+      else lowHighRaw)
     // lhInit's consumers are the byDepthLh filters, all folded into the
     // eager lowHigh checkpoint above
     releaseIfEager(lhInit)
@@ -505,15 +515,20 @@ object DistributedBridges {
     // parent-edge component per non-root node; aux-isolated nodes keep
     // their own id as a singleton component
     val comp = mark(t0, "parent-edge components")(
-      visited.filter(col("parent").isNotNull)
+      ck(visited.filter(col("parent").isNotNull)
         .withColumn("aux_id", xxhash64(col("cluster_id"), col("node")))
         .join(auxComp, Seq("aux_id"), "left")
         .select(col("cluster_id"), col("node"), col("parent"), col("depth"),
-          coalesce(col("comp"), col("aux_id")).as("comp"))
-        .breakLineage(eager = materialise))
+          coalesce(col("comp"), col("aux_id")).as("comp"))))
     // the aux component solve's output is folded into the eager comp
-    // checkpoint — its blocks (and the CC solve's internal state) die here
+    // checkpoint — its blocks (and the CC solve's internal state) die
+    // here, and so do nd/pre: their remaining consumer (the parent-
+    // interval join feeding rule B) is inside that checkpoint, and the
+    // bridge interval test reads pre/nd as columns carried on lowHigh,
+    // never these frames
     releaseIfEager(auxComp)
+    releaseIfEager(nd)
+    releaseIfEager(pre)
 
     // ---- verdicts ----------------------------------------------------
     val childComps = comp.select(col("cluster_id"),
@@ -574,11 +589,16 @@ object DistributedBridges {
       // (the fused graph-metrics surface) would otherwise keep every
       // scaffold checkpoint alive until that plan's final action — at
       // sf10 the fused query spent ~50% of task time in GC that way.
-      // Flatten both outputs eagerly, then drop the whole scaffold: the
-      // caller receives two self-contained frames.
-      val bOut = bridgesDf.breakLineage(eager = true)
-      val aOut = articulation.breakLineage(eager = true)
-      Seq(visited, nonTree, nd, pre, lowHigh, comp, pairs, in)
+      // Flatten both outputs eagerly, RELEASING each verdict's scaffold
+      // inputs as soon as that verdict lands (the bridge side consumes
+      // lowHigh/nonTree/pairs/in; the node side only visited/comp): the
+      // caller receives two self-contained frames and the peak live
+      // block set never exceeds one verdict's inputs.
+      val bOut = bridgesDf.breakLineageSpilled(eager = true)
+      Seq(lowHigh, nonTree, pairs, in)
+        .foreach(graft.operators.Materialise.releaseConsumed)
+      val aOut = articulation.breakLineageSpilled(eager = true)
+      Seq(visited, comp)
         .foreach(graft.operators.Materialise.releaseConsumed)
       (bOut, aOut)
     }

@@ -21,6 +21,25 @@ class GraphMetricsSpec extends SparkSpec {
     df.collect().map(r => r.getAs[Long]("node_id") ->
       r.getAs[Boolean]("is_articulation")).toMap
 
+  test("findBridgesAndCuts: one-DFS verdicts match the standalone finders " +
+      "on random multigraphs (parallel edges + self-loops)") {
+    val rng = new scala.util.Random(431)
+    (1 to 200).foreach { trial =>
+      val n = 2 + rng.nextInt(14)
+      val m = 1 + rng.nextInt(3 * n)
+      // raw multigraph: duplicates and self-loops stay in
+      val es = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val (bs, cs) = ClusteringOps.findBridgesAndCuts(es)
+      val soloB = ClusteringOps.findBridges(es)
+      val soloC = ClusteringOps.findArticulationPoints(es)
+      // bridge sets are emitted as DFS tree pairs — compare undirected
+      def undir(s: Set[(Long, Long)]) =
+        s.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      assert(undir(bs) == undir(soloB), s"trial $trial bridges: $es")
+      assert(cs == soloC, s"trial $trial cuts: $es")
+    }
+  }
+
   test("fused pass matches the standalone entry points on random graphs, " +
       "both physical paths") {
     val rng = new scala.util.Random(137)
@@ -42,6 +61,15 @@ class GraphMetricsSpec extends SparkSpec {
           s"trial $trial cap=$cap bridge verdicts diverged")
         assert(cutMap(gm.articulation) == soloA,
           s"trial $trial cap=$cap articulation verdicts diverged")
+        // the stacked frame is the exact union of the two grains
+        val st = gm.stacked.collect()
+        val stB = st.filter(_.getString(1) == "edge")
+          .map(r => (r.getLong(2), r.getLong(3)) -> r.getBoolean(4)).toMap
+        val stA = st.filter(_.getString(1) == "node")
+          .map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+        assert(stB == soloB,
+          s"trial $trial cap=$cap stacked edge grain diverged")
+        assert(stA == soloA, s"trial $trial cap=$cap stacked node grain diverged")
       }
     }
   }
