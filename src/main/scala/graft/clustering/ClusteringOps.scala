@@ -188,8 +188,13 @@ object ClusteringOps {
     // dropTies reads its input several times (symmetric explode, tie
     // aggregate, the final semi-join), and each read of an unmaterialised
     // predict pipeline would re-run the whole scoring job
+    // spilled: the edge frame (and every other full-width checkpoint in
+    // this loop) stays alive across several joins/aggregates — on-heap
+    // blocks at 13M+ rows were measured as 462s of task GC (46% of run
+    // time) on the forced-distributed sf10 bench entry
     val e0raw = edges.select(col(srcCol).as("na"), col(dstCol).as("nb"),
-      col(probCol).as("p")).filter(col("na") =!= col("nb")).breakLineage()
+      col(probCol).as("p")).filter(col("na") =!= col("nb"))
+      .breakLineageSpilled()
     // only the duplicate-free datasets constrain merges
     // (`clustering.py:201-202`: "This can be a subset of all of the source
     // datasets"); other datasets may repeat inside a cluster freely
@@ -252,9 +257,10 @@ object ClusteringOps {
           .select(col("s.na"), col("s.nb"))
         (e0raw, iv)
     }
-    // LAZY: the initial identity membership is only ever read through the
-    // round-1 update (or the final output when no merge lands) — a
-    // separate eager pass over the node set would be a wasted schedule
+    // LAZY: the initial identity membership is only ever read as the
+    // final output when NO merge round lands — a merge round derives the
+    // node universe from the rank aggregate instead (one row per node by
+    // construction, so the full-width union+distinct here never runs)
     var membership = e0.select(col("na").as("node_id"))
       .unionByName(e0.select(col("nb").as("node_id")))
       .distinct()
@@ -305,16 +311,37 @@ object ClusteringOps {
         mark("clusterSets init")
       }
       // Round 1: single-node clusters — the constraint is exactly "the
-      // endpoints share no duplicate-free dataset", a pair-level anti-join
+      // endpoints share no duplicate-free dataset", a pair-level lookup
       // against the precomputed invalid pairs (no set arrays involved).
-      // Later rounds: left joins + empty-set default — a cluster holding
-      // no record from any duplicate-free dataset constrains nothing.
+      // Kept as a LEFT join with a `bad` flag rather than an anti-join:
+      // the round-1 rank aggregate doubles as the output's node
+      // UNIVERSE, and a node whose EVERY edge is invalid still owns an
+      // output row (singleton) — it must reach the aggregate. Flagged
+      // edges rank after every valid edge (boolean false < true leads
+      // the min_by key) and are filtered out of merge candidacy, so
+      // merge semantics are untouched. Duplicate invalid-combo rows
+      // only ever duplicate `bad` rows, which neither the rank, the
+      // merge filter, nor the groupBy universe can observe.
+      // Later rounds: left joins + empty-set default — a cluster
+      // holding no record from any duplicate-free dataset constrains
+      // nothing (universe = the maintained membership there).
       val noDs = array().cast("array<string>")
+      val flagged1: DataFrame =
+        if (round != 1) null
+        else {
+          val f = ce.alias("e").join(invalid1.alias("iv"),
+              col("e.ra") === col("iv.na") && col("e.rb") === col("iv.nb"),
+              "left")
+            .select(col("e.ra"), col("e.rb"), col("e.p"),
+              col("iv.na").isNotNull.as("bad"))
+          // two consumers while the loop continues (the eager valid
+          // checkpoint and the rank aggregate); the final round's single
+          // consumer chain streams instead
+          if (round < maxRounds) f.breakLineageSpilled() else f
+        }
       val validPlan =
         if (round == 1)
-          ce.alias("e").join(invalid1.alias("iv"),
-            col("e.ra") === col("iv.na") && col("e.rb") === col("iv.nb"),
-            "left_anti")
+          flagged1.filter(!col("bad")).select(col("ra"), col("rb"), col("p"))
         else ce.alias("e")
           .join(clusterSets.alias("sa"), col("e.ra") === col("sa.r"), "left")
           .join(clusterSets.alias("sb"), col("e.rb") === col("sb.r"), "left")
@@ -326,15 +353,23 @@ object ClusteringOps {
       // persisted rank frame, which materialises it exactly once anyway
       val valid =
         if (round < maxRounds) {
-          val v = validPlan.breakLineage(eager = true)
+          val v = validPlan.breakLineageSpilled(eager = true)
           mark(s"round $round valid")
           v
         } else validPlan
-      // symmetric via one explode: a union would evaluate the input twice
-      val sym = valid.select(explode(array(
-          struct(col("ra"), col("rb"), col("p")),
-          struct(col("rb").as("ra"), col("ra").as("rb"), col("p")))).as("e"))
-        .select(col("e.ra"), col("e.rb"), col("e.p"))
+      // symmetric via one explode: a union would evaluate the input
+      // twice. Round 1 explodes the FLAGGED frame (bad rows ride along
+      // so their nodes reach the universe); later rounds the valid one.
+      val sym =
+        if (round == 1) flagged1.select(explode(array(
+            struct(col("ra"), col("rb"), col("p"), col("bad")),
+            struct(col("rb").as("ra"), col("ra").as("rb"), col("p"),
+              col("bad")))).as("e"))
+          .select(col("e.ra"), col("e.rb"), col("e.p"), col("e.bad"))
+        else valid.select(explode(array(
+            struct(col("ra"), col("rb"), col("p")),
+            struct(col("rb").as("ra"), col("ra").as("rb"), col("p")))).as("e"))
+          .select(col("e.ra"), col("e.rb"), col("e.p"))
       // best neighbour per cluster as a HASH AGGREGATE, not a sort window:
       // min_by over struct(-p, rb) reproduces ORDER BY p DESC, rb ASC
       // rank-1 exactly (lexicographic min = largest p, then smallest id;
@@ -343,17 +378,31 @@ object ClusteringOps {
       // path). The partial aggregate combines map-side, so the
       // exchange carries one row per cluster instead of the whole
       // symmetric edge frame, and the full-frame sort disappears.
-      val best = sym.groupBy(col("ra"))
-        .agg(min_by(col("rb"), struct(
-          -coalesce(nanvl(col("p"), lit(Double.NegativeInfinity)),
-            lit(Double.NegativeInfinity)),
-          col("rb"))).as("rb"))
+      val rankP = -coalesce(nanvl(col("p"), lit(Double.NegativeInfinity)),
+        lit(Double.NegativeInfinity))
+      // Round 1 only: the rank output doubles as the NODE UNIVERSE for
+      // the membership update (exactly one row per node by groupBy
+      // construction), so it goes through a checkpoint both consumers
+      // read — this is what lets round 1 skip a full-width
+      // union+distinct over the edge frame entirely. Later rounds'
+      // universe is the maintained membership; their rank frame has one
+      // consumer and stays a streaming plan.
+      val best =
+        if (round == 1) sym.groupBy(col("ra"))
+          .agg(min_by(struct(col("rb"), col("bad")),
+            struct(col("bad"), rankP, col("rb"))).as("b"))
+          .select(col("ra"), col("b.rb").as("rb"), col("b.bad").as("bad"))
+          .breakLineageSpilled()
+        else sym.groupBy(col("ra"))
+          .agg(min_by(col("rb"), struct(rankP, col("rb"))).as("rb"))
       // mutuality as ONE aggregate on the unordered pair key (see
       // oneToOne above): best is one row per cluster, so a {u, v} group
       // holds at most the two directed rows and count = 2 is exactly
       // "both rank-1". One exchange of one row per cluster replaces the
       // self-join's two exchanges (or its broadcast build) + persist.
-      val merges = best
+      val merges =
+        (if (round == 1) best.filter(!col("bad")).select(col("ra"), col("rb"))
+         else best)
         .groupBy(least(col("ra"), col("rb")).as("ka"),
           greatest(col("ra"), col("rb")).as("kb"))
         .agg(count(lit(1)).as("cnt"))
@@ -375,58 +424,79 @@ object ClusteringOps {
       if (!anyMerge) {
         done = true
         graft.operators.Materialise.releaseConsumed(valid)
+        if (round == 1) {
+          graft.operators.Materialise.releaseConsumed(best)
+          graft.operators.Materialise.releaseConsumed(flagged1)
+        }
       } else {
         // mutual-best merges never chain inside a round (each cluster has
         // exactly one rank-1 neighbour), so a single-step kb -> ka rewrite
         // is the full round update for all three maintained frames. Every
         // successor is eagerly materialised before its predecessor's
-        // blocks are strong-released.
-        val prevMembership = membership
-        membership = membership.alias("m")
+        // blocks are strong-released — EXCEPT on the final executed
+        // round, where the updated membership's only consumer is the
+        // caller's action: it stays a streaming plan over the (already
+        // materialised) universe + merge blocks, which then must survive
+        // to that read (no releases on that exit path).
+        val finalRound = round == maxRounds
+        val base =
+          if (round == 1)
+            best.select(col("ra").as("node_id"), col("ra").as("rep"))
+          else membership
+        val upd = base.alias("m")
           .join(mergesJ.alias("g"), col("m.rep") === col("g.kb"), "left")
           .select(col("m.node_id"),
             coalesce(col("g.ka"), col("m.rep")).as("rep"))
-          .breakLineage(eager = true)
-        graft.operators.Materialise.releaseConsumed(prevMembership)
+        if (finalRound) {
+          membership = upd
+          mark(s"round $round membership (streaming)")
+        } else {
+        val prevMembership = membership
+        membership = upd.breakLineageSpilled(eager = true)
+        if (round == 1) graft.operators.Materialise.releaseConsumed(best)
+        else graft.operators.Materialise.releaseConsumed(prevMembership)
         membershipMaterialised = true
         mark(s"round $round membership")
-        if (round < maxRounds) {
-          // only a continuing loop needs the candidate state rolled
-          // forward; on the final round the merge lands in the output
-          // membership alone. clusterSets is null until its deferred
-          // round-2 init — which absorbs this round's merges via
-          // membership, so there is nothing to roll yet.
-          if (clusterSets != null) {
-            val prevSets = clusterSets
-            clusterSets = clusterSets.alias("s")
-              .join(mergesJ.alias("g"), col("s.r") === col("g.kb"), "left")
-              .select(coalesce(col("g.ka"), col("s.r")).as("r"), col("s.ds"))
-              .groupBy(col("r"))
-              .agg(array_distinct(flatten(collect_list(col("ds")))).as("ds"))
-              .breakLineage(eager = true)
-            graft.operators.Materialise.releaseConsumed(prevSets)
-          }
-          val prevCe = ce
-          ce = valid.alias("e")
-            .join(mergesJ.alias("ga"), col("e.ra") === col("ga.kb"), "left")
-            .join(mergesJ.alias("gb"), col("e.rb") === col("gb.kb"), "left")
-            .select(coalesce(col("ga.ka"), col("e.ra")).as("ra"),
-              coalesce(col("gb.ka"), col("e.rb")).as("rb"), col("e.p"))
-            .filter(col("ra") =!= col("rb"))
+        // the continuing loop's candidate state rolls forward; on the
+        // final round the merge lands in the output membership alone.
+        // clusterSets is null until its deferred round-2 init — which
+        // absorbs this round's merges via membership, so there is
+        // nothing to roll yet.
+        if (clusterSets != null) {
+          val prevSets = clusterSets
+          clusterSets = clusterSets.alias("s")
+            .join(mergesJ.alias("g"), col("s.r") === col("g.kb"), "left")
+            .select(coalesce(col("g.ka"), col("s.r")).as("r"), col("s.ds"))
+            .groupBy(col("r"))
+            .agg(array_distinct(flatten(collect_list(col("ds")))).as("ds"))
             .breakLineage(eager = true)
-          // round 1's ce is a projection of e0, not a materialised frame
-          // of its own — e0 is torn down once at exit instead
-          if (round > 1) graft.operators.Materialise.releaseConsumed(prevCe)
+          graft.operators.Materialise.releaseConsumed(prevSets)
         }
+        val prevCe = ce
+        ce = valid.alias("e")
+          .join(mergesJ.alias("ga"), col("e.ra") === col("ga.kb"), "left")
+          .join(mergesJ.alias("gb"), col("e.rb") === col("gb.kb"), "left")
+          .select(coalesce(col("ga.ka"), col("e.ra")).as("ra"),
+            coalesce(col("gb.ka"), col("e.rb")).as("rb"), col("e.p"))
+          .filter(col("ra") =!= col("rb"))
+          .breakLineageSpilled(eager = true)
+        // round 1's ce is a projection of e0, not a materialised frame
+        // of its own — e0 is torn down once at exit instead
+        if (round > 1) graft.operators.Materialise.releaseConsumed(prevCe)
         graft.operators.Materialise.releaseConsumed(valid)
         graft.operators.Materialise.releaseConsumed(merges)
+        if (round == 1) graft.operators.Materialise.releaseConsumed(flagged1)
+        }
       }
     }
-    // everything the loop owned besides the output membership is dead:
-    // the last round's eager frames consumed ce/e0 fully, and the output
-    // below is a pure projection of the (checkpoint-backed) membership.
-    // With NO merge round the output is still the lazy identity plan over
-    // e0 — the edge frame must then survive for the caller to evaluate.
+    // everything the loop owned besides the output membership is dead
+    // when the loop CLOSED ITSELF (no-merge round): the last eager
+    // frames consumed ce/e0 fully. When the final round merged, the
+    // output is a streaming plan over its universe + merge blocks —
+    // those stay alive (membershipMaterialised gates the e0 teardown,
+    // and the merge/best blocks were deliberately not released).
+    // With NO merge round at all the output is the lazy identity plan
+    // over e0 — the edge frame must then survive for the caller.
     if (round > 1) graft.operators.Materialise.releaseConsumed(ce)
     if (clusterSets != null)
       graft.operators.Materialise.releaseConsumed(clusterSets)
@@ -613,7 +683,7 @@ object ClusteringOps {
       .join(nd.alias("dr"), col("s.nb") === col("dr.node_id"))
       .select(col("s.na"), col("s.nb"), col("s.p"),
         col("dl.source_dataset").as("sd_a"), col("dr.source_dataset").as("sd_b"))
-      .breakLineage()
+      .breakLineageSpilled()
     // the symmetric view exists only for the tie AGGREGATE — a projection
     // explode over the checkpoint, no joins downstream of it
     val sym = withBoth.select(explode(array(
@@ -659,9 +729,14 @@ object ClusteringOps {
       if (singlePerNode)
         // p IS NOT NULL mirrors the semi-join branch exactly: its join
         // equates on p, so a null-probability edge never matches a kept
-        // row — the documented (and spec-pinned) drop-path behaviour
+        // row — the documented (and spec-pinned) drop-path behaviour.
+        // LAZY: the caller consumes this through a single streaming
+        // chain (the round-1 flagged frame), so an eager 13M-row
+        // write+read here is pure overhead; the combo/tie blocks it
+        // reads are disk-backed and survive until the caller's action
+        // (they are NOT released below on this branch).
         kept.select(col("na"), col("nb"), col("p"))
-          .filter(col("p").isNotNull).breakLineage(eager = true)
+          .filter(col("p").isNotNull)
       else {
         // duplicate edges in, duplicate edges out: the semi-join restores
         // e0's exact row multiset. Output materialised HERE so the working
@@ -675,7 +750,7 @@ object ClusteringOps {
         e0.alias("e").join(keptBuild,
           col("e.na") === col("k.na") && col("e.nb") === col("k.nb") &&
             col("e.p") === col("k.p"), "left_semi")
-          .breakLineage(eager = true)
+          .breakLineageSpilled(eager = true)
       }
     // round-1 invalid pairs for the caller's pair-level constraint, free
     // off the already-materialised combo frame: an edge between two
@@ -686,8 +761,12 @@ object ClusteringOps {
       .filter(col("sd_a") === col("sd_b") && isDupFree(col("sd_a")))
       .select(col("na"), col("nb"))
       .breakLineage(eager = true)
-    graft.operators.Materialise.releaseConsumed(withBoth)
-    graft.operators.Materialise.releaseConsumed(tied)
+    // the fast path's lazy output still reads the combo/tie blocks —
+    // only the semi-join branch (eager output) may drop them here
+    if (!singlePerNode) {
+      graft.operators.Materialise.releaseConsumed(withBoth)
+      graft.operators.Materialise.releaseConsumed(tied)
+    }
     (out, invalid1)
   }
 

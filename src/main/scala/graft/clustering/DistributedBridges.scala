@@ -359,9 +359,13 @@ object DistributedBridges {
     // on-heap are old-generation garbage every GC cycle re-walks
     // (measured at sf10: 500s task GC, 36% of the fused run time);
     // spilled, the heap holds only the frames being computed. The
-    // single-verdict delegation keeps the old lazy on-heap cadence —
-    // eager scheduling costs a solo articulation run ~5-8% for no
-    // benefit.
+    // single-verdict delegation keeps the old lazy ON-HEAP cadence:
+    // eager scheduling costs a solo run ~5-8% for no benefit, and a
+    // blanket solo spill was TRIED and REVERTED with numbers — on a
+    // clean box it traded ~100s of solo GC for an equal serde bill
+    // (q_bridges cpu 360 -> 445s, q_articulation 504 -> 679s, wall flat
+    // to slightly worse). Only the both-verdicts caller holds enough
+    // frames at once for off-heap to win.
     def ck(df: DataFrame): DataFrame =
       if (materialise) df.breakLineageSpilled(eager = true)
       else df.breakLineage()
