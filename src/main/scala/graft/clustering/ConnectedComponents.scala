@@ -149,6 +149,16 @@ object ConnectedComponents {
     // dedupe is skippable under the caller's distinct-pairs promise: a
     // single-orientation distinct input explodes to a duplicate-free
     // symmetric frame, so the in-place aggregate would be pure cost
+    // NOTE (r13, tried and REVERTED with numbers): DISK_ONLY lineage
+    // breaks (`breakLineageSpilled`) for this frame + the jump-loop
+    // frames (settled slices, active, contraction, compose) removed the
+    // task GC almost entirely (162-206s -> 7-70s at sf10) but the jump
+    // loop re-reads these frames every round, so the serde bill exceeded
+    // it: q_cluster 39.4 -> 46.9s, q_cluster_dist 39.3 -> 43.8s,
+    // q_multi_threshold 46.5 -> 53.5s isolated on a clean box. Off-heap
+    // blocks only pay when many large frames sit live at once with FEW
+    // reads each (see DistributedBridges' materialise mode); this loop's
+    // working set is small and hot — it stays on-heap.
     var neighbours =
       (if (assumeDistinctPairs) keyed else keyed.dropDuplicates())
         .breakLineage(eager)
