@@ -89,7 +89,80 @@ object Bench {
 
   private final case class QStat(sec: Double, tasks: Long,
       shufReadB: Long, shufWriteB: Long, inputB: Long,
-      cpuMs: Long, runMs: Long, gcMs: Long)
+      cpuMs: Long, runMs: Long, gcMs: Long,
+      canaryMs: Double = -1.0, canaryN: Int = 0)
+
+  /** CPU-speed canary: a daemon thread runs FIXED deterministic spin work
+    * (~6-8 ms on an idle core) every ~400 ms and records how long each spin
+    * took. This box is a guest VM, and r13's recordings proved that guest
+    * accounting CANNOT see all host-level contention: a contiguous window
+    * of queries showed 5-10x inflated `executorCpuTime` with byte-identical
+    * task/shuffle stats, zero task GC and ~0 measured external CPU
+    * (/proc/stat busy INCLUDING the steal column, minus process CPU) —
+    * i.e. the very metric added to be steal-proof was itself inflated by
+    * invisible contention (unaccounted steal charged to thread CPU time,
+    * or LLC/memory-bandwidth thrash from co-tenants degrading IPC). The
+    * canary measures what no guest counter exposes: identical instructions
+    * taking longer IS the contention, whatever its mechanism. Per-query
+    * medians land in the stats block so `tools/bench_compare.py` can
+    * classify a cpu_ms move that tracks a canary move as HOST noise rather
+    * than a KERNEL change.
+    *
+    * The spin is a serial xorshift-multiply chain: no memory traffic (so
+    * it under-detects pure bandwidth thieves, but detects scheduling theft
+    * and frequency drops exactly), dead-code-proofed through a volatile
+    * sink. One sample ~every 400 ms costs ~2% of ONE core of 32. */
+  private final class CpuCanary extends Thread {
+    setDaemon(true)
+    setName("graft-bench-canary")
+    private val SpinIters = 5000000
+    // (endNanos, spinNanos) pairs; ~2.4 samples/s over a 20-min run is
+    // a few thousand entries — negligible
+    private val samples =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    @volatile private var sink = 0L
+    override def run(): Unit =
+      try {
+        while (true) {
+          var x = 0x9E3779B97F4A7C15L
+          var i = 0
+          val t0 = System.nanoTime()
+          while (i < SpinIters) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            x ^= x >>> 33
+            i += 1
+          }
+          val t1 = System.nanoTime()
+          sink ^= x
+          samples.add((t1, t1 - t0))
+          Thread.sleep(400)
+        }
+      } catch { case _: InterruptedException => () }
+    private def all(): Array[Long] = {
+      val it = samples.iterator()
+      val b = Array.newBuilder[Long]
+      while (it.hasNext) b += it.next()._2
+      b.result()
+    }
+    /** (median spin ms, sample count) inside [startNs, endNs]. */
+    def windowStats(startNs: Long, endNs: Long): (Double, Int) = {
+      val it = samples.iterator()
+      val b = Array.newBuilder[Long]
+      while (it.hasNext) {
+        val (t, d) = it.next()
+        if (t >= startNs && t <= endNs) b += d
+      }
+      val w = b.result().sorted
+      if (w.isEmpty) (-1.0, 0) else (w(w.length / 2) / 1e6, w.length)
+    }
+    /** Run-wide percentile of the spin time, ms (p10 = the box's true
+      * uncontended speed; p95 vs p10 spread = how noisy the run was). */
+    def percentileMs(p: Double): Double = {
+      val w = all().sorted
+      if (w.isEmpty) -1.0
+      else w(math.min(w.length - 1, (p * w.length).toInt)) / 1e6
+    }
+  }
 
   /** The ~10 headline queries re-run at the amplified sf1 scale point. */
   private val Sf1Queries = Seq("q_predict_tf", "q_cluster", "q_minhash_pairs",
@@ -281,6 +354,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val recorder = new FlightRecorder
     spark.sparkContext.addSparkListener(recorder)
+    val canary = new CpuCanary
+    canary.start()
     // SPARK_GRAFT_BENCH_REPEAT > 1 reruns the whole suite in-JVM and
     // reports the LAST pass, separating codegen/JIT warmup from data cost
     // (profiling aid; the driver uses the default single cold pass).
@@ -325,9 +400,11 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
         } finally spark.sparkContext.clearJobGroup()
-        val sec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val sec = (t1 - t0) / 1e9
         recorder.drain(group)
         val s = recorder.snapshot(group)
+        val (canMs, canN) = canary.windowStats(t0, t1)
         // UNTIMED cleanup: queries persist/localCheckpoint intermediates
         // and rely on the ContextCleaner (GC-driven) to reap them — in a
         // 200+-execution suite the leaked blocks accumulate into heap
@@ -338,7 +415,8 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
-        name -> QStat(sec, s(0), s(1), s(2), s(3), s(4) / 1000000L, s(5), s(6))
+        name -> QStat(sec, s(0), s(1), s(2), s(3), s(4) / 1000000L, s(5), s(6),
+          canMs, canN)
     }
     // untimed full GC between suite sections: lets the ContextCleaner
     // finish reaping unpersisted/checkpoint blocks so a section starts
@@ -383,7 +461,8 @@ object Bench {
           s"\"shuffle_write_bytes\":${v.shufWriteB}," +
           s"\"input_bytes\":${v.inputB}," +
           s"\"cpu_ms\":${v.cpuMs},\"run_ms\":${v.runMs}," +
-          s"\"gc_ms\":${v.gcMs}}"
+          s"\"gc_ms\":${v.gcMs}," +
+          s"\"canary_ms\":${v.canaryMs},\"canary_n\":${v.canaryN}}"
       }.mkString("{", ",", "}")
     // Per-SECTION external-CPU accounting: a run can start idle and take
     // an external load spike mid-way (r12: 0.47 -> 16.2 loadavg), but
@@ -507,9 +586,19 @@ object Bench {
         s""""external_cpu_sec":${s.externalCpuSec},""" +
         s""""external_frac":${s.externalFrac(procs)}}"""
     }.mkString("{", ",", "}")
+    // run-wide canary percentiles: p10 = the box's uncontended speed for
+    // the fixed spin (comparable across recordings on the same box);
+    // p95/p10 spread = how much host-level noise the run absorbed. A
+    // query's canary_ms far above canary_p10_ms marks a contended window
+    // even when every guest-side counter (external CPU, steal, GC) is 0.
+    val canP10 = canary.percentileMs(0.10)
+    val canP50 = canary.percentileMs(0.50)
+    val canP95 = canary.percentileMs(0.95)
     val env = s"""{"procs":$procs,""" +
       s""""spark_cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
-      s""""max_external_frac":$maxExternalFrac,"sections":$sectionCpuJson}"""
+      s""""max_external_frac":$maxExternalFrac,""" +
+      s""""canary_p10_ms":$canP10,"canary_p50_ms":$canP50,""" +
+      s""""canary_p95_ms":$canP95,"sections":$sectionCpuJson}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""cold":$total,"warm":$warmTotal,"contended":$contended,""" +

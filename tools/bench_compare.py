@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Diff two bench_out.json recordings: PLAN vs KERNEL vs ENV, per query.
 
-Three-way verdict per shared query:
+Four-way verdict per shared query:
   PLAN    task count or shuffle volume moved — the physical plan changed.
-  KERNEL  stats byte-identical but on-CPU time (cpu_ms) moved — same plan,
-          different per-row compute (e.g. the r12 banded-levenshtein win:
-          24.3s -> 15.4s with byte-identical task/shuffle stats, which the
-          old two-way rule misclassified as ENV).
+  KERNEL  stats byte-identical but on-CPU time (cpu_ms) moved and the
+          canary held steady — same plan, different per-row compute
+          (e.g. the r12 banded-levenshtein win: 24.3s -> 15.4s with
+          byte-identical task/shuffle stats, which the old two-way rule
+          misclassified as ENV).
+  HOST    cpu_ms moved but TRACKS the recording's CPU-speed canary —
+          host-level contention invisible to guest accounting
+          (unaccounted steal / co-tenant IPC thrash on this microVM);
+          the canary is fixed spin work sampled every ~400ms, so only
+          the environment can move it.
   ENV     stats AND cpu identical but wall moved — CPU steal, page cache,
           GC aging; external to the code under test.
 
@@ -51,7 +57,29 @@ def classify(a, b, keys):
         return "ENV?", "stats byte-identical; NOCPU (old recording)"
     dcpu = cb - ca
     if abs(dcpu) > CPU_ABS_MS and abs(dcpu) > CPU_REL * max(ca, 1):
-        return "KERNEL", f"cpu_ms {ca} -> {cb} ({dcpu:+d}ms on-CPU)"
+        # cpu_ms is itself vulnerable to INVISIBLE host contention on a
+        # guest VM (unaccounted steal charged to thread CPU time, or
+        # IPC degradation from co-tenant cache/bandwidth thrash — r13
+        # measured contiguous windows of 5-10x inflated cpu_ms with
+        # byte-identical stats, zero task GC and ~0 guest-visible
+        # external CPU). The canary — fixed spin work sampled through
+        # the run — moves with that contention and with nothing else,
+        # so a cpu move that TRACKS a canary move in the same direction
+        # is the HOST, not the kernel.
+        na, nb = a.get("canary_ms", -1), b.get("canary_ms", -1)
+        if na and nb and na > 0 and nb > 0:
+            import math
+            lcpu = math.log(cb / max(ca, 1))
+            lcan = math.log(nb / na)
+            same_dir = lcpu * lcan > 0
+            if same_dir and abs(lcan) > math.log(1.10) and \
+                    abs(lcan) >= 0.5 * abs(lcpu):
+                return "HOST", (f"cpu_ms {ca} -> {cb} tracks canary "
+                                f"{na:.1f} -> {nb:.1f}ms (host contention)")
+            note = f"; canary {na:.1f} -> {nb:.1f}ms (steady)"
+        else:
+            note = "; NOCANARY"
+        return "KERNEL", f"cpu_ms {ca} -> {cb} ({dcpu:+d}ms on-CPU){note}"
     return "ENV", f"stats and cpu_ms identical (cpu {ca} -> {cb})"
 
 
@@ -87,7 +115,7 @@ def main():
             if verdict.startswith("ENV"):
                 env_total += dt
             noisy = abs(dt) >= 0.5
-            if ns.all or verdict in ("PLAN", "KERNEL") or noisy:
+            if ns.all or verdict in ("PLAN", "KERNEL", "HOST") or noisy:
                 print(f"  {q:<28} {a['sec']:6.2f} -> {b['sec']:6.2f}  "
                       f"{verdict} ({detail})")
         summary = ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
