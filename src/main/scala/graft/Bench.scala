@@ -90,7 +90,8 @@ object Bench {
   private final case class QStat(sec: Double, tasks: Long,
       shufReadB: Long, shufWriteB: Long, inputB: Long,
       cpuMs: Long, runMs: Long, gcMs: Long,
-      canaryMs: Double = -1.0, canaryHiMs: Double = -1.0, canaryN: Int = 0)
+      canaryMs: Double = -1.0, canaryHiMs: Double = -1.0, canaryN: Int = 0,
+      attempts: Int = 1, canaryClean: Boolean = true)
 
   /** CPU-speed canary: a daemon thread runs FIXED deterministic spin work
     * (~6-8 ms on an idle core) every ~400 ms and records how long each spin
@@ -401,42 +402,85 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // Steal-resilient retries: this box's host contention arrives in
+    // multi-second INVISIBLE bursts (bench_ab/: canary p90 inflated 4-9x
+    // with ~0 guest-visible external CPU), so a single cold pass can land
+    // any query inside a stolen window and poison the recording. A query
+    // whose canary window p90 exceeded 1.35x the run's uncontended spin
+    // speed is re-run (bounded per-query attempts + a run-global wall
+    // budget) and the attempt with the CLEANEST canary is kept; the
+    // artifact records attempts + cleanliness so a kept-dirty value is
+    // never mistaken for a certified one. A retry is warmer than a first
+    // attempt (page cache, JIT) — recorded honestly via `attempts`; the
+    // steal bias it removes is measured 2-9x while the warmth bias on
+    // these prewarmed fixtures is a few percent.
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    var retryBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET", "600").toDouble
+    val CanaryCleanFactor = 1.35 // same gate bench_compare's KERNEL uses
     // tag makes the job-group id unique per pass (cold/warm/sf1 rerun the
-    // same query names; each (pass, query) gets its own counter)
+    // same query names; each (pass, query, attempt) gets its own counter)
     def onePass(sel: Iterable[(String, (SparkSession, String)
         => org.apache.spark.sql.DataFrame)], dir: String, tag: String)
         : Seq[(String, QStat)] = sel.toSeq.map {
       case (name, fn) =>
-        val group = s"$tag:$name"
-        spark.sparkContext.setJobGroup(group, s"bench $name")
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, dir)
-          // bit_xor, not sum: ANSI mode makes a LONG sum of 2^63-range hashes
-          // throw ARITHMETIC_OVERFLOW; xor is closed over Long.
-          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-            .agg(bit_xor(col("h"))).collect()
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
-        } finally spark.sparkContext.clearJobGroup()
-        val t1 = System.nanoTime()
-        val sec = (t1 - t0) / 1e9
-        recorder.drain(group)
-        val s = recorder.snapshot(group)
-        val (canMs, canHiMs, canN) = canary.windowStats(t0, t1)
-        // UNTIMED cleanup: queries persist/localCheckpoint intermediates
-        // and rely on the ContextCleaner (GC-driven) to reap them — in a
-        // 200+-execution suite the leaked blocks accumulate into heap
-        // pressure that taxes LATER queries' GC (the sf10 section used to
-        // run 2x slower in-suite than in a fresh JVM, identical plans).
-        // No cross-query state exists (every query builds its own frames),
-        // so dropping all persisted RDDs between queries is safe.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
-        name -> QStat(sec, s(0), s(1), s(2), s(3), s(4) / 1000000L, s(5), s(6),
-          canMs, canHiMs, canN)
+        def runOnce(attempt: Int): QStat = {
+          val group =
+            if (attempt == 1) s"$tag:$name" else s"$tag:$name:a$attempt"
+          spark.sparkContext.setJobGroup(group, s"bench $name")
+          val t0 = System.nanoTime()
+          try {
+            val df = fn(spark, dir)
+            // bit_xor, not sum: ANSI mode makes a LONG sum of 2^63-range
+            // hashes throw ARITHMETIC_OVERFLOW; xor is closed over Long.
+            df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+              .agg(bit_xor(col("h"))).collect()
+          } catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] $name FAILED: ${e.getMessage.take(300)}")
+          } finally spark.sparkContext.clearJobGroup()
+          val t1 = System.nanoTime()
+          val sec = (t1 - t0) / 1e9
+          recorder.drain(group)
+          val s = recorder.snapshot(group)
+          val (canMs, canHiMs, canN) = canary.windowStats(t0, t1)
+          // UNTIMED cleanup: queries persist/localCheckpoint intermediates
+          // and rely on the ContextCleaner (GC-driven) to reap them — in a
+          // 200+-execution suite the leaked blocks accumulate into heap
+          // pressure that taxes LATER queries' GC (the sf10 section used to
+          // run 2x slower in-suite than in a fresh JVM, identical plans).
+          // No cross-query state exists (every query builds its own frames),
+          // so dropping all persisted RDDs between queries is safe — and it
+          // also resets state between retry attempts of the same query.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          QStat(sec, s(0), s(1), s(2), s(3), s(4) / 1000000L, s(5), s(6),
+            canMs, canHiMs, canN)
+        }
+        // "clean" = this attempt's canary p90 sat at the box's uncontended
+        // spin speed (run-wide p10, recomputed as samples accumulate). A
+        // window with no samples can't be judged — treated as clean.
+        def isClean(st: QStat): Boolean = {
+          val p10 = canary.percentileMs(0.10)
+          st.canaryN == 0 || p10 <= 0 ||
+            (st.canaryHiMs >= 0 && st.canaryHiMs <= CanaryCleanFactor * p10)
+        }
+        var best = runOnce(1)
+        var attempt = 1
+        while (!isClean(best) && attempt <= maxRetries && retryBudgetSec > 0) {
+          attempt += 1
+          System.err.println(f"[bench] $name canary_hi=${best.canaryHiMs}%.1f" +
+            f"ms contaminated (uncontended p10=${canary.percentileMs(0.10)}%.1f" +
+            f"ms); retry attempt $attempt")
+          val next = runOnce(attempt)
+          retryBudgetSec -= next.sec
+          if (next.canaryHiMs >= 0 &&
+              (best.canaryHiMs < 0 || next.canaryHiMs < best.canaryHiMs))
+            best = next
+        }
+        name -> best.copy(attempts = attempt, canaryClean = isClean(best))
     }
     // untimed full GC between suite sections: lets the ContextCleaner
     // finish reaping unpersisted/checkpoint blocks so a section starts
@@ -483,7 +527,8 @@ object Bench {
           s"\"cpu_ms\":${v.cpuMs},\"run_ms\":${v.runMs}," +
           s"\"gc_ms\":${v.gcMs}," +
           s"\"canary_ms\":${v.canaryMs},\"canary_hi_ms\":${v.canaryHiMs}," +
-          s"\"canary_n\":${v.canaryN}}"
+          s"\"canary_n\":${v.canaryN},\"attempts\":${v.attempts}," +
+          s"\"canary_clean\":${v.canaryClean}}"
       }.mkString("{", ",", "}")
     // Per-SECTION external-CPU accounting: a run can start idle and take
     // an external load spike mid-way (r12: 0.47 -> 16.2 loadavg), but

@@ -200,6 +200,12 @@ def main():
             a, b = so[q], sn[q]
             dt = b["sec"] - a["sec"]
             verdict, detail = classify(a, b, clean_ceiling, ext_old, ext_new)
+            # Bench retries contaminated-canary queries and keeps the
+            # cleanest attempt; a retried value is slightly warm (page
+            # cache / JIT), so surface it next to the verdict.
+            ra, rb = a.get("attempts", 1), b.get("attempts", 1)
+            if ra > 1 or rb > 1:
+                detail += f"; retried (attempts {ra}/{rb}, cleanest kept)"
             counts[verdict] = counts.get(verdict, 0) + 1
             if verdict.startswith("ENV"):
                 env_total += dt
