@@ -415,14 +415,29 @@ object Bench {
     // steal bias it removes is measured 2-9x while the warmth bias on
     // these prewarmed fixtures is a few percent.
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
-    var retryBudgetSec =
+    // PER-SECTION wall budget (reset at each onePass): the first retry
+    // recording spent the whole run-global budget on the cheap sf0.1
+    // queries and left the sf10 section — where one retry is worth the
+    // most — with nothing.
+    val retryBudgetDefault =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET", "600").toDouble
+    var retryBudgetSec = retryBudgetDefault
+    // Sustained-steal cutoff: retries only help when contamination is
+    // BURSTY. When the box is continuously stolen (the first retry
+    // recording: 146 retry attempts, canary_hi ~2x p10 for an hour),
+    // every retry lands in the same steal and the budget burns for
+    // nothing — after 5 consecutive queries whose retries all stayed
+    // dirty, retrying pauses until some first attempt comes back clean
+    // (the box recovered).
+    var fruitlessRetries = 0
     val CanaryCleanFactor = 1.35 // same gate bench_compare's KERNEL uses
     // tag makes the job-group id unique per pass (cold/warm/sf1 rerun the
     // same query names; each (pass, query, attempt) gets its own counter)
     def onePass(sel: Iterable[(String, (SparkSession, String)
         => org.apache.spark.sql.DataFrame)], dir: String, tag: String)
-        : Seq[(String, QStat)] = sel.toSeq.map {
+        : Seq[(String, QStat)] = {
+      retryBudgetSec = retryBudgetDefault
+      sel.toSeq.map {
       case (name, fn) =>
         def runOnce(attempt: Int): QStat = {
           val group =
@@ -469,7 +484,13 @@ object Bench {
         }
         var best = runOnce(1)
         var attempt = 1
-        while (!isClean(best) && attempt <= maxRetries && retryBudgetSec > 0) {
+        if (isClean(best) && fruitlessRetries >= 5) {
+          fruitlessRetries = 0 // box recovered: re-arm retries
+          System.err.println(s"[bench] clean first attempt ($name); " +
+            "re-enabling retries")
+        }
+        while (!isClean(best) && fruitlessRetries < 5 &&
+            attempt <= maxRetries && retryBudgetSec > 0) {
           attempt += 1
           System.err.println(f"[bench] $name canary_hi=${best.canaryHiMs}%.1f" +
             f"ms contaminated (uncontended p10=${canary.percentileMs(0.10)}%.1f" +
@@ -480,7 +501,17 @@ object Bench {
               (best.canaryHiMs < 0 || next.canaryHiMs < best.canaryHiMs))
             best = next
         }
+        if (attempt > 1) {
+          if (isClean(best)) fruitlessRetries = 0
+          else {
+            fruitlessRetries += 1
+            if (fruitlessRetries == 5) System.err.println(
+              "[bench] 5 consecutive fruitless retries — sustained steal; " +
+                "pausing retries until a clean first attempt")
+          }
+        }
         name -> best.copy(attempts = attempt, canaryClean = isClean(best))
+    }
     }
     // untimed full GC between suite sections: lets the ContextCleaner
     // finish reaping unpersisted/checkpoint blocks so a section starts
