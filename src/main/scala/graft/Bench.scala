@@ -289,6 +289,57 @@ object Bench {
     Files.createFile(Paths.get(dir, Sf10Marker))
   }
 
+  /** Fourth scale decade (~1000x sf0.1), OPT-IN via SPARK_GRAFT_SF100=1 —
+    * the per-round driver run never pays it. Three queries whose 100 TB
+    * story the fourth decade actually tests, and whose local[32] cost
+    * stays tractable (~10-15 min): the forced fully-distributed CC at
+    * 135M edges, and the minhash dedup family at 5M documents (banded
+    * candidate shuffles reach ~26 GB — still linear or the fixture is
+    * wrong). The EM/predict family is deliberately NOT here: at 15M
+    * records the record-side broadcast correctly declines and the honest
+    * sort-merge shuffles ~45 GB per query through one local disk —
+    * a cluster-scale measurement this single box cannot host. */
+  private val Sf100Queries =
+    Seq("q_cluster_dist", "q_minhash_pairs", "q_dedup_docs")
+
+  private val Sf100Marker = s"_DONE_v2_from${Sf10Marker}"
+
+  private def ensureSf100(spark: SparkSession, sf10Dir: String, dir: String)
+      : Unit = {
+    if (Files.exists(Paths.get(dir, Sf100Marker))) return
+    val copies = 10
+    val off = 1000000000000L // clear of the sf10 key space (< 10^11 + sf1)
+    def write(name: String)(f: (org.apache.spark.sql.DataFrame, Int)
+        => org.apache.spark.sql.DataFrame): Unit = {
+      val base = spark.read.parquet(s"$sf10Dir/$name.parquet")
+      (0 until copies).map(i => f(base, i)).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    // only the tables the sf100 subset reads are amplified
+    write("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    }
+    // a third level of per-copy seeded permutations, seed namespace
+    // disjoint from sf10's: the 1000 composed character maps
+    // (P100_j ∘ P10_i ∘ R_k) stay pairwise distinct, so cross-copy
+    // shingle collisions stay at the random floor and the dedup family's
+    // fourth decade measures the operator, not fixture echoes.
+    write("documents") { (df, i) =>
+      val d = df.withColumn("doc_id", col("doc_id") + lit(i * off))
+      if (i == 0) d
+      else {
+        val alphabet = ("abcdefghijklmnopqrstuvwxyz" +
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789").toCharArray
+        val rnd = new scala.util.Random(0x5F100BEEFL + i)
+        val shuffled = rnd.shuffle(alphabet.toSeq).mkString
+        d.withColumn("text",
+          translate(col("text"), new String(alphabet), shuffled))
+      }
+    }
+    Files.createFile(Paths.get(dir, Sf100Marker))
+  }
+
   /**
    * Materialise a 10x amplification of sf0.1 (~sf1: ~1.5M orders, 1.5M
    * customers, 100k docs) for the second scale point, built once and
@@ -666,6 +717,30 @@ object Bench {
           s""""stats":${statsJson(r)}}"""
       }
 
+    // fourth decade: OPT-IN (SPARK_GRAFT_SF100=1) — a one-off scale
+    // probe, never part of the per-round driver run
+    val sf100Selected = only match {
+      case Some(names) => Sf100Queries.filter(names)
+      case None => Sf100Queries
+    }
+    val sf100Json =
+      if (sf10Json.isEmpty || sf100Selected.isEmpty ||
+          sys.env.getOrElse("SPARK_GRAFT_SF100", "0") != "1") ""
+      else {
+        val sf100Dir = "target/bench_sf100"
+        val tGen0 = System.nanoTime()
+        ensureSf100(spark, "target/bench_sf10", sf100Dir)
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        val sel = SparkEntry.queries.filter(q => sf100Selected.contains(q._1))
+        quiesce()
+        val warmSec = prewarm(sf100Dir)
+        val r = timedSection("sf100")(onePass(sel, sf100Dir, "sf100"))
+        s""","sf100":{"dir":"$sf100Dir","gen_sec":$genSec,""" +
+          s""""prewarm_sec":$warmSec,""" +
+          s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
+          s""""stats":${statsJson(r)}}"""
+      }
+
     val loadEnd = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val procs = Runtime.getRuntime.availableProcessors
     // contended = the box was busy BEFORE Spark started (loadavg is only
@@ -701,7 +776,7 @@ object Bench {
         s""""cold":$total,"warm":$warmTotal,"contended":$contended,""" +
         s""""queries":${qsJson(results)},"warm_queries":${qsJson(warm)},""" +
         s""""stats":${statsJson(results)},"env":$env,"sf":"$sfDir"""" +
-        sf1Json + sf10Json + "}"
+        sf1Json + sf10Json + sf100Json + "}"
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // Stop Spark BEFORE emitting the JSON so no shutdown log line can land
     // after it: with run/outputStrategy=StdoutOutput and showSuccess=false

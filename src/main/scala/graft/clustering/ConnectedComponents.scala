@@ -149,19 +149,37 @@ object ConnectedComponents {
     // dedupe is skippable under the caller's distinct-pairs promise: a
     // single-orientation distinct input explodes to a duplicate-free
     // symmetric frame, so the in-place aggregate would be pure cost
-    // NOTE (r13, tried and REVERTED with numbers): DISK_ONLY lineage
-    // breaks (`breakLineageSpilled`) for this frame + the jump-loop
-    // frames (settled slices, active, contraction, compose) removed the
-    // task GC almost entirely (162-206s -> 7-70s at sf10) but the jump
-    // loop re-reads these frames every round, so the serde bill exceeded
-    // it: q_cluster 39.4 -> 46.9s, q_cluster_dist 39.3 -> 43.8s,
-    // q_multi_threshold 46.5 -> 53.5s isolated on a clean box. Off-heap
-    // blocks only pay when many large frames sit live at once with FEW
-    // reads each (see DistributedBridges' materialise mode); this loop's
-    // working set is small and hot — it stays on-heap.
+    //
+    // ON-HEAP vs DISK_ONLY blocks — ADAPTIVE per level. On-heap is the
+    // right DEFAULT (r13, tried and reverted with numbers: DISK_ONLY for
+    // this frame + the jump-loop frames removed task GC almost entirely,
+    // 162-206s -> 7-70s at sf10, but the loop re-reads these frames every
+    // round so the serde bill exceeded it: q_cluster 39.4 -> 46.9s,
+    // q_multi_threshold 46.5 -> 53.5s isolated). But the default is only
+    // right while the level's live block set FITS: the r13 sf100 probe
+    // (135M edges, 270M-row symmetric frame, 20 GB JVM) saturated the
+    // unified pool with on-heap checkpoint blocks, and since storage
+    // never evicts below spark.memory.storageFraction, the propagation
+    // aggregate died with AGGREGATE_OUT_OF_MEMORY — a hard scale cliff,
+    // not a slowdown. When the estimated symmetric frame approaches the
+    // executors' aggregate storage capacity, every frame of this LEVEL
+    // (symmetric, pointer table, jump slices, contraction, compose) goes
+    // DISK_ONLY instead; recursion levels re-decide on their contracted
+    // size. The pre-count hint uses optimizer stats only when PLAUSIBLE —
+    // checkpoint inputs estimate sizeInBytes at defaultSizeInBytes
+    // (Long.MaxValue scale), which must not flip small re-solves to disk.
+    val storageBytes = edges.sparkSession.sparkContext
+      .getExecutorMemoryStatus.values.map(_._1).sum
+    val spillFraction = edges.sparkSession.conf
+      .getOption("spark.graft.cc.spillStorageFraction").map(_.toDouble)
+      .getOrElse(0.4)
+    val spillCapBytes = BigInt((storageBytes * spillFraction).toLong)
+    val statsPlausible = inputBytes > 0 && inputBytes < (BigInt(1) << 50)
+    var spillFrames = statsPlausible && inputBytes * 2 > spillCapBytes
+    def bl(df: DataFrame, e: Boolean): DataFrame =
+      if (spillFrames) df.breakLineageSpilled(e) else df.breakLineage(e)
     var neighbours =
-      (if (assumeDistinctPairs) keyed else keyed.dropDuplicates())
-        .breakLineage(eager)
+      bl(if (assumeDistinctPairs) keyed else keyed.dropDuplicates(), eager)
 
     val symT0 = System.nanoTime()
     val edgeCount = neighbours.count()
@@ -196,6 +214,21 @@ object ConnectedComponents {
     // (`connected_components.py:121-335`) is the fixpoint shape this
     // replaces.
     val verbose = sys.env.get("SPARK_GRAFT_CC_VERBOSE").contains("1")
+    // exact post-count spill decision (~48B per symmetric row of two
+    // longs in block storage): catches huge CHECKPOINT-fed inputs whose
+    // stats were implausible (a multi-threshold re-solve at scale). The
+    // one-time re-break scans the existing on-heap checkpoint once,
+    // writes it DISK_ONLY, and frees the heap copy before the first
+    // aggregate needs the execution pool.
+    if (!spillFrames && BigInt(edgeCount) * 48 > spillCapBytes) {
+      spillFrames = true
+      val offHeap = neighbours.breakLineageSpilled(eager = true)
+      graft.operators.Materialise.releaseConsumed(neighbours)
+      neighbours = offHeap
+    }
+    if (verbose && spillFrames) System.err.println(
+      s"[cc]   level frames DISK_ONLY ($edgeCount symmetric rows vs " +
+        s"storage cap $spillCapBytes bytes)")
     val levelT0 = System.nanoTime()
     // rep := min(self, neighbours). The rep pointers form a FOREST (each
     // pointer strictly decreases the id, so no cycles); roots are local
@@ -206,7 +239,8 @@ object ConnectedComponents {
       // the pointer-jump below joins this frame with ITSELF, and Spark
       // does not CSE across self-join branches — unpersisted, the groupBy
       // would run twice; released after the first jump materialises
-      .persist()
+      .persist(if (spillFrames) org.apache.spark.storage.StorageLevel.DISK_ONLY
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pointer-jump to CLOSURE (rep := rep(rep) until fixpoint): each jump
     // doubles the compressed distance, so every node reaches its tree
     // root in O(log depth) jumps — one cheap node-frame self-join each.
@@ -318,14 +352,14 @@ object ConnectedComponents {
         // flat checkpoints (settled slice + new active) and unpersisted:
         // two jobs, one join evaluation, write volume exactly the jump's
         // row count, and all later stages scan only clean slices.
-        val j = jPlan.persist()
-        settledSlices += j
+        val j = jPlan.persist(
+          if (spillFrames) org.apache.spark.storage.StorageLevel.DISK_ONLY
+          else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        settledSlices += bl(j
           .filter(col("representative") === col("__old_rep"))
-          .select(col("node_id"), col("representative"))
-          .breakLineage(eager = true)
-        active = j.filter(col("representative") =!= col("__old_rep"))
-          .select(col("node_id"), col("representative"))
-          .breakLineage(eager = true)
+          .select(col("node_id"), col("representative")), true)
+        active = bl(j.filter(col("representative") =!= col("__old_rep"))
+          .select(col("node_id"), col("representative")), true)
         j.unpersist(blocking = false)
         // termination probe doubles as the next jump's size signal: a
         // WIDE count over the already-materialised active checkpoint
@@ -336,7 +370,7 @@ object ConnectedComponents {
         jumping = activeCount > 0
       } else {
         // whole-frame jump: one checkpoint + one count job per jump
-        val j = jPlan.breakLineage(eager)
+        val j = bl(jPlan, eager)
         val m = j.filter(col("representative") =!= col("__old_rep")).count()
         movers = m
         jumping = m > 0
@@ -381,13 +415,13 @@ object ConnectedComponents {
     // outcome for path/tree-like graphs once jumps run to closure — can
     // skip the sub-solve AND the whole-node-frame compose join below
     // (measured ~40% of the level's wall time on 13.5M path edges).
-    val contracted = neighbours.filter(col("node_id") < col("neighbour")).alias("e")
-      .join(reps.alias("rl"), col("e.node_id") === col("rl.node_id"))
-      .join(reps.alias("rr"), col("e.neighbour") === col("rr.node_id"))
-      .filter(col("rl.representative") =!= col("rr.representative"))
-      .select(col("rl.representative").as("rep_l"),
-        col("rr.representative").as("rep_r"))
-      .breakLineage(eager)
+    val contracted = bl(
+      neighbours.filter(col("node_id") < col("neighbour")).alias("e")
+        .join(reps.alias("rl"), col("e.node_id") === col("rl.node_id"))
+        .join(reps.alias("rr"), col("e.neighbour") === col("rr.node_id"))
+        .filter(col("rl.representative") =!= col("rr.representative"))
+        .select(col("rl.representative").as("rep_l"),
+          col("rr.representative").as("rep_r")), eager)
     // wide count(), not isEmpty: executeTake(1) would materialise the
     // just-checkpointed frame in serial 1/4/16-partition waves exactly in
     // the empty case (same fix as the jump probe above)
@@ -428,13 +462,12 @@ object ConnectedComponents {
         // with depth.
         // EAGER: the compose must be on disk/in blocks before the strong
         // releases below drop what it reads (reps + sub)
-        val composed = reps.alias("r")
+        val composed = bl(reps.alias("r")
           .join(sub.alias("s"), col("r.representative") === col("s.node_id"),
             "left")
           .select(col("r.node_id"),
             coalesce(col("s.cluster_id"), col("r.representative"))
-              .as("representative"))
-          .breakLineage(eager = true)
+              .as("representative")), true)
         // the compose supersedes the settled-slice and active checkpoints
         // (reps is their union), contracted, AND the recursion's returned
         // labelling (sub — release strips its role-repartition wrapper);

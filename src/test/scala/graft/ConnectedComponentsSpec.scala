@@ -81,6 +81,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("forced DISK_ONLY spill mode: identical labels on the distributed path") {
+    // spillStorageFraction=0 makes every level's frames (symmetric,
+    // pointer table, jump slices, contraction, compose) DISK_ONLY — the
+    // adaptive mode the sf100 probe showed is mandatory once the live
+    // block set approaches storage capacity (on-heap checkpoints starved
+    // the propagation aggregate into AGGREGATE_OUT_OF_MEMORY at 135M
+    // edges). Forcing it at test scale pins that the off-heap path is
+    // value-identical, including through a contraction + recursion level.
+    val rng = new Random(7)
+    val edges = ((1 to 300).map(_ =>
+      (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      ++ (200 until 260).map(i => (i.toLong, (i + 1).toLong)))
+      .filter(e => e._1 != e._2)
+    val expected = unionFind(320, edges)
+    spark.conf.set("spark.graft.cc.spillStorageFraction", "0.0")
+    try {
+      val got = ConnectedComponents
+        .run(edges.toDF("unique_id_l", "unique_id_r"), smallGraphThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.cc.spillStorageFraction")
+  }
+
   test("random graphs match union-find oracle (driver and distributed paths)") {
     val rng = new Random(42)
     for (trial <- 1 to 4) {

@@ -175,9 +175,9 @@ def main():
     parser.add_argument("old", help="baseline bench_out.json recording")
     parser.add_argument("new", help="candidate bench_out.json recording")
     parser.add_argument("--section", action="append",
-                        choices=["sf0.1", "sf1", "sf10"],
+                        choices=["sf0.1", "sf1", "sf10", "sf100"],
                         help="limit to one bench section (repeatable; "
-                             "default: all three)")
+                             "default: sf0.1/sf1/sf10)")
     parser.add_argument("--all", action="store_true",
                         help="print every shared query, not just the movers")
     ns = parser.parse_args()  # unrecognised flags error out here
