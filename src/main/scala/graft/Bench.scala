@@ -777,7 +777,12 @@ object Bench {
         s""""queries":${qsJson(results)},"warm_queries":${qsJson(warm)},""" +
         s""""stats":${statsJson(results)},"env":$env,"sf":"$sfDir"""" +
         sf1Json + sf10Json + sf100Json + "}"
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // SPARK_GRAFT_BENCH_OUT redirects the artifact — any ad-hoc
+    // `runMain graft.Bench` otherwise overwrites the committed recording
+    // in the working tree (a documented gotcha that has eaten recordings)
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      json + "\n")
     // Stop Spark BEFORE emitting the JSON so no shutdown log line can land
     // after it: with run/outputStrategy=StdoutOutput and showSuccess=false
     // (build.sbt) the bare JSON is the final line of `sbt runMain` output.
