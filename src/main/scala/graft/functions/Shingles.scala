@@ -7,20 +7,124 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 object ShingleKernel {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  /** Normalisation shared by every dedupe kernel: bit-identical to
+    * `toString.trim.toLowerCase(ROOT).replaceAll("\\s+", " ")`, but for
+    * pure-ASCII input it runs as ONE char loop with a single array
+    * allocation — the regex replaceAll (full regex engine pass + 2-3
+    * String copies per document) was the largest constant in the
+    * per-document cost of the whole dedupe family (measured via the
+    * bench's certified-clean cpu_ms: q_minhash_pairs/q_dedup_docs/
+    * q_near_dups are the top CPU consumers at sf0.1). Semantics
+    * reproduced exactly: String.trim drops chars <= U+0020 from both
+    * ends; regex \s is exactly [ \t\n\x0B\f\r]; ASCII lowercase is a
+    * range check. Non-ASCII falls back to the String pipeline —
+    * locale-correct lowercasing can change string LENGTH (U+0130 maps
+    * to "i" + combining dot), so no fast path is safe there. */
+  private[functions] def normalize(s: UTF8String): CharSequence = {
+    val nb = s.numBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (!ascii)
+      return s.toString.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ")
+    var lo = 0
+    while (lo < nb && s.getByte(lo) <= ' ') lo += 1
+    var hi = nb
+    while (hi > lo && s.getByte(hi - 1) <= ' ') hi -= 1
+    val out = new Array[Char](hi - lo)
+    var o = 0
+    var pendingSpace = false // post-trim, a run can never start or end the string
+    i = lo
+    while (i < hi) {
+      val c = s.getByte(i).toChar
+      if (isRegexSpace(c)) pendingSpace = true
+      else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        o += 1
+      }
+      i += 1
+    }
+    java.nio.CharBuffer.wrap(out, 0, o)
+  }
+
+  /** Minimal open-addressing long set (linear probing, power-of-two
+    * table, zero handled via a flag). The boxed TreeSet/HashSet adds
+    * were the second-largest dedupe-kernel term: one tree/hash node plus
+    * one boxed Long PER SHINGLE, i.e. ~2 allocations per document
+    * character. Sorted extraction matches TreeSet[java.lang.Long]'s
+    * signed order. */
+  private final class LongSet(expected: Int) {
+    private var cap = 16
+    while (cap < expected * 2 && cap > 0) cap <<= 1
+    if (cap <= 0) cap = 1 << 30
+    private var table = new Array[Long](cap)
+    private var used = 0
+    private var hasZero = false
+    private def idx0(v: Long): Int = {
+      val h = v ^ (v >>> 32)
+      (h.toInt * -1640531527) & (cap - 1) // Fibonacci scramble
+    }
+    private def grow(): Unit = {
+      val old = table
+      cap <<= 1
+      table = new Array[Long](cap)
+      var i = 0
+      while (i < old.length) {
+        val v = old(i)
+        if (v != 0L) { // re-insert, no duplicates possible
+          var j = idx0(v)
+          while (table(j) != 0L) j = (j + 1) & (cap - 1)
+          table(j) = v
+        }
+        i += 1
+      }
+    }
+    def add(v: Long): Boolean = {
+      if (v == 0L) {
+        if (hasZero) false else { hasZero = true; true }
+      } else {
+        if ((used + 1) * 4 > cap * 3) grow()
+        var j = idx0(v)
+        var t = table(j)
+        while (t != 0L && t != v) { j = (j + 1) & (cap - 1); t = table(j) }
+        if (t == v) false
+        else { table(j) = v; used += 1; true }
+      }
+    }
+    def size: Int = used + (if (hasZero) 1 else 0)
+    def sorted(): Array[Long] = {
+      val out = new Array[Long](size)
+      var o = 0
+      if (hasZero) { out(o) = 0L; o += 1 }
+      var i = 0
+      while (i < cap) {
+        val v = table(i)
+        if (v != 0L) { out(o) = v; o += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
   /** Normalise (trim, lower, collapse whitespace) then distinct q-gram
     * shingles. One JVM pass — the Column-level substr-in-transform
     * equivalent is O(n^2) per document because UTF8String.substring scans
     * for codepoint boundaries on every call. */
   def shingles(s: UTF8String, q: Int): ArrayData = {
-    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val norm = normalize(s)
     val out = new java.util.LinkedHashSet[UTF8String]()
-    if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
+    if (norm.length == 0) return new GenericArrayData(Array.empty[Any])
     if (norm.length <= q) {
-      out.add(UTF8String.fromString(norm))
+      out.add(UTF8String.fromString(norm.toString))
     } else {
       var i = 0
       while (i + q <= norm.length) {
-        out.add(UTF8String.fromString(norm.substring(i, i + q)))
+        out.add(UTF8String.fromString(norm.subSequence(i, i + q).toString))
         i += 1
       }
     }
@@ -35,11 +139,12 @@ object ShingleKernel {
     * ~1e-19 collision probability — the same contract the minhash slots
     * already rely on. */
   def hashedShingles(s: UTF8String, q: Int): ArrayData = {
-    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-    if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val norm = normalize(s)
+    if (norm.length == 0)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val n = norm.length
     val last = if (n <= q) 0 else n - q
+    val set = new LongSet(last + 1)
     var i = 0
     while (i <= last) {
       val end = math.min(i + q, n)
@@ -49,7 +154,7 @@ object ShingleKernel {
       set.add(h)
       i += 1
     }
-    new GenericArrayData(set.toArray(new Array[AnyRef](set.size)))
+    UnsafeArrayData.fromPrimitiveArray(set.sorted())
   }
 
   /** Winnowed fingerprints (Schleimer et al. 2003, the MOSS scheme):
@@ -61,8 +166,9 @@ object ShingleKernel {
     * over all their hashes; empty text yields an empty array. One JVM
     * pass, no per-window allocation. */
   def winnowFingerprints(s: UTF8String, q: Int, w: Int): ArrayData = {
-    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-    if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val norm = normalize(s)
+    if (norm.length == 0)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val n = norm.length
     val last = if (n <= q) 0 else n - q
     val m = last + 1
@@ -76,7 +182,7 @@ object ShingleKernel {
       hs(i) = h
       i += 1
     }
-    val out = new java.util.TreeSet[java.lang.Long]()
+    val out = new LongSet(if (m <= w) 1 else m - w + 1)
     if (m <= w) {
       var best = hs(0)
       var k = 1
@@ -98,7 +204,7 @@ object ShingleKernel {
         start += 1
       }
     }
-    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+    UnsafeArrayData.fromPrimitiveArray(out.sorted())
   }
 
   /** Sorted distinct FNV-1a 64 hashes of the lowercased whitespace-token
@@ -113,10 +219,14 @@ object ShingleKernel {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def hashedTokens(s: UTF8String): ArrayData = {
-    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT)
-    if (norm.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val set = new java.util.TreeSet[java.lang.Long]()
+    // normalize collapses interior \s+ runs to a single ' ' — token
+    // boundaries are unchanged (runs and single spaces split identically),
+    // so the fast path is safe here too
+    val norm = normalize(s)
+    if (norm.length == 0)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val n = norm.length
+    val set = new LongSet(8 + n / 6)
     var i = 0
     while (i < n) {
       while (i < n && isRegexSpace(norm.charAt(i))) i += 1
@@ -128,7 +238,7 @@ object ShingleKernel {
         set.add(h)
       }
     }
-    new GenericArrayData(set.toArray(new Array[AnyRef](set.size)))
+    UnsafeArrayData.fromPrimitiveArray(set.sorted())
   }
 
   /** Pre-generated universal-hash params (fixed seed; odd multipliers). */
@@ -142,13 +252,13 @@ object ShingleKernel {
     * per shingle, k slots via wrap-around universal hashing (JVM semantics
     * — deliberately NOT Column arithmetic, which throws under ANSI). */
   def minhash(s: UTF8String, q: Int, params: Array[Long]): ArrayData = {
-    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val norm = normalize(s)
     val k = params.length / 2
     val mins = Array.fill(k)(Long.MaxValue)
-    if (norm.nonEmpty) {
+    if (norm.length > 0) {
       val n = norm.length
-      val seen = new java.util.HashSet[Long]()
       val last = if (n <= q) 0 else n - q
+      val seen = new LongSet(last + 1)
       var i = 0
       while (i <= last) {
         val end = math.min(i + q, n)
@@ -166,7 +276,7 @@ object ShingleKernel {
         i += 1
       }
     }
-    new GenericArrayData(mins.map(v => v: java.lang.Long).toArray[AnyRef])
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   /** [[hashedShingles]] and [[minhash]] FUSED into one pass: the two are
@@ -178,13 +288,14 @@ object ShingleKernel {
     * @return struct(toks: sorted distinct hashes, sig: k minhash slots) */
   def shinglesAndMinhash(s: UTF8String, q: Int,
       params: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
-    val norm = s.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val norm = normalize(s)
     val k = params.length / 2
     val mins = Array.fill(k)(Long.MaxValue)
-    val set = new java.util.TreeSet[java.lang.Long]()
-    if (norm.nonEmpty) {
+    var toks: Array[Long] = null
+    if (norm.length > 0) {
       val n = norm.length
       val last = if (n <= q) 0 else n - q
+      val set = new LongSet(last + 1)
       var i = 0
       while (i <= last) {
         val end = math.min(i + q, n)
@@ -201,10 +312,11 @@ object ShingleKernel {
         }
         i += 1
       }
-    }
+      toks = set.sorted()
+    } else toks = new Array[Long](0)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-      new GenericArrayData(set.toArray(new Array[AnyRef](set.size))),
-      new GenericArrayData(mins.map(v => v: java.lang.Long).toArray[AnyRef])))
+      UnsafeArrayData.fromPrimitiveArray(toks),
+      UnsafeArrayData.fromPrimitiveArray(mins)))
   }
 }
 
