@@ -241,6 +241,47 @@ object ShingleKernel {
     UnsafeArrayData.fromPrimitiveArray(set.sorted())
   }
 
+  /** Hashes of every word n-gram of the normalised text, in order — the
+    * whole tokens -> arrays_zip -> concat_ws -> xxhash64 -> explode
+    * Column chain in ONE pass with zero string allocation. After
+    * whitespace collapse an n-gram "tok_i .. tok_(i+n-1)" is EXACTLY the
+    * contiguous span from tok_i's first char to the last token's last
+    * char, so each gram is FNV-hashed in place. Gram hashes are internal
+    * join keys (both contamination sides use this kernel; the DuckDB
+    * oracle joins the STRING grams), so FNV vs xxhash64 only moves the
+    * ~grams^2/2^64 collision bound, never results. */
+  def wordNgramHashes(s: UTF8String, n: Int): ArrayData = {
+    val norm = normalize(s)
+    val len = norm.length
+    if (len == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    var tokens = 1
+    var i = 0
+    while (i < len) { if (norm.charAt(i) == ' ') tokens += 1; i += 1 }
+    if (tokens < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    // starts(t) = first char of token t; sentinel starts(tokens) = len+1
+    // so "separator before token t" arithmetic also covers the last gram
+    val starts = new Array[Int](tokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (norm.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(tokens) = len + 1
+    val m = tokens - n + 1
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val until = starts(g + n) - 1
+      var h = 0xcbf29ce484222325L
+      var j = starts(g)
+      while (j < until) { h ^= norm.charAt(j); h *= 0x100000001b3L; j += 1 }
+      out(g) = h
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Pre-generated universal-hash params (fixed seed; odd multipliers). */
   def hashParams(k: Int): Array[Long] = {
     val rng = new scala.util.Random(0x5EEDL)
@@ -359,6 +400,23 @@ case class WinnowFingerprints(child: Expression, q: Int, w: Int)
     defineCodeGen(ctx, ev,
       v => s"graft.functions.ShingleKernel.winnowFingerprints($v, $q, $w)")
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+/** word_ngram_hashes(str, n) -> array<long>: FNV-1a 64 of every word
+  * n-gram (normalised, space-joined), in document order, duplicates
+  * kept — the decontamination scan's gram key stream. */
+case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngram_hashes"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.wordNgramHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.ShingleKernel.wordNgramHashes($v, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgramHashes =
     copy(child = c)
 }
 

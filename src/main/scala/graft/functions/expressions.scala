@@ -279,6 +279,8 @@ object funcs {
   def char_shingles(c: Column, q: Int): Column = expr(CharShingles(ex(c), q))
   def hashed_shingles(c: Column, q: Int): Column = expr(HashedShingles(ex(c), q))
   def hashed_tokens(c: Column): Column = expr(HashedTokens(ex(c)))
+  def word_ngram_hashes(c: Column, n: Int): Column =
+    expr(WordNgramHashes(ex(c), n))
   def jaccard_sorted_longs(l: Column, r: Column): Column =
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
   def intersect_sorted_longs(l: Column, r: Column): Column =
@@ -351,6 +353,8 @@ object funcs {
     "hashed_shingles" -> (es => HashedShingles(es(0),
       intLitArg("hashed_shingles", es, 1, "(string, int literal)"))),
     "hashed_tokens" -> (es => HashedTokens(es(0))),
+    "word_ngram_hashes" -> (es => WordNgramHashes(es(0),
+      intLitArg("word_ngram_hashes", es, 1, "(string, int literal)"))),
     "jaccard_sorted_longs" -> (es => SortedLongArrayJaccard(es(0), es(1))),
     "intersect_sorted_longs" -> (es => SortedLongArrayIntersectCount(es(0), es(1))),
     "winnow_fingerprints" -> (es => WinnowFingerprints(es(0),

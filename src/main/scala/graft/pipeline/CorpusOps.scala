@@ -60,16 +60,22 @@ object CorpusOps {
     // parquet scan would otherwise serialise the explode (and the
     // per-doc aggregation it feeds) onto a handful of cores — at sf0.1
     // this was the single slowest query in the suite (8 tasks, ~15s)
+    // gram hashing is the native one-pass word_ngram_hashes kernel (r13):
+    // the tokens -> arrays_zip -> concat_ws -> xxhash64 chain allocated a
+    // token array, n sliced arrays, a struct per position and an n-gram
+    // STRING per gram just to produce a long — the kernel FNV-hashes each
+    // gram's contiguous span of the normalised text in place. Both sides
+    // MUST share the kernel (the hash is the join key).
     val probeGrams = graft.operators.Repartition.ensureMinParallel(
         probes.select(col(probeTextCol)))
-      .select(explode(transform(wordNgrams(lower(col(probeTextCol)), n),
-        g => xxhash64(g))).as("gram"))
+      .select(explode(graft.functions.funcs
+        .word_ngram_hashes(col(probeTextCol), n)).as("gram"))
       .distinct()
     val corpusGrams = graft.operators.Repartition.ensureMinParallel(
         corpus.select(col(idCol), col(textCol)))
       .select(col(idCol),
-        explode(transform(wordNgrams(lower(col(textCol)), n),
-          g => xxhash64(g))).as("gram"))
+        explode(graft.functions.funcs
+          .word_ngram_hashes(col(textCol), n)).as("gram"))
     val hits = corpusGrams.join(broadcast(probeGrams), Seq("gram"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"),

@@ -160,6 +160,25 @@ class ShingleKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("wordNgramHashes matches tokens -> join -> hash over strings") {
+    // reference: the semantics of the Column chain it replaces (and of
+    // the DuckDB oracle CTE): normalise, split on single spaces, slide a
+    // window of n tokens, join with ' ', FNV-hash the joined string;
+    // fewer than n tokens (incl. empty text) yields an empty array
+    def ref(s: String, n: Int): Seq[Long] = {
+      val norm = refNorm(s)
+      if (norm.isEmpty) return Seq.empty
+      val toks = norm.split(" ")
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(g => { val j = g.mkString(" "); fnv(j, 0, j.length) }).toSeq
+    }
+    for (s <- allInputs; n <- Seq(1, 2, 3, 4)) {
+      val got = ShingleKernel.wordNgramHashes(UTF8String.fromString(s), n)
+        .toLongArray().toSeq
+      assert(got == ref(s, n), s"input=${s.take(40)} n=$n")
+    }
+  }
+
   test("winnow fingerprints: fast-path normalisation preserved") {
     // reference winnow over refNorm, mirroring the kernel's window scheme
     def refWinnow(s: String, q: Int, w: Int): Seq[Long] = {
