@@ -300,7 +300,13 @@ object Bench {
     * sort-merge shuffles ~45 GB per query through one local disk —
     * a cluster-scale measurement this single box cannot host. */
   private val Sf100Queries =
-    Seq("q_cluster_dist", "q_minhash_pairs", "q_dedup_docs")
+    Seq("q_cluster_dist", "q_minhash_pairs", "q_dedup_docs",
+      // the iterative mutual-best loop (merge rounds + per-round
+      // checkpoints) at 135M candidate edges — the round-cadence
+      // driver round-trips and checkpoint fan-out are exactly where the
+      // next 100-TB cliff would hide; reads only orders, which the
+      // sf100 generator already amplifies
+      "q_one_to_one_dist")
 
   private val Sf100Marker = s"_DONE_v2_from${Sf10Marker}"
 
@@ -465,13 +471,21 @@ object Bench {
     // attempt (page cache, JIT) — recorded honestly via `attempts`; the
     // steal bias it removes is measured 2-9x while the warmth bias on
     // these prewarmed fixtures is a few percent.
-    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    // SPARK_GRAFT_BENCH_UNTIL_CLEAN=1: certification mode — retry each
+    // query until its canary window is clean (bounded by a raised default
+    // attempt cap + budget), never pausing on sustained steal. Use with a
+    // BENCH_ONLY subset to produce the per-query certified-clean
+    // measurements bench_compare's KERNEL/PLAN verdicts require.
+    val untilClean =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_UNTIL_CLEAN", "0") == "1"
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES",
+      if (untilClean) "8" else "2").toInt
     // PER-SECTION wall budget (reset at each onePass): the first retry
     // recording spent the whole run-global budget on the cheap sf0.1
     // queries and left the sf10 section — where one retry is worth the
     // most — with nothing.
-    val retryBudgetDefault =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET", "600").toDouble
+    val retryBudgetDefault = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET",
+      if (untilClean) "3600" else "600").toDouble
     var retryBudgetSec = retryBudgetDefault
     // Sustained-steal cutoff: retries only help when contamination is
     // BURSTY. When the box is continuously stolen (the first retry
@@ -540,15 +554,23 @@ object Bench {
           System.err.println(s"[bench] clean first attempt ($name); " +
             "re-enabling retries")
         }
-        while (!isClean(best) && fruitlessRetries < 5 &&
+        while (!isClean(best) && (untilClean || fruitlessRetries < 5) &&
             attempt <= maxRetries && retryBudgetSec > 0) {
           attempt += 1
+          // certification mode: give a steal burst a moment to pass so
+          // consecutive attempts are decorrelated (untimed)
+          if (untilClean) Thread.sleep(2000)
           System.err.println(f"[bench] $name canary_hi=${best.canaryHiMs}%.1f" +
             f"ms contaminated (uncontended p10=${canary.percentileMs(0.10)}%.1f" +
             f"ms); retry attempt $attempt")
           val next = runOnce(attempt)
           retryBudgetSec -= next.sec
-          if (next.canaryHiMs >= 0 &&
+          // a clean attempt always wins — including one whose window was
+          // too short to collect any canary sample (canaryHiMs = -1), which
+          // is clean by definition; without this a sub-window-length query
+          // could never escape a dirty first attempt
+          if (isClean(next)) best = next
+          else if (next.canaryHiMs >= 0 &&
               (best.canaryHiMs < 0 || next.canaryHiMs < best.canaryHiMs))
             best = next
         }
@@ -661,6 +683,10 @@ object Bench {
       timedSection(s"p$i")(onePass(selected, sfDir, s"p$i")))
     val results = passes.head
     val warm = passes.last
+    // per-section results retained for the compact driver line below
+    val sectionResults =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(String, QStat)]]()
+    sectionResults("sf0.1") = results
     val total = results.map(_._2.sec).sum
     val warmTotal = warm.map(_._2.sec).sum
 
@@ -687,6 +713,7 @@ object Bench {
         quiesce()
         val warmSec = prewarm(sf1Dir)
         val r = timedSection("sf1")(onePass(sel, sf1Dir, "sf1"))
+        sectionResults("sf1") = r
         s""","sf1":{"dir":"$sf1Dir","gen_sec":$genSec,""" +
           s""""prewarm_sec":$warmSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
@@ -711,6 +738,7 @@ object Bench {
         quiesce()
         val warmSec = prewarm(sf10Dir)
         val r = timedSection("sf10")(onePass(sel, sf10Dir, "sf10"))
+        sectionResults("sf10") = r
         s""","sf10":{"dir":"$sf10Dir","gen_sec":$genSec,""" +
           s""""prewarm_sec":$warmSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
@@ -735,6 +763,7 @@ object Bench {
         quiesce()
         val warmSec = prewarm(sf100Dir)
         val r = timedSection("sf100")(onePass(sel, sf100Dir, "sf100"))
+        sectionResults("sf100") = r
         s""","sf100":{"dir":"$sf100Dir","gen_sec":$genSec,""" +
           s""""prewarm_sec":$warmSec,""" +
           s""""total":${r.map(_._2.sec).sum},"queries":${qsJson(r)},""" +
@@ -783,11 +812,39 @@ object Bench {
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       json + "\n")
+    // Compact driver line: the per-round BENCH_r{N}.json keeps only a
+    // ~2KB stdout TAIL, and the full recording (per-query stats) is tens
+    // of KB — every round's driver artifact so far has been an
+    // unparseable mid-line cut. The LAST stdout line is therefore a
+    // <2KB self-contained summary (totals, per-section totals, noise
+    // indicators, the slowest queries) that fits the tail whole; the
+    // full recording precedes it on stdout and lives in BENCH_OUT.
+    def f3(d: Double): String = f"$d%.3f"
+    val slowest = sectionResults.iterator.flatMap { case (sec, rs) =>
+      rs.map { case (n, st) => (s"$sec:$n", st.sec) }
+    }.toSeq.sortBy(-_._2).take(12)
+      .map { case (n, s) => s""""$n":${f3(s)}""" }.mkString("{", ",", "}")
+    val secTotals = sectionResults.map { case (sec, rs) =>
+      s""""$sec":${f3(rs.map(_._2.sec).sum)}"""
+    }.mkString("{", ",", "}")
+    val nClean = sectionResults.valuesIterator.flatten
+      .count(_._2.canaryClean)
+    val nQ = sectionResults.valuesIterator.map(_.size).sum
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""cold":${f3(total)},"warm":${f3(warmTotal)},""" +
+        s""""contended":$contended,"sections":$secTotals,""" +
+        s""""n_timed":$nQ,"n_canary_clean":$nClean,""" +
+        s""""canary_p10_ms":${f3(canP10)},"canary_p50_ms":${f3(canP50)},""" +
+        s""""max_external_frac":${f3(maxExternalFrac)},""" +
+        s""""queries":$slowest,"queries_truncated":true,""" +
+        s""""artifact":"bench_out.json"}"""
     // Stop Spark BEFORE emitting the JSON so no shutdown log line can land
     // after it: with run/outputStrategy=StdoutOutput and showSuccess=false
     // (build.sbt) the bare JSON is the final line of `sbt runMain` output.
     spark.stop()
     println(json)
-    System.err.println(json)
+    println(compact)
+    System.err.println(compact)
   }
 }

@@ -3816,12 +3816,21 @@ object SparkEntry {
   )
 
   /** Word-token and 3-gram lists of every document (DuckDB): `g(doc_id, gs)`
-    * with gs = space-joined word 3-grams of the lowercased text. */
+    * with gs = space-joined word 3-grams of the lowercased text.
+    * Trim/split semantics deliberately mirror the Spark-side
+    * `word_ngram_hashes` kernel (ShingleKernel.normalize): Java
+    * `String.trim` drops ALL chars <= U+0020 from both ends (a plain SQL
+    * `trim` is space-only and would keep an empty leading token for text
+    * starting with a tab/newline), and Java regex `\s` is exactly
+    * `[ \t\n\x0B\f\r]` (RE2's `\s` lacks \x0B). */
   private val wordGramCte: String =
-    """tk AS (SELECT doc_id,
-      |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+    """tk0 AS (SELECT doc_id,
+      |    regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS tt
       |  FROM documents),
+      |tk AS (SELECT doc_id,
+      |    CASE WHEN tt = '' THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(lower(tt), '[\t\n\x0B\f\r ]+') END AS t
+      |  FROM tk0),
       |g AS (SELECT doc_id,
       |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
       |         ELSE list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END AS gs

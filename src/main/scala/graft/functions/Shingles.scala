@@ -69,6 +69,12 @@ object ShingleKernel {
       (h.toInt * -1640531527) & (cap - 1) // Fibonacci scramble
     }
     private def grow(): Unit = {
+      // cap is clamped at 1<<30 (the largest power-of-two table we will
+      // allocate): `cap <<= 1` would overflow Int. Past the clamp the
+      // load-factor check keeps requesting growth, so add() fails with an
+      // explicit message (below) instead of a NegativeArraySizeException
+      // once the table can no longer keep a free slot.
+      if (cap >= (1 << 30)) return
       val old = table
       cap <<= 1
       table = new Array[Long](cap)
@@ -87,7 +93,11 @@ object ShingleKernel {
       if (v == 0L) {
         if (hasZero) false else { hasZero = true; true }
       } else {
-        if ((used + 1) * 4 > cap * 3) grow()
+        // Long arithmetic: (used+1)*4 overflows Int once cap reaches 1<<30
+        if ((used + 1L) * 4L > cap.toLong * 3L) grow()
+        if (used >= cap - 1) throw new IllegalStateException(
+          s"ShingleKernel LongSet is full ($used distinct hashes): input " +
+            "has more distinct shingles than the 1<<30 table clamp supports")
         var j = idx0(v)
         var t = table(j)
         while (t != 0L && t != v) { j = (j + 1) & (cap - 1); t = table(j) }
@@ -282,6 +292,181 @@ object ShingleKernel {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  // Tokenization shared by tokenWindowHashes / tokenTf: EXACTLY the
+  // `TextOps.tokens` Column chain it replaces — Spark `trim` strips
+  // SPACES ONLY (U+0020; unlike normalize's Java String.trim), and the
+  // split is Spark's `split(str, "\\s+")`, i.e. Java regex split with
+  // limit -1: a leading separator run yields ONE empty token AND a
+  // trailing separator run yields ONE empty token (an all-separator
+  // string yields ["", ""]) — unlike Java's default limit-0 split,
+  // which drops trailing empties. Case is PRESERVED. Separators are
+  // \s = [ \t\n\x0B\f\r], ASCII bytes that never occur inside a UTF-8
+  // multi-byte sequence, so the scan works on raw UTF-8 bytes for every
+  // input with no decode.
+  private def isJavaSpaceByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Token (start, end) byte offsets of `b[lo, hi)` under the semantics
+    * above, flattened as [s0, e0, s1, e1, ...]; the possible leading /
+    * trailing empty tokens are (lo, lo) / (hi, hi). Returns null for
+    * zero tokens (empty input). */
+  private def tokenOffsets(b: Array[Byte], lo: Int, hi: Int): Array[Int] = {
+    if (lo >= hi) return null
+    var n = 0
+    if (isJavaSpaceByte(b(lo))) n += 1 // limit -1: leading empty token
+    if (isJavaSpaceByte(b(hi - 1))) n += 1 // limit -1: trailing empty token
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isJavaSpaceByte(b(i))) i += 1
+      if (i < hi) {
+        n += 1
+        while (i < hi && !isJavaSpaceByte(b(i))) i += 1
+      }
+    }
+    val out = new Array[Int](2 * n)
+    var t = 0
+    if (isJavaSpaceByte(b(lo))) { out(0) = lo; out(1) = lo; t = 1 }
+    i = lo
+    while (i < hi) {
+      while (i < hi && isJavaSpaceByte(b(i))) i += 1
+      if (i < hi) {
+        out(2 * t) = i
+        while (i < hi && !isJavaSpaceByte(b(i))) i += 1
+        out(2 * t + 1) = i
+        t += 1
+      }
+    }
+    if (isJavaSpaceByte(b(hi - 1))) { out(2 * t) = hi; out(2 * t + 1) = hi }
+    out
+  }
+
+  private def spaceTrimLo(b: Array[Byte], n: Int): Int = {
+    var lo = 0; while (lo < n && b(lo) == ' ') lo += 1; lo
+  }
+  private def spaceTrimHi(b: Array[Byte], lo: Int, n: Int): Int = {
+    var hi = n; while (hi > lo && b(hi - 1) == ' ') hi -= 1; hi
+  }
+
+  /** FNV-1a 64 hash of every k-token WINDOW of the text, by start
+    * position — the whole tokens -> transform(sequence) -> slice ->
+    * array_join -> xxhash64 Column chain of the exact-substring span
+    * dedup (Lee et al. arXiv:2107.06499 shape) in ONE byte pass with
+    * zero string allocation. Each token is FNV-hashed once over its
+    * UTF-8 bytes; a window's hash folds its k token hashes in order
+    * (big-endian bytes), so window equality is token-sequence equality
+    * up to 64-bit collisions — the same fidelity class as xxhash64 over
+    * the space-joined window string it replaces. Hashes are internal
+    * grouping/join keys only (the DuckDB oracle groups the literal
+    * window strings); documents with fewer than k tokens yield an empty
+    * array. */
+  def tokenWindowHashes(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val lo = spaceTrimLo(b, b.length)
+    val hi = spaceTrimHi(b, lo, b.length)
+    val offs = tokenOffsets(b, lo, hi)
+    val nTok = if (offs == null) 0 else offs.length / 2
+    if (nTok < k)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val th = new Array[Long](nTok)
+    var t = 0
+    while (t < nTok) {
+      var h = 0xcbf29ce484222325L
+      var j = offs(2 * t)
+      val e = offs(2 * t + 1)
+      while (j < e) { h ^= (b(j) & 0xff); h *= 0x100000001b3L; j += 1 }
+      th(t) = h
+      t += 1
+    }
+    val m = nTok - k + 1
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var h = 0xcbf29ce484222325L
+      var j = g
+      while (j < g + k) {
+        val v = th(j)
+        var sh = 56
+        while (sh >= 0) { h ^= (v >>> sh) & 0xffL; h *= 0x100000001b3L; sh -= 8 }
+        j += 1
+      }
+      out(g) = h
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Per-document term frequencies in ONE pass: lowercases (identical to
+    * Spark's `lower`: UTF8String.toLowerCase), tokenizes under the
+    * semantics above, and aggregates counts per DISTINCT token locally —
+    * the tokenize -> explode -> groupBy(doc, term) chain of TF-IDF
+    * without the per-token row explosion or the (doc, term) shuffle
+    * (the aggregate that fed it becomes a narrow map stage). Distinct
+    * terms come out in first-occurrence order; every term UTF8String is
+    * a zero-copy slice of one shared byte array.
+    * @return array<struct<term string, tf int>> */
+  def tokenTf(s: UTF8String): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val lo = spaceTrimLo(b, b.length)
+    val hi = spaceTrimHi(b, lo, b.length)
+    val offs = tokenOffsets(b, lo, hi)
+    if (offs == null) return new GenericArrayData(new Array[Any](0))
+    val nTok = offs.length / 2
+    // open-addressing map keyed by token bytes (hash + byte-equality on
+    // probe); slot payload indexes a parallel first-occurrence list
+    var cap = 16
+    while (cap < nTok * 2 && cap > 0) cap <<= 1
+    if (cap <= 0) cap = 1 << 30
+    val slotTok = new Array[Int](cap) // first-occurrence token index + 1; 0 = empty
+    val slotIdx = new Array[Int](cap) // index into the distinct list
+    val distTok = new Array[Int](nTok) // token index of each distinct term
+    val counts = new Array[Int](nTok)
+    val hashes = new Array[Long](nTok)
+    var nDist = 0
+    var t = 0
+    while (t < nTok) {
+      val ts = offs(2 * t)
+      val te = offs(2 * t + 1)
+      var h = 0xcbf29ce484222325L
+      var j = ts
+      while (j < te) { h ^= (b(j) & 0xff); h *= 0x100000001b3L; j += 1 }
+      var slot = ((h ^ (h >>> 32)).toInt * -1640531527) & (cap - 1)
+      var done = false
+      while (!done) {
+        val st = slotTok(slot)
+        if (st == 0) {
+          slotTok(slot) = t + 1
+          slotIdx(slot) = nDist
+          distTok(nDist) = t
+          counts(nDist) = 1
+          hashes(nDist) = h
+          nDist += 1
+          done = true
+        } else {
+          val d = slotIdx(slot)
+          val os = offs(2 * (st - 1))
+          val oe = offs(2 * (st - 1) + 1)
+          if (hashes(d) == h && oe - os == te - ts && {
+            var a = os; var c = ts; var eq = true
+            while (eq && a < oe) { eq = b(a) == b(c); a += 1; c += 1 }
+            eq
+          }) { counts(d) += 1; done = true }
+          else slot = (slot + 1) & (cap - 1)
+        }
+      }
+      t += 1
+    }
+    val rows = new Array[Any](nDist)
+    var d = 0
+    while (d < nDist) {
+      val ts = offs(2 * distTok(d))
+      val te = offs(2 * distTok(d) + 1)
+      rows(d) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromBytes(b, ts, te - ts), counts(d)))
+      d += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Pre-generated universal-hash params (fixed seed; odd multipliers). */
   def hashParams(k: Int): Array[Long] = {
     val rng = new scala.util.Random(0x5EEDL)
@@ -418,6 +603,46 @@ case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression
       v => s"graft.functions.ShingleKernel.wordNgramHashes($v, $n)")
   override protected def withNewChildInternal(c: Expression): WordNgramHashes =
     copy(child = c)
+}
+
+/** token_window_hashes(str, k) -> array<long>: FNV-1a 64 of every
+  * k-token window by start position, case preserved — the span-dedup
+  * window key stream (duplicates kept, document order). */
+case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_window_hashes"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (k < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a window size >= 1, got $k")
+    else super.checkInputDataTypes()
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.tokenWindowHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.ShingleKernel.tokenWindowHashes($v, $k)")
+  override protected def withNewChildInternal(c: Expression): TokenWindowHashes =
+    copy(child = c)
+}
+
+/** token_tf(str) -> array<struct<term string, tf int>>: per-document
+  * term frequencies of the lowercased whitespace tokens, distinct terms
+  * in first-occurrence order — the TF-IDF (doc, term) aggregate as one
+  * narrow kernel. */
+case class TokenTf(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_tf"
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.tokenTf(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleKernel.tokenTf($v)")
+  override protected def withNewChildInternal(c: Expression): TokenTf = copy(child = c)
 }
 
 /** hashed_tokens(str) -> sorted distinct array<long> (FNV-1a 64). */

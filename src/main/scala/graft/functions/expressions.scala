@@ -88,6 +88,11 @@ case class LevenshteinLte(left: Expression, right: Expression, bound: Int)
   protected def staticMethod = "" // unused: doGenCode overridden
   protected def compute(a: CharSequence, b: CharSequence): Any =
     StringSim.levenshteinWithin(a, b, bound)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (bound < 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-negative bound, got $bound")
+    else super.checkInputDataTypes()
   override def nullSafeEval(a: Any, b: Any): Any =
     StringSim.levenshteinWithinU8(
       a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], bound)
@@ -111,6 +116,11 @@ case class DamerauLevenshteinLte(left: Expression, right: Expression, bound: Int
   protected def staticMethod = "" // unused: doGenCode overridden
   protected def compute(a: CharSequence, b: CharSequence): Any =
     StringSim.damerauLevenshteinWithin(a, b, bound)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (bound < 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-negative bound, got $bound")
+    else super.checkInputDataTypes()
   override def nullSafeEval(a: Any, b: Any): Any =
     StringSim.damerauLevenshteinWithinU8(
       a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], bound)
@@ -281,6 +291,9 @@ object funcs {
   def hashed_tokens(c: Column): Column = expr(HashedTokens(ex(c)))
   def word_ngram_hashes(c: Column, n: Int): Column =
     expr(WordNgramHashes(ex(c), n))
+  def token_window_hashes(c: Column, k: Int): Column =
+    expr(TokenWindowHashes(ex(c), k))
+  def token_tf(c: Column): Column = expr(TokenTf(ex(c)))
   def jaccard_sorted_longs(l: Column, r: Column): Column =
     expr(SortedLongArrayJaccard(ex(l), ex(r)))
   def intersect_sorted_longs(l: Column, r: Column): Column =
@@ -355,6 +368,9 @@ object funcs {
     "hashed_tokens" -> (es => HashedTokens(es(0))),
     "word_ngram_hashes" -> (es => WordNgramHashes(es(0),
       intLitArg("word_ngram_hashes", es, 1, "(string, int literal)"))),
+    "token_window_hashes" -> (es => TokenWindowHashes(es(0),
+      intLitArg("token_window_hashes", es, 1, "(string, int literal)"))),
+    "token_tf" -> (es => TokenTf(es(0))),
     "jaccard_sorted_longs" -> (es => SortedLongArrayJaccard(es(0), es(1))),
     "intersect_sorted_longs" -> (es => SortedLongArrayIntersectCount(es(0), es(1))),
     "winnow_fingerprints" -> (es => WinnowFingerprints(es(0),

@@ -103,10 +103,16 @@ object CorpusOps {
    */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // per-doc (term, tf) comes from the one-pass token_tf kernel: the old
+    // tokenize -> explode -> groupBy(doc, term) chain shuffled one row per
+    // (doc, term) pair and allocated a string per TOKEN; the kernel
+    // aggregates locally per document, so this frame is computed NARROW
+    // (no exchange) and only distinct terms materialise as rows
     val docTerms = df
-      .select(col(idCol), explode(TextOps.tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol),
+        explode(graft.functions.funcs.token_tf(col(textCol))).as("__tt"))
+      .select(col(idCol), col("__tt.term").as("term"),
+        col("__tt.tf").cast("bigint").as("tf"))
       .breakLineage(true)
     val docFreqRaw = docTerms.groupBy("term")
       .agg(count(lit(1)).as("doc_freq"))

@@ -518,13 +518,28 @@ object DedupOps {
 
   /** xxhash64 of every k-token window of a token array, by start position.
     * Entirely codegen'd built-ins (sequence/transform/slice/array_join);
-    * empty for documents shorter than k tokens. */
+    * empty for documents shorter than k tokens. Kept for caller-supplied
+    * token arrays; the span-dedup operators below take the raw text
+    * through [[windowHashesText]] instead. */
   def windowHashes(tokens: Column, k: Int): Column = {
     require(k >= 1, s"window size must be >= 1; got $k")
     when(size(tokens) >= k,
       transform(sequence(lit(0), size(tokens) - k),
         i => xxhash64(array_join(slice(tokens, i + 1, lit(k)), " "))))
       .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** [[windowHashes]] over `TextOps.tokens(text)` as ONE native kernel
+    * pass (`token_window_hashes`): the tokens -> transform -> slice ->
+    * array_join -> xxhash64 chain allocated a token array, k sliced
+    * arrays and a joined STRING per window just to produce a long; the
+    * kernel hashes each token once over its UTF-8 bytes and folds the k
+    * token hashes per window. Window equality fidelity is unchanged
+    * (64-bit hash keys, internal only), actual hash VALUES differ from
+    * [[windowHashes]] — never mix the two within one operator. */
+  def windowHashesText(text: Column, k: Int): Column = {
+    require(k >= 1, s"window size must be >= 1; got $k")
+    graft.functions.funcs.token_window_hashes(text, k)
   }
 
   /** Cross-document duplicated-span detection at token granularity —
@@ -549,8 +564,9 @@ object DedupOps {
       k: Int = 10, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = widened(df, Seq(col(idCol).as("__id"),
-        TextOps.tokens(col(textCol)).as("__t")))
-      .select(col("__id"), posexplode(windowHashes(col("__t"), k)).as(Seq("pos", "h")))
+        col(textCol).as("__text")))
+      .select(col("__id"),
+        posexplode(windowHashesText(col("__text"), k)).as(Seq("pos", "h")))
     val dupHashes = wins.groupBy("h")
       .agg(count_distinct(col("__id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -594,10 +610,13 @@ object DedupOps {
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 10, minDocs: Int = 2): DataFrame = {
+    // __t tokens are still needed for the re-join of kept tokens; the
+    // window HASHES come from the kernel over the raw text (same token
+    // semantics, verified in ShingleKernelSpec)
     val base = widened(df, Seq(col(idCol).as("__id"),
-      TextOps.tokens(col(textCol)).as("__t")))
+      col(textCol).as("__text"), TextOps.tokens(col(textCol)).as("__t")))
     val wins = base.select(col("__id"),
-      posexplode(windowHashes(col("__t"), k)).as(Seq("pos", "h")))
+      posexplode(windowHashesText(col("__text"), k)).as(Seq("pos", "h")))
     val owners = wins.groupBy("h")
       .agg(count_distinct(col("__id")).as("__nd"), min(col("__id")).as("__owner"))
       .filter(col("__nd") >= minDocs)

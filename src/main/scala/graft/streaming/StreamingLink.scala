@@ -212,7 +212,7 @@ object StreamingLink {
    * Stateful streaming duplicated-window detection — the streaming twin
    * of [[graft.pipeline.DedupOps.duplicatedSpans]] /
    * [[graft.pipeline.DedupOps.removeDuplicatedSpans]], over the SAME
-   * [[graft.pipeline.DedupOps.windowHashes]] kernel: each k-token window
+   * [[graft.pipeline.DedupOps.windowHashesText]] kernel: each k-token window
    * hash is a state key owned by the document with the smallest
    * (eventTime, docId) observed so far — the streaming analogue of the
    * batch operator's min-id ownership. Ownership holds ACROSS batches: a
@@ -252,8 +252,8 @@ object StreamingLink {
     val obs = docs
       .withWatermark(tsCol, watermarkDelay)
       .select(col(idCol).cast("string").as("docId"), col(tsCol).as("eventTime"),
-        posexplode(graft.pipeline.DedupOps.windowHashes(
-          graft.pipeline.TextOps.tokens(col(textCol)), k)).as(Seq("pos", "h")))
+        posexplode(graft.pipeline.DedupOps.windowHashesText(
+          col(textCol), k)).as(Seq("pos", "h")))
       .select(col("docId"), col("pos"), col("h"), col("eventTime"))
       .as[WindowObs]
     obs

@@ -62,6 +62,9 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       "char_shingles" -> "char_shingles('abcdef', 3)",
       "hashed_shingles" -> "hashed_shingles('abcdef', 3)",
       "hashed_tokens" -> "hashed_tokens('a b c')",
+      "word_ngram_hashes" -> "word_ngram_hashes('a b c d', 3)",
+      "token_window_hashes" -> "token_window_hashes('a b c d', 3)",
+      "token_tf" -> "token_tf('a b a')",
       "jaccard_sorted_longs" ->
         "jaccard_sorted_longs(array(1L, 2L), array(2L, 3L))",
       "text_stats" -> "text_stats('the quick brown fox')",

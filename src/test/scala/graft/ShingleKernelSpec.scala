@@ -85,7 +85,16 @@ class ShingleKernelSpec extends AnyFunSuite {
     "x\u0001y", "\u0001leading ctrl", "trailing ctrl\u0001",
     "a\u0001 b", "b\u0001\tc", "double  space", "tab\tsep", "\u000Bvt\u000B",
     "exact", "sh", "ABCDEFGH", "aaaaaaaaaaaa",
-    // non-ASCII: fallback path, incl. the length-changing lowercase
+    // leading/trailing tab/newline with >= 3 tokens: the exact shape where
+    // String.trim (drops chars <= U+0020) and a space-only SQL trim diverge
+    // -- pins the kernel side of the q_contamination oracle alignment
+    "\tlead tab three tokens", "\nlead newline more tokens here",
+    "trail tokens three\t", "\t\n both ends trimmed here \r\n",
+    "\u0000nul lead three tokens",
+    // non-ASCII: fallback path, incl. the length-changing lowercases
+    // (U+0130 lowercases to "i" + combining dot = 2 chars; U+1E9E
+    // lowercases to U+00DF; U+00DF itself is lowercase-stable)
+    "STRA\u1e9eE gross strasse", "\u00df alone", "\u0130\u0130 DOTTED \u0130",
     "İstanbul", "ÅNGSTRÖM  värde", "日本語 テキスト", "emoji 😀 tail",
     "mixed ascii Ünïcode  runs", " nbsp is not regex space ")
 
@@ -176,6 +185,67 @@ class ShingleKernelSpec extends AnyFunSuite {
       val got = ShingleKernel.wordNgramHashes(UTF8String.fromString(s), n)
         .toLongArray().toSeq
       assert(got == ref(s, n), s"input=${s.take(40)} n=$n")
+    }
+  }
+
+  // Spark-trim (spaces only) + Spark split = Java \s+ split with limit
+  // -1 (leading AND trailing separator runs each yield one empty token),
+  // the TextOps.tokens chain
+  private def refTokens(s: String): Seq[String] = {
+    var lo = 0
+    while (lo < s.length && s.charAt(lo) == ' ') lo += 1
+    var hi = s.length
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val t = s.substring(lo, hi)
+    if (t.isEmpty) Seq.empty else t.split("\\s+", -1).toSeq
+  }
+
+  private def fnvBytes(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    b.foreach { x => h ^= (x & 0xff); h *= 0x100000001b3L }
+    h
+  }
+
+  test("tokenWindowHashes matches trim -> split -> window-fold reference") {
+    def ref(s: String, k: Int): Seq[Long] = {
+      // reference tokenizes the UTF8String round-trip of s, like the
+      // kernel's byte view (lone surrogates become replacement chars)
+      val toks = refTokens(UTF8String.fromString(s).toString)
+      if (toks.length < k) Seq.empty
+      else {
+        val th = toks.map(t =>
+          fnvBytes(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        th.sliding(k).map { w =>
+          var h = 0xcbf29ce484222325L
+          w.foreach { v =>
+            var sh = 56
+            while (sh >= 0) { h ^= (v >>> sh) & 0xffL; h *= 0x100000001b3L; sh -= 8 }
+          }
+          h
+        }.toSeq
+      }
+    }
+    for (s <- allInputs; k <- Seq(1, 2, 3, 10)) {
+      val got = ShingleKernel.tokenWindowHashes(UTF8String.fromString(s), k)
+        .toLongArray().toSeq
+      assert(got == ref(s, k), s"input=${s.take(40)} k=$k")
+    }
+  }
+
+  test("tokenTf matches lower -> split -> count (first-occurrence order)") {
+    def ref(s: String): Seq[(String, Int)] = {
+      val low = UTF8String.fromString(s).toLowerCase.toString
+      val order = scala.collection.mutable.LinkedHashMap[String, Int]()
+      refTokens(low).foreach(t => order(t) = order.getOrElse(t, 0) + 1)
+      order.toSeq
+    }
+    for (s <- allInputs) {
+      val arr = ShingleKernel.tokenTf(UTF8String.fromString(s))
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getInt(1))
+      }
+      assert(got == ref(s), s"input=${s.take(40)}")
     }
   }
 
