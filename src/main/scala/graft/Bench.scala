@@ -505,6 +505,15 @@ object Bench {
       sel.toSeq.map {
       case (name, fn) =>
         def runOnce(attempt: Int): QStat = {
+          // UNTIMED pre-query full GC in the scale sections: a heavy
+          // query otherwise starts with the heap full of its
+          // predecessors' tenured garbage and pays for it in TASK GC
+          // mid-query (measured: in-suite sf10 q_one_to_one_dist task GC
+          // 1013s vs 36s isolated at identical plan stats). Main-pass
+          // queries (p1/p2) skip it — 114 small queries x ~1s GC would
+          // stretch the recording for noise that per-query cleanup
+          // already bounds at sf0.1 heap sizes.
+          if (tag.startsWith("sf")) { System.gc(); Thread.sleep(100) }
           val group =
             if (attempt == 1) s"$tag:$name" else s"$tag:$name:a$attempt"
           spark.sparkContext.setJobGroup(group, s"bench $name")
@@ -578,7 +587,9 @@ object Bench {
           if (isClean(best)) fruitlessRetries = 0
           else {
             fruitlessRetries += 1
-            if (fruitlessRetries == 5) System.err.println(
+            // in until-clean mode the counter still tracks but never
+            // pauses — don't print a pause that will not happen
+            if (fruitlessRetries == 5 && !untilClean) System.err.println(
               "[bench] 5 consecutive fruitless retries — sustained steal; " +
                 "pausing retries until a clean first attempt")
           }
