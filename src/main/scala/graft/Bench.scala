@@ -91,7 +91,8 @@ object Bench {
       shufReadB: Long, shufWriteB: Long, inputB: Long,
       cpuMs: Long, runMs: Long, gcMs: Long,
       canaryMs: Double = -1.0, canaryHiMs: Double = -1.0, canaryN: Int = 0,
-      attempts: Int = 1, canaryClean: Boolean = true)
+      attempts: Int = 1, canaryClean: Boolean = true,
+      extFrac: Double = -1.0)
 
   /** CPU-speed canary: a daemon thread runs FIXED deterministic spin work
     * (~6-8 ms on an idle core) every ~400 ms and records how long each spin
@@ -496,6 +497,21 @@ object Bench {
     // (the box recovered).
     var fruitlessRetries = 0
     val CanaryCleanFactor = 1.35 // same gate bench_compare's KERNEL uses
+    // CPU readers shared by the per-QUERY external fraction (below) and
+    // the per-SECTION accounting (further down)
+    def load(): Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def procCpuNs(): Long = ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    // USER_HZ is 100 on every mainstream linux (sysconf(_SC_CLK_TCK))
+    def sysBusyJiffies(): Long =
+      try {
+        val f = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        f.indices.collect { case i if i != 3 && i != 4 => f(i) }.sum
+      } catch { case _: Exception => -1L }
     // tag makes the job-group id unique per pass (cold/warm/sf1 rerun the
     // same query names; each (pass, query, attempt) gets its own counter)
     def onePass(sel: Iterable[(String, (SparkSession, String)
@@ -517,6 +533,13 @@ object Bench {
           val group =
             if (attempt == 1) s"$tag:$name" else s"$tag:$name:a$attempt"
           spark.sparkContext.setJobGroup(group, s"bench $name")
+          // per-QUERY external CPU: the per-section fraction cannot
+          // separate one stolen query from nine quiet ones, and the
+          // canary cannot separate host steal from the query's OWN
+          // full-width saturation — external_frac ~0 + dirty canary +
+          // unchanged stats reads as self-pressure, not steal
+          val p0 = procCpuNs()
+          val s0 = sysBusyJiffies()
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, dir)
@@ -531,6 +554,14 @@ object Bench {
           } finally spark.sparkContext.clearJobGroup()
           val t1 = System.nanoTime()
           val sec = (t1 - t0) / 1e9
+          // read the CPU counters at t1, before the untimed cleanup below
+          val extFrac =
+            if (p0 < 0 || s0 < 0 || sec <= 0) -1.0
+            else {
+              val ext = math.max(0.0,
+                (sysBusyJiffies() - s0) / 100.0 - (procCpuNs() - p0) / 1e9)
+              ext / (sec * Runtime.getRuntime.availableProcessors)
+            }
           recorder.drain(group)
           val s = recorder.snapshot(group)
           val (canMs, canHiMs, canN) = canary.windowStats(t0, t1)
@@ -546,7 +577,7 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
           spark.catalog.clearCache()
           QStat(sec, s(0), s(1), s(2), s(3), s(4) / 1000000L, s(5), s(6),
-            canMs, canHiMs, canN)
+            canMs, canHiMs, canN, extFrac = extFrac)
         }
         // "clean" = this attempt's canary p90 sat at the box's uncontended
         // spin speed (run-wide p10, recomputed as samples accumulate). A
@@ -643,7 +674,8 @@ object Bench {
           s"\"gc_ms\":${v.gcMs}," +
           s"\"canary_ms\":${v.canaryMs},\"canary_hi_ms\":${v.canaryHiMs}," +
           s"\"canary_n\":${v.canaryN},\"attempts\":${v.attempts}," +
-          s"\"canary_clean\":${v.canaryClean}}"
+          s"\"canary_clean\":${v.canaryClean}," +
+          s"\"external_frac\":${v.extFrac}}"
       }.mkString("{", ",", "}")
     // Per-SECTION external-CPU accounting: a run can start idle and take
     // an external load spike mid-way (r12: 0.47 -> 16.2 loadavg), but
@@ -661,19 +693,6 @@ object Bench {
       def externalFrac(procs: Int): Double =
         if (wallSec <= 0) 0.0 else externalCpuSec / (wallSec * procs)
     }
-    def load(): Double =
-      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    def procCpuNs(): Long = ManagementFactory.getOperatingSystemMXBean match {
-      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
-      case _ => -1L
-    }
-    // USER_HZ is 100 on every mainstream linux (sysconf(_SC_CLK_TCK))
-    def sysBusyJiffies(): Long =
-      try {
-        val f = Files.readAllLines(Paths.get("/proc/stat")).get(0)
-          .trim.split("\\s+").drop(1).map(_.toLong)
-        f.indices.collect { case i if i != 3 && i != 4 => f(i) }.sum
-      } catch { case _: Exception => -1L }
     val sectionCpu = scala.collection.mutable.LinkedHashMap[String, SectionCpu]()
     def timedSection[A](name: String)(body: => A): A = {
       val l0 = load()

@@ -138,12 +138,18 @@ def classify(a, b, clean_ceiling, ext_old, ext_new):
         na, nb = a.get("canary_ms", -1), b.get("canary_ms", -1)
         ha, hb = a.get("canary_hi_ms", -1), b.get("canary_hi_ms", -1)
         cpu = f"cpu_ms {ca} -> {cb} ({dcpu:+d}ms on-CPU)"
-        ext_dirty = [s for s, x in (("old", ext_old), ("new", ext_new))
-                     if x > 0.05]
+        # r14+: recordings carry a per-QUERY external fraction — prefer it
+        # over the section-wide one (a section mixes one stolen query with
+        # nine quiet ones in both directions)
+        qa_ext, qb_ext = a.get("external_frac", -1.0), b.get("external_frac", -1.0)
+        per_query = qa_ext >= 0 and qb_ext >= 0
+        eo, en = (qa_ext, qb_ext) if per_query else (ext_old, ext_new)
+        grain = "query" if per_query else "section"
+        ext_dirty = [s for s, x in (("old", eo), ("new", en)) if x > 0.05]
         if ext_dirty:
             return "HOST", (
-                f"{cpu}; external CPU visible in section "
-                f"({'/'.join(ext_dirty)}): {ext_old:.0%}/{ext_new:.0%} "
+                f"{cpu}; external CPU visible in {grain} "
+                f"({'/'.join(ext_dirty)}): {eo:.0%}/{en:.0%} "
                 f"of machine capacity burned by other processes")
         if na and nb and na > 0 and nb > 0:
             lcpu = math.log(cb / max(ca, 1))
@@ -156,10 +162,18 @@ def classify(a, b, clean_ceiling, ext_old, ext_new):
                 dirty = [s for s, h in (("old", ha), ("new", hb))
                          if h > clean_ceiling]
                 if dirty:
+                    # a dirty canary with ~0 per-query external CPU is
+                    # ambiguous: invisible steal (proven by the r13
+                    # calibration) OR the query's own full-width
+                    # saturation queuing the canary thread — name both
+                    self_note = (
+                        f" (per-query external {eo:.1%}/{en:.1%} — "
+                        "invisible steal or the query's own saturation)"
+                        if per_query and max(eo, en) <= 0.05 else "")
                     return "HOST", (
                         f"{cpu}; contended window ({'/'.join(dirty)}): "
                         f"canary p90 {ha:.1f}/{hb:.1f}ms vs clean "
-                        f"ceiling {clean_ceiling:.1f}ms")
+                        f"ceiling {clean_ceiling:.1f}ms{self_note}")
                 return "KERNEL", (f"{cpu}; both windows clean (canary p90 "
                                   f"{ha:.1f}/{hb:.1f}ms <= "
                                   f"{clean_ceiling:.1f}ms){jnote}")
