@@ -412,10 +412,14 @@ object ShingleKernel {
     if (offs == null) return new GenericArrayData(new Array[Any](0))
     val nTok = offs.length / 2
     // open-addressing map keyed by token bytes (hash + byte-equality on
-    // probe); slot payload indexes a parallel first-occurrence list
+    // probe); slot payload indexes a parallel first-occurrence list.
+    // Long arithmetic + 1<<30 clamp: nTok * 2 overflows Int for a ~1B-token
+    // document, and this table is sized ONCE (no grow path), so an
+    // under-sized table would probe forever — the clamp plus the
+    // full-table guard below turn that into an explicit error instead.
     var cap = 16
-    while (cap < nTok * 2 && cap > 0) cap <<= 1
-    if (cap <= 0) cap = 1 << 30
+    val target = math.min(nTok.toLong * 2L, 1L << 30)
+    while (cap < target) cap <<= 1
     val slotTok = new Array[Int](cap) // first-occurrence token index + 1; 0 = empty
     val slotIdx = new Array[Int](cap) // index into the distinct list
     val distTok = new Array[Int](nTok) // token index of each distinct term
@@ -434,6 +438,9 @@ object ShingleKernel {
       while (!done) {
         val st = slotTok(slot)
         if (st == 0) {
+          if (nDist >= cap - 1) throw new IllegalStateException(
+            s"token_tf term table is full ($nDist distinct terms): input " +
+              "has more distinct tokens than the 1<<30 table clamp supports")
           slotTok(slot) = t + 1
           slotIdx(slot) = nDist
           distTok(nDist) = t
