@@ -849,7 +849,10 @@ object Bench {
     // <2KB self-contained summary (totals, per-section totals, noise
     // indicators, the slowest queries) that fits the tail whole; the
     // full recording precedes it on stdout and lives in BENCH_OUT.
-    def f3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: f"$d%.3f" uses the JVM default locale, which on a
+    // comma-decimal locale (de_DE) would emit invalid JSON.
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val slowest = sectionResults.iterator.flatMap { case (sec, rs) =>
       rs.map { case (n, st) => (s"$sec:$n", st.sec) }
     }.toSeq.sortBy(-_._2).take(12)

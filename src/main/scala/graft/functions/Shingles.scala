@@ -95,14 +95,20 @@ object ShingleKernel {
       } else {
         // Long arithmetic: (used+1)*4 overflows Int once cap reaches 1<<30
         if ((used + 1L) * 4L > cap.toLong * 3L) grow()
-        if (used >= cap - 1) throw new IllegalStateException(
-          s"ShingleKernel LongSet is full ($used distinct hashes): input " +
-            "has more distinct shingles than the 1<<30 table clamp supports")
         var j = idx0(v)
         var t = table(j)
         while (t != 0L && t != v) { j = (j + 1) & (cap - 1); t = table(j) }
         if (t == v) false
-        else { table(j) = v; used += 1; true }
+        else {
+          // Full-table check only on the insertion path: a duplicate add at
+          // the 1<<30 clamp needs no free slot and must still succeed. The
+          // probe above always terminates because the last slot is never
+          // filled (we throw before used can reach cap).
+          if (used >= cap - 1) throw new IllegalStateException(
+            s"ShingleKernel LongSet is full ($used distinct hashes): input " +
+              "has more distinct shingles than the 1<<30 table clamp supports")
+          table(j) = v; used += 1; true
+        }
       }
     }
     def size: Int = used + (if (hasZero) 1 else 0)

@@ -39,9 +39,21 @@ case class WindowVerdict(docId: String, pos: Int, foreign: Boolean,
   eventTime: java.sql.Timestamp = null)
 /** Ownership state per window hash: the earliest observed
   * (eventTime, docId) plus the owner's positions, so a later batch can
-  * demote an arrival-order owner and emit corrections. */
+  * demote an arrival-order owner and emit corrections.
+  *
+  * `stateVersion` exists purely to FAIL LOUDLY across kernel upgrades:
+  * the window-hash state key changed values (not schema) when the
+  * xxhash64 token chain was replaced by the FNV `token_window_hashes`
+  * kernel, so a checkpoint written by the old build would otherwise
+  * restore silently and never match any new key (missed duplicates,
+  * stale state until timeout). Adding this field bumps the persisted
+  * state SCHEMA, so Spark's state-schema compatibility check rejects
+  * old-format checkpoints with a clear error instead. Bump
+  * [[StreamingLink.SpanStateVersion]] on any future key-semantics
+  * change for the same reason. */
 case class WindowOwnerState(owner: String, ownerTime: Long = 0L,
-  ownerPositions: Seq[Int] = Nil)
+  ownerPositions: Seq[Int] = Nil,
+  stateVersion: Int = StreamingLink.SpanStateVersion)
 /** Union row for [[StreamingLink.dedupSpansApplyStream]]: either a doc
   * (tokens) or one foreign-window verdict (pos). */
 case class DedupApplyObs(docId: String, isDoc: Boolean, pos: Int,
@@ -64,6 +76,17 @@ case class SessionOut(entity: Long, startMs: Long, endMs: Long,
     nEvents: Long, sumValueMicros: Long)
 
 object StreamingLink {
+
+  /** Version of the span-dedup streaming state format. v2 = FNV
+    * `token_window_hashes` keys (the batch-parity kernel); v1 (never
+    * tagged) was the interpreted xxhash64 chain. v1→v2 changed every
+    * state KEY, so v2 also added [[WindowOwnerState.stateVersion]] to
+    * the state schema: restoring a v1 checkpoint fails Spark's
+    * state-schema compatibility check with a clear error rather than
+    * silently re-owning every window. Upgrading across this boundary
+    * requires a fresh checkpoint directory (and re-feeding any
+    * documents whose ownership must survive). */
+  val SpanStateVersion: Int = 2
 
   /**
    * Attach micro-batch find-matches scoring to a stream of new records.
@@ -241,6 +264,14 @@ object StreamingLink {
    * with an event-time timeout a full watermark delay past its last hit —
    * long-running-stream safe, the same discipline as
    * [[simhashBandDedupStream]].
+   *
+   * '''Checkpoint compatibility''': state keys are FNV
+   * `token_window_hashes` values ([[StreamingLink.SpanStateVersion]] = 2).
+   * Checkpoints written by the earlier xxhash64-keyed build cannot be
+   * restored — the state schema carries [[WindowOwnerState.stateVersion]]
+   * precisely so such a restore fails loudly (state-schema mismatch)
+   * instead of silently matching nothing. Use a fresh checkpoint
+   * directory when upgrading across a kernel version bump.
    */
   def dupWindowStream(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, k: Int = 10, watermarkDelay: String = "1 hour")

@@ -6,6 +6,13 @@ import graft.model._
 import graft.model.{LevelLibrary => ll}
 import graft.streaming.StreamingLink
 
+/** The r13-era span-ownership state shape (pre-FNV kernel, no
+  * `stateVersion` field) — used only to fabricate a v1 checkpoint and
+  * prove the current operator REJECTS it instead of silently restoring
+  * keys that no longer match anything. */
+case class LegacySpanOwnerState(owner: String, ownerTime: Long,
+  ownerPositions: Seq[Int])
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -286,6 +293,68 @@ class StreamingSpec extends SparkSpec {
     // doc 3: foreign exactly at the shared run's window starts 1..3
     val d3 = perDoc("3").map(v => v._2 -> v._3).toMap
     assert(d3 == Map(0 -> false, 1 -> true, 2 -> true, 3 -> true, 4 -> false))
+  }
+
+  test("restoring a pre-versioned (v1) span-dedup checkpoint fails loudly " +
+      "with a state-schema error, never silently") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("dupwin_ckpt_v1").toFile
+    val inDir = new java.io.File(root, "in"); inDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    def writeBatch(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(inDir, name).toPath, rows.mkString("\n") + "\n")
+    def src = spark.readStream.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(inDir.getPath)
+
+    writeBatch("b1.json", Seq(
+      """{"doc_id":1,"text":"q w e r t","ts":"2026-01-01 10:00:00"}"""))
+    // v1 twin: same source, same key (the window hash), same single
+    // stateful operator — but the r13 state shape (no stateVersion).
+    val legacy = src
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id").cast("string").as("docId"),
+        col("ts").as("eventTime"),
+        posexplode(graft.pipeline.DedupOps.windowHashesText(col("text"), 3))
+          .as(Seq("pos", "h")))
+      .select(col("docId"), col("pos"), col("h"), col("eventTime"))
+      .as[graft.streaming.WindowObs]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[LegacySpanOwnerState, graft.streaming.WindowVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[LegacySpanOwnerState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val b = rows.toSeq
+            state.update(LegacySpanOwnerState(b.head.docId, 0L, Nil))
+            state.setTimeoutTimestamp(b.map(_.eventTime.getTime).max, "1 hour")
+            Iterator.empty
+          }
+      }
+    val q1 = legacy.writeStream.format("noop")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+
+    writeBatch("b2.json", Seq(
+      """{"doc_id":2,"text":"q w e r t","ts":"2026-01-01 10:05:00"}"""))
+    val q2 = StreamingLink.dupWindowStream(src, "doc_id", "text", "ts", k = 3)
+      .writeStream.format("noop").option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    try q2.stop() catch { case _: Throwable => () }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(
+      messages.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE") ||
+        messages.toLowerCase.contains("state value schema"),
+      s"expected a state-schema incompatibility error, got: $messages")
   }
 
   test("band-bucket and span-ownership state behave identically on the " +
