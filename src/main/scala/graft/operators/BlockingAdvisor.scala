@@ -70,11 +70,10 @@ object BlockingAdvisor {
     *        quantised to 1/10000ths exactly like the reference's
     *        `record_sample_proportion`
     *
-    * Note: a thousands-wide lattice pushes the Expand stage past the JVM
-    * 64KB codegen method limit, so Spark runs that stage interpreted —
-    * acceptable precisely because the sampled row side is small; the
-    * gid->label mapping avoids the same cliff via a broadcast lookup
-    * join instead of a generated CASE.
+    * Note: wide lattices are profiled in multiple bounded passes (see
+    * [[chunkSets]]) precisely so the Expand stage always compiles AND
+    * stays JIT-able — a thousands-wide single GROUPING SETS would bust
+    * janino's 64KB method limit and silently run interpreted.
     */
   def profileSampled(df: DataFrame, exprs: Seq[String], idExpr: String,
       sampleFraction: Double, maxArity: Int = 2): DataFrame = {
@@ -109,9 +108,47 @@ object BlockingAdvisor {
   private def gidOf(m: Int, s: Seq[Int]): Long =
     (0 until m).filterNot(s.contains).map(j => 1L << (m - 1 - j)).sum
 
+  // Expand-stage codegen budget, calibrated on Spark 4.1 ExpandExec
+  // (graft.tools.ExpandCodegenProbe): the generated expand_doConsume
+  // bytecode is ~ sets * (14*(cols+1) + 30) for string keys. Two cliffs:
+  // janino rejects methods > 64KB outright (24 cols / 300 sets fails,
+  // ERROR + silent interpreted fallback), and HotSpot never JIT-compiles
+  // methods past ~8000 bytecodes (-XX:HugeMethodLimit), so even a
+  // "successfully" generated 16-col / 136-set Expand (~31KB) runs as
+  // interpreted bytecode. Passes are sized so the whole stage stays
+  // JIT-compiled; each pass groups only the columns its sets reference.
+  private val ExpandByteBudget = 7000L
+  private val ExpandColCap = 12
+
+  /** Greedily partition the candidate sets into passes whose Expand stage
+    * fits [[ExpandByteBudget]] and references at most [[ExpandColCap]]
+    * key columns (the lexicographic candidate order clusters shared
+    * columns, so most passes reuse one column block). */
+  private def chunkSets(sets: Seq[Seq[Int]]): Seq[Seq[Seq[Int]]] = {
+    def estBytes(nSets: Int, nCols: Int): Long =
+      nSets.toLong * (14L * (nCols + 1) + 30L)
+    val passes = Seq.newBuilder[Seq[Seq[Int]]]
+    var cur = Vector.empty[Seq[Int]]
+    var curCols = Set.empty[Int]
+    for (s <- sets) {
+      val cols = curCols ++ s
+      if (cur.nonEmpty && (cols.size > ExpandColCap ||
+          estBytes(cur.size + 1, cols.size) > ExpandByteBudget)) {
+        passes += cur; cur = Vector(s); curCols = s.toSet
+      } else { cur = cur :+ s; curCols = cols }
+    }
+    if (cur.nonEmpty) passes += cur
+    passes.result()
+  }
+
   /** [[profile]] plus the grouping id — the collision-proof candidate key
     * ([[recommend]] maps gid back to the expr set; rendered labels can
-    * collide when one candidate expr is itself the comma-join of others). */
+    * collide when one candidate expr is itself the comma-join of others).
+    * The lattice is profiled in one GROUPING SETS pass per [[chunkSets]]
+    * chunk (usually one); each pass re-reads the input but keeps its
+    * Expand + aggregate inside JIT-compiled whole-stage codegen, which
+    * beats one giant interpreted Expand — the Expand multiplies rows by
+    * its set count either way, so the extra scans are the cheap part. */
   private def profileWithGid(df: DataFrame, exprs: Seq[String], maxArity: Int,
       maxExprs: Int = 16, maxSets: Int = Int.MaxValue)
       : DataFrame = {
@@ -122,23 +159,39 @@ object BlockingAdvisor {
     require(m <= maxExprs,
       s"BlockingAdvisor.profile: $m candidate exprs expand to " +
         s"too many grouping sets; probe at most $maxExprs per call")
-    require(candidateSets(m, maxArity).size <= maxSets,
-      s"BlockingAdvisor: ${candidateSets(m, maxArity).size} candidate " +
+    val sets: Seq[Seq[Int]] = candidateSets(m, maxArity)
+    require(sets.size <= maxSets,
+      s"BlockingAdvisor: ${sets.size} candidate " +
         s"sets exceed the $maxSets-set cap; lower maxArity or split the " +
         "expression list")
     val keyed = df.select(exprs.zipWithIndex.map { case (e, i) =>
       expr(e).as(s"__k$i") }: _*)
-    val keyCols: Seq[Column] = exprs.indices.map(i => col(s"__k$i"))
-    val sets: Seq[Seq[Int]] = candidateSets(m, maxArity)
-    def gidOf(s: Seq[Int]): Long = BlockingAdvisor.gidOf(m, s)
+    chunkSets(sets).map(profilePass(keyed, exprs, _))
+      .reduce(_.unionByName(_))
+  }
+
+  /** One GROUPING SETS pass over the columns `passSets` references.
+    * Output rows carry the GLOBAL gid (bit positions over the full expr
+    * list), so unioned passes share one collision-proof key space. */
+  private def profilePass(keyed: DataFrame, exprs: Seq[String],
+      passSets: Seq[Seq[Int]]): DataFrame = {
+    val m = exprs.length
+    val passCols: Seq[Int] = passSets.flatten.distinct.sorted
+    val pm = passCols.length
+    val localIdx: Map[Int, Int] = passCols.zipWithIndex.toMap
+    val keyCols: Seq[Column] = passCols.map(i => col(s"__k$i"))
+    // pass-local grouping id: bit (pm-1-j) set = pass column j inactive
+    def localGid(s: Seq[Int]): Long =
+      passCols.filterNot(s.contains).map(j => 1L << (pm - 1 - localIdx(j))).sum
     val grouped = keyed
-      .groupingSets(sets.map(_.map(i => keyCols(i))), keyCols: _*)
+      .groupingSets(passSets.map(_.map(i => keyCols(localIdx(i)))), keyCols: _*)
       .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
     // a block is usable iff every ACTIVE key of its grouping set is
     // non-null (null keys never match under equi-blocking); inactive
     // columns are null by construction and must not disqualify the row
-    val usable = exprs.indices.map { i =>
-      (shiftright(col("gid"), m - 1 - i).bitwiseAND(lit(1L)) === lit(1L)) ||
+    val usable = passCols.map { i =>
+      (shiftright(col("gid"), pm - 1 - localIdx(i))
+        .bitwiseAND(lit(1L)) === lit(1L)) ||
         col(s"__k$i").isNotNull
     }.reduce(_ && _)
     val perRule = grouped
@@ -157,43 +210,33 @@ object BlockingAdvisor {
         sum(col("n")).as("__total"))
     val completeness = round(col("__covered").cast("double") /
       greatest(col("__total"), lit(1L)).cast("double"), 9)
-    if (sets.size <= 128) {
-      // gid -> rule label: a chained literal CASE keeps the tiny lookup
-      // inside the same codegen stage (no join for small lattices)
-      val label = sets.tail.foldLeft(
-        when(col("gid") === gidOf(sets.head), lit(ruleLabel(exprs, sets.head)))) {
-        case (acc, s) => acc.when(col("gid") === gidOf(s), lit(ruleLabel(exprs, s)))
-      }
-      val nCols = sets.tail.foldLeft(
-        when(col("gid") === gidOf(sets.head), lit(sets.head.length))) {
-        case (acc, s) => acc.when(col("gid") === gidOf(s), lit(s.length))
-      }
-      perRule.select(
-        label.as("rule"),
-        nCols.as("n_columns"),
-        col("n_comparisons"),
-        col("n_blocks"),
-        col("largest_block"),
-        completeness.as("completeness"),
-        col("gid"))
-    } else {
-      // wide lattices (sampled path, thousands of candidates): a CASE
-      // this deep busts Janino's 64KB method limit and falls back to
-      // interpreted eval — broadcast-join the tiny gid->label frame
-      // instead (candidate-count rows, never data-sized)
-      val lookup = broadcast(df.sparkSession.createDataFrame(
-        sets.map(s => (gidOf(s), ruleLabel(exprs, s), s.length)))
-        .toDF("__gid", "rule", "n_columns"))
-      perRule.join(lookup, col("gid") === col("__gid"))
-        .select(
-          col("rule"),
-          col("n_columns"),
-          col("n_comparisons"),
-          col("n_blocks"),
-          col("largest_block"),
-          completeness.as("completeness"),
-          col("gid"))
+    // local gid -> (label, n_columns, global gid): a chained literal CASE
+    // over the pass's sets — bounded by the byte budget, so it always
+    // stays inside the same codegen stage (no join, no janino risk)
+    val label = passSets.tail.foldLeft(
+      when(col("gid") === localGid(passSets.head),
+        lit(ruleLabel(exprs, passSets.head)))) {
+      case (acc, s) =>
+        acc.when(col("gid") === localGid(s), lit(ruleLabel(exprs, s)))
     }
+    val nCols = passSets.tail.foldLeft(
+      when(col("gid") === localGid(passSets.head),
+        lit(passSets.head.length))) {
+      case (acc, s) => acc.when(col("gid") === localGid(s), lit(s.length))
+    }
+    val globalGid = passSets.tail.foldLeft(
+      when(col("gid") === localGid(passSets.head),
+        lit(gidOf(m, passSets.head)))) {
+      case (acc, s) => acc.when(col("gid") === localGid(s), lit(gidOf(m, s)))
+    }
+    perRule.select(
+      label.as("rule"),
+      nCols.as("n_columns"),
+      col("n_comparisons"),
+      col("n_blocks"),
+      col("largest_block"),
+      completeness.as("completeness"),
+      globalGid.as("gid"))
   }
 
   private def ruleLabel(exprs: Seq[String], set: Seq[Int]): String =

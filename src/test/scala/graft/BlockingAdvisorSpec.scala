@@ -225,6 +225,39 @@ class BlockingAdvisorSpec extends SparkSpec {
       s"expected 1 Expand:\n$rendered")
   }
 
+  test("profile plan codegen: every whole-stage subtree compiles AND stays " +
+      "JIT-able at the exact cap (16 exprs) and the sampled max (24/arity 3)") {
+    import org.apache.spark.sql.execution.debug._
+    // codegenStringSeq can't see inside an unexecuted AdaptiveSparkPlan
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def check(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+        val res = codegenStringSeq(df.queryExecution.executedPlan)
+        assert(res.nonEmpty, s"$what: no whole-stage codegen subtrees")
+        for ((subtree, _, stats) <- res) {
+          assert(stats.maxMethodCodeSize > 0,
+            s"$what: a whole-stage subtree failed janino compilation " +
+              s"(silent interpreted fallback):\n$subtree")
+          assert(stats.maxMethodCodeSize <= 8000,
+            s"$what: generated method is ${stats.maxMethodCodeSize}B " +
+              s"bytecode — past HotSpot's huge-method JIT limit:\n$subtree")
+        }
+      }
+      val c16 = (0 until 16).map(i => s"c$i")
+      val df16 = spark.range(100).select(
+        c16.map(c => (col("id") % 3).cast("string").as(c)): _*)
+      check(BlockingAdvisor.profile(df16, c16, maxArity = 2),
+        "exact 16 exprs / arity 2 (136 sets)")
+      val c24 = (0 until 24).map(i => s"c$i")
+      val df24 = spark.range(100).select(
+        c24.map(c => (col("id") % 3).cast("string").as(c)) :+
+          col("id").cast("string").as("row_id"): _*)
+      check(BlockingAdvisor.profileSampled(df24, c24, "row_id", 0.5,
+        maxArity = 3), "sampled 24 exprs / arity 3 (2324 sets)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("one input scan and one wide-input exchange feed all candidates") {
     val rendered = BlockingAdvisor.profile(frame, Seq("city", "surname", "phone"))
       .queryExecution.executedPlan.toString
