@@ -24,6 +24,13 @@ Verdicts per shared query:
           gate catches it); conversely the "idle" pass took 5-10x cpu
           inflation with ~0 external CPU (canary p90 catches it —
           bursts move the window p90 long before the median).
+  SELF    cpu_ms moved and the canary window is dirty, but per-query
+          external CPU is ~0 AND the query's own on-CPU parallelism
+          exceeds 15 cores on every dirty side — the query saturates
+          the box and queues the canary thread itself (r14 finding:
+          full-width queries can never certify canary-clean in-suite).
+          Steal cannot fake this signature: stolen cores depress on-CPU
+          width, they don't raise it.
   ENV     stats and cpu within noise but wall moved — CPU steal on
           off-CPU time, page cache, GC aging; external to the code.
 
@@ -162,10 +169,28 @@ def classify(a, b, clean_ceiling, ext_old, ext_new):
                 dirty = [s for s, h in (("old", ha), ("new", hb))
                          if h > clean_ceiling]
                 if dirty:
-                    # a dirty canary with ~0 per-query external CPU is
-                    # ambiguous: invisible steal (proven by the r13
-                    # calibration) OR the query's own full-width
-                    # saturation queuing the canary thread — name both
+                    # A dirty canary with ~0 per-query external CPU is
+                    # either invisible steal (proven by the r13
+                    # calibration) or the query's OWN full-width
+                    # saturation queuing the canary thread (proven by the
+                    # r14 top-10 certification: >15-core queries can never
+                    # certify clean in-suite). On-CPU parallelism
+                    # (cpu_ms / wall) separates them: self-saturation IS
+                    # high own-work width, while steal steals the cores —
+                    # on-CPU width stays low.
+                    widths = {
+                        "old": ca / max(a.get("sec", 0.0) * 1000.0, 1.0),
+                        "new": cb / max(b.get("sec", 0.0) * 1000.0, 1.0)}
+                    if (per_query and max(eo, en) <= 0.05
+                            and all(widths[s] > 15 for s in dirty)):
+                        return "SELF", (
+                            f"{cpu}; window dirty ({'/'.join(dirty)}: "
+                            f"canary p90 {ha:.1f}/{hb:.1f}ms vs ceiling "
+                            f"{clean_ceiling:.1f}ms) but per-query "
+                            f"external {eo:.1%}/{en:.1%} and on-CPU width "
+                            f"{widths['old']:.0f}/{widths['new']:.0f} "
+                            "cores — the query's own saturation queues "
+                            "the canary, not the host")
                     self_note = (
                         f" (per-query external {eo:.1%}/{en:.1%} — "
                         "invisible steal or the query's own saturation)"
@@ -224,8 +249,8 @@ def main():
             if verdict.startswith("ENV"):
                 env_total += dt
             noisy = abs(dt) >= 0.5
-            if ns.all or verdict.rstrip("?") in ("PLAN", "KERNEL", "HOST") \
-                    or noisy:
+            if ns.all or verdict.rstrip("?") in (
+                    "PLAN", "KERNEL", "HOST", "SELF") or noisy:
                 print(f"  {q:<28} {a['sec']:6.2f} -> {b['sec']:6.2f}  "
                       f"{verdict} ({detail})")
         summary = ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
