@@ -1525,7 +1525,7 @@ object SparkEntry {
     // distribution that drives packing budgets and truncation policy
     "q_tokens_hist" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      d.select((floor(TextOps.tokenCount(col("text")) / 16)).cast("bigint").as("bin"))
+      d.select((floor(TextOps.tokenCountNative(col("text")) / 16)).cast("bigint").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n_docs"))
         .withColumn("bin_start", (col("bin") * 16).cast("bigint"))
     }),

@@ -200,3 +200,226 @@ case class CompressionRatio(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): CompressionRatio =
     copy(child = c)
 }
+
+/**
+ * One-pass whitespace token count, bit-identical to the pure-Column chain
+ * `size(when(length(trim(c)) = 0, array()).otherwise(split(trim(c), "\s+")))`
+ * ([[graft.pipeline.TextOps.tokenCount]]) WITHOUT materialising the token
+ * array: SQL `trim` strips only 0x20 spaces, and Spark's `split` is Java
+ * `String.split(re, -1)`, so a leading or trailing NON-SPACE whitespace run
+ * (tab/CR/LF) each contributes one empty token — the count is
+ * (non-ws runs) + [starts with ws] + [ends with ws] over the space-trimmed
+ * text. All Java `\s` characters are ASCII, so one byte pass suffices (a
+ * multi-byte UTF-8 sequence can never contain them).
+ */
+object TokenCountKernel {
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def eval(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var lo = 0
+    var hi = bytes.length - 1
+    while (lo <= hi && bytes(lo) == ' ') lo += 1
+    while (hi >= lo && bytes(hi) == ' ') hi -= 1
+    if (lo > hi) return 0 // blank after space-trim -> tokens() yields []
+    var count = 0
+    var inField = false
+    var i = lo
+    while (i <= hi) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inField) { count += 1; inField = true }
+      else if (ws) inField = false
+      i += 1
+    }
+    if (isWs(bytes(lo))) count += 1
+    if (isWs(bytes(hi))) count += 1
+    count
+  }
+}
+
+/** token_count(str) -> whitespace token count (Java split(-1) semantics). */
+case class TokenCount(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_count"
+  override def nullSafeEval(v: Any): Any =
+    TokenCountKernel.eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.TokenCountKernel.eval($v)")
+  override protected def withNewChildInternal(c: Expression): TokenCount =
+    copy(child = c)
+}
+
+/**
+ * One-pass Gopher rule-feature kernel (Rae et al. 2021 A1.1), bit-identical
+ * to the pure-Column chain in [[graft.pipeline.TextOps.gopherRulesReference]]
+ * — which pays ~7 interpreted higher-order passes (filter/transform/
+ * aggregate lambdas get no codegen) plus three regex engines per document.
+ * Ratios are returned RAW; the frame applies the same `round(_, 9)` the
+ * Column `ratio()` helper does, so results match bit-for-bit.
+ *
+ * Parity corners handled exactly:
+ *  - tokens = Java `split("\s+", -1)` of the SPACE-trimmed text (SQL `trim`
+ *    strips 0x20 only), so leading/trailing tab/CR runs yield EMPTY tokens
+ *    that count in every nTok denominator — and lower to "", which can
+ *    match an (unusual) empty stopword;
+ *  - token length is `length()` = code POINTS, not UTF-16 units;
+ *  - stop hits count DISTINCT lowered token values present in the stopword
+ *    list (`array_intersect(array_distinct(...))`), lowered with the same
+ *    `UTF8String.toLowerCase` Spark's `lower()` uses;
+ *  - `"\.\.\.\s*$"` on a line: Java's non-MULTILINE `$` also matches
+ *    before ONE final line terminator; inside a `split("\n")` line that can
+ *    still be U+0085/U+2028/U+2029 (\r is already `\s`), so one such final
+ *    char is stepped over before the trailing-whitespace skip;
+ *  - non-overlapping `regexp_replace(c, "\.\.\.", "")` count = sum of
+ *    floor(run/3) over maximal '.' runs.
+ */
+object GopherStatsKernel {
+  @inline private def isWs(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' ||
+      ch == '\f' || ch == '\r'
+
+  def eval(s0: UTF8String, stopIndex: java.util.HashMap[String, Integer],
+      nStops: Int): InternalRow = {
+    val text = s0.toString
+    val len = text.length
+
+    // ---- full-text counts: '#' chars, non-overlapping "..." matches ----
+    var hashCount = 0
+    var ellipsisMatches = 0
+    var dotRun = 0
+    var i = 0
+    while (i < len) {
+      val ch = text.charAt(i)
+      if (ch == '#') hashCount += 1
+      if (ch == '.') dotRun += 1
+      else { ellipsisMatches += dotRun / 3; dotRun = 0 }
+      i += 1
+    }
+    ellipsisMatches += dotRun / 3
+
+    // ---- tokens of the space-trimmed text ----
+    var lo = 0
+    var hi = len - 1
+    while (lo <= hi && text.charAt(lo) == ' ') lo += 1
+    while (hi >= lo && text.charAt(hi) == ' ') hi -= 1
+    var nTok = 0
+    var meanSum = 0
+    var alphaToks = 0
+    val stopSeen = new Array[Boolean](nStops)
+    var stopHits = 0
+    @inline def stopCheck(lowered: String): Unit = {
+      val idx = stopIndex.get(lowered)
+      if (idx != null && !stopSeen(idx)) { stopSeen(idx) = true; stopHits += 1 }
+    }
+    if (lo <= hi) { // non-blank: tokens() took the split branch
+      if (isWs(text.charAt(lo))) { nTok += 1; stopCheck("") } // leading empty
+      if (isWs(text.charAt(hi))) { nTok += 1; stopCheck("") } // trailing empty
+      var fs = -1
+      i = lo
+      while (i <= hi + 1) {
+        val ws = i > hi || isWs(text.charAt(i))
+        if (!ws && fs < 0) fs = i
+        else if (ws && fs >= 0) {
+          nTok += 1
+          meanSum += text.codePointCount(fs, i)
+          var j = fs
+          var alpha = false
+          while (j < i && !alpha) {
+            val c = text.charAt(j)
+            alpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+            j += 1
+          }
+          if (alpha) alphaToks += 1
+          stopCheck(UTF8String.fromString(text.substring(fs, i))
+            .toLowerCase.toString)
+          fs = -1
+        }
+        i += 1
+      }
+    }
+
+    // ---- lines of the ORIGINAL text: split("\n", -1) ----
+    var nLines = 0
+    var bulletLines = 0
+    var ellipsisLines = 0
+    var ls = 0
+    while (ls <= len) {
+      var le = text.indexOf('\n', ls)
+      if (le < 0) le = len
+      nLines += 1
+      // "^\s*[-*•]": skip ASCII \s, then a bullet char
+      var p = ls
+      while (p < le && isWs(text.charAt(p))) p += 1
+      if (p < le) {
+        val c = text.charAt(p)
+        if (c == '-' || c == '*' || c == '•') bulletLines += 1
+      }
+      // "\.\.\.\s*$": one optional FINAL Unicode line terminator, then
+      // trailing \s, then three dots
+      var q = le - 1
+      if (q >= ls) {
+        val c = text.charAt(q)
+        if (c == '\u0085' || c == '\u2028' || c == '\u2029') q -= 1
+      }
+      while (q >= ls && isWs(text.charAt(q))) q -= 1
+      if (q - 2 >= ls && text.charAt(q) == '.' && text.charAt(q - 1) == '.' &&
+          text.charAt(q - 2) == '.') ellipsisLines += 1
+      ls = le + 1
+    }
+
+    val meanLen = if (nTok == 0) 0.0 else meanSum.toDouble / nTok.toDouble
+    val symbolRatio =
+      if (nTok == 0) 0.0
+      else (hashCount.toDouble + (ellipsisMatches * 3).toDouble / 3.0) /
+        nTok.toDouble
+    val bulletRatio =
+      if (nLines == 0) 0.0 else bulletLines.toDouble / nLines.toDouble
+    val ellipsisLineRatio =
+      if (nLines == 0) 0.0 else ellipsisLines.toDouble / nLines.toDouble
+    val alphaRatio =
+      if (nTok == 0) 0.0 else alphaToks.toDouble / nTok.toDouble
+    new GenericInternalRow(Array[Any](
+      nTok, meanLen, symbolRatio, bulletRatio, ellipsisLineRatio,
+      alphaRatio, stopHits))
+  }
+}
+
+/** gopher_stats(str) -> struct of the seven Gopher rule features (raw,
+  * un-rounded ratios — the frame rounds, matching the Column `ratio()`). */
+case class GopherStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("symbol_word_ratio", DoubleType, nullable = false),
+    StructField("bullet_line_ratio", DoubleType, nullable = false),
+    StructField("ellipsis_line_ratio", DoubleType, nullable = false),
+    StructField("alpha_word_ratio", DoubleType, nullable = false),
+    StructField("n_stop_hits", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gopher_stats"
+  // first index per distinct value: array_intersect counts distinct
+  // matched VALUES, so duplicate stopwords must not double-count
+  @transient private lazy val stopIndex: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    stopwords.foreach(s => if (!m.containsKey(s)) m.put(s, m.size))
+    m
+  }
+  override def nullSafeEval(v: Any): Any =
+    GopherStatsKernel.eval(v.asInstanceOf[UTF8String], stopIndex,
+      stopIndex.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the stopword index rides along as a codegen reference object — the
+    // kernel call stays inside whole-stage codegen like the other kernels
+    val stops = ctx.addReferenceObj("gopherStops", stopIndex,
+      "java.util.HashMap")
+    val n = stopIndex.size
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.GopherStatsKernel.eval($v, $stops, $n)")
+  }
+  override protected def withNewChildInternal(c: Expression): GopherStats =
+    copy(child = c)
+}

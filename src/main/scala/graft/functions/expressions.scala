@@ -377,6 +377,7 @@ object funcs {
       intLitArg("winnow_fingerprints", es, 1, "(string, int literal, int literal)"),
       intLitArg("winnow_fingerprints", es, 2, "(string, int literal, int literal)"))),
     "text_stats" -> (es => TextStats(es(0))),
+    "token_count" -> (es => TokenCount(es(0))),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "compression_ratio" -> (es => CompressionRatio(es(0))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),

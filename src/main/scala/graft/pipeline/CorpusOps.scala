@@ -292,7 +292,7 @@ object CorpusOps {
       budget: Int, numBuckets: Int): DataFrame = {
     require(budget >= 1 && numBuckets >= 1, "budget and numBuckets must be >= 1")
     val base = df.select(col(idCol).as("doc_id"),
-      TextOps.tokenCount(col(textCol)).cast("bigint").as("n_tokens"),
+      TextOps.tokenCountNative(col(textCol)).cast("bigint").as("n_tokens"),
       (TextOps.portableHash(col(idCol)) % numBuckets).as("bucket"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
     val start = sum(col("n_tokens")).over(w) - col("n_tokens")

@@ -643,7 +643,7 @@ object DedupOps {
       .groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
     df.select(col(idCol),
-        TextOps.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+        TextOps.tokenCountNative(col(textCol)).cast("bigint").as("n_tokens"))
       .join(spans, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),

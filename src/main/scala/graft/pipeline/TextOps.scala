@@ -18,6 +18,15 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** One-pass native token count — bit-identical to [[tokenCount]] (the
+    * reference Column formulation it is fuzz-pinned against in
+    * TextKernelSpec) without materialising the token array or running the
+    * regex engine. Use in count-only scans (token budgeting, span-dedup
+    * ratios, sequence packing). */
+  def tokenCountNative(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.TokenCount(
+      org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** GPT-2-style pre-tokenizer pattern, lookahead-free so Java regex
     * (Spark) and RE2 (DuckDB/Go tooling) agree match-for-match:
     * contraction suffixes, space-prefixed letter/digit/punctuation runs,
@@ -37,7 +46,7 @@ object TextOps {
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
     df.select(col(idCol),
-      tokenCount(c).cast("bigint").as("ws_tokens"),
+      tokenCountNative(c).cast("bigint").as("ws_tokens"),
       bpeTokenCount(c).cast("bigint").as("bpe_tokens"),
       length(c).cast("bigint").as("n_chars"))
       .withColumn("chars_per_token",
@@ -136,13 +145,63 @@ object TextOps {
     * parameterised. Ratios are 9dp-rounded BEFORE thresholding so the
     * verdict is engine-portable.
     *
-    * One scan, no shuffle. The line/word filters use higher-order
-    * functions (interpreted, linear per document) — acceptable here
-    * because a rules gate runs once per corpus pass; route through
-    * [[metricsFrame]]'s native kernel when only the score features are
-    * needed at full 100 TB cadence.
+    * One scan, no shuffle, via the one-pass [[graft.functions.GopherStats]]
+    * kernel (the pure-Column formulation, kept below as
+    * [[gopherRulesReference]] and fuzz-pinned bit-identical in
+    * TextKernelSpec, pays ~7 interpreted higher-order passes plus three
+    * regex engines per document — at 100 TB that is the whole corpus scan
+    * budget).
     */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1, maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3, minAlphaWordRatio: Double = 0.8,
+      minStopHits: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    val stats = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GopherStats(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+        stopwords))
+    val feats = df.select(col(idCol), stats.as("__g"))
+      .select(col(idCol),
+        col("__g.n_tokens").cast("bigint").as("n_tokens"),
+        round(col("__g.mean_word_len"), 9).as("mean_word_len"),
+        round(col("__g.symbol_word_ratio"), 9).as("symbol_word_ratio"),
+        round(col("__g.bullet_line_ratio"), 9).as("bullet_line_ratio"),
+        round(col("__g.ellipsis_line_ratio"), 9).as("ellipsis_line_ratio"),
+        round(col("__g.alpha_word_ratio"), 9).as("alpha_word_ratio"),
+        col("__g.n_stop_hits").cast("bigint").as("n_stop_hits"))
+    withGopherKeep(feats, minTokens, maxTokens, minMeanWordLen,
+      maxMeanWordLen, maxSymbolWordRatio, maxBulletLineRatio,
+      maxEllipsisLineRatio, minAlphaWordRatio, minStopHits)
+  }
+
+  /** The conjunction verdict over the (already 9dp-rounded) rule features —
+    * shared by the kernel path and the reference formulation. */
+  private def withGopherKeep(feats: DataFrame,
+      minTokens: Long, maxTokens: Long,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolWordRatio: Double, maxBulletLineRatio: Double,
+      maxEllipsisLineRatio: Double, minAlphaWordRatio: Double,
+      minStopHits: Int): DataFrame =
+    feats.withColumn("keep",
+      (col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("symbol_word_ratio") < maxSymbolWordRatio &&
+        col("bullet_line_ratio") < maxBulletLineRatio &&
+        col("ellipsis_line_ratio") < maxEllipsisLineRatio &&
+        col("alpha_word_ratio") > minAlphaWordRatio &&
+        col("n_stop_hits") >= minStopHits).cast("int"))
+
+  /** The pure-Column reference formulation of [[gopherRules]] — the
+    * semantics contract the kernel is fuzz-pinned against (and the shape a
+    * SQL-only engine would run). Interpreted higher-order functions; do not
+    * use on a full corpus scan. */
+  private[graft] def gopherRulesReference(df: DataFrame, idCol: String,
+      textCol: String,
       minTokens: Long = 50, maxTokens: Long = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolWordRatio: Double = 0.1, maxBulletLineRatio: Double = 0.9,

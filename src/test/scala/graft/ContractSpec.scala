@@ -68,6 +68,7 @@ class ContractSpec extends org.scalatest.funsuite.AnyFunSuite {
       "jaccard_sorted_longs" ->
         "jaccard_sorted_longs(array(1L, 2L), array(2L, 3L))",
       "text_stats" -> "text_stats('the quick brown fox')",
+      "token_count" -> "token_count('the quick brown fox')",
       "cosine_sim" ->
         "cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))",
       "compression_ratio" -> "compression_ratio('aaaaaaaaaaaaaaaa')",
