@@ -307,9 +307,18 @@ object Bench {
       // driver round-trips and checkpoint fan-out are exactly where the
       // next 100-TB cliff would hide; reads only orders, which the
       // sf100 generator already amplifies
-      "q_one_to_one_dist")
+      "q_one_to_one_dist",
+      // the two heaviest sf10 queries never probed at the fourth decade
+      // (r14 verdict): the iterative multi-threshold re-solve (stable-
+      // cluster reuse + per-threshold checkpoint cadence over 135M edges)
+      // and the fused bridges+articulation pass (per-cluster semi-joined
+      // aggregate + BFS forest scaffold over 15M tiny clusters — the
+      // aggregate/scaffold FAN-OUT is the scale axis here, cluster size
+      // stays fixed by construction)
+      "q_multi_threshold", "q_graph_metrics")
 
-  private val Sf100Marker = s"_DONE_v2_from${Sf10Marker}"
+  // v3: customer joined the amplified set (q_graph_metrics' fourth decade)
+  private val Sf100Marker = s"_DONE_v3_from${Sf10Marker}"
 
   private def ensureSf100(spark: SparkSession, sf10Dir: String, dir: String)
       : Unit = {
@@ -326,6 +335,13 @@ object Bench {
     write("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
         .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    }
+    // q_graph_metrics derives its 3-/5-node cluster fixture from customer
+    // keys: shifting c_custkey keeps every per-copy cluster disjoint, so
+    // the fourth decade scales CLUSTER COUNT (the aggregate/forest fan-out
+    // axis) with per-cluster structure exactly isomorphic
+    write("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * off))
     }
     // a third level of per-copy seeded permutations, seed namespace
     // disjoint from sf10's: the 1000 composed character maps
