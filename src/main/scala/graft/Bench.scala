@@ -869,10 +869,33 @@ object Bench {
     // comma-decimal locale (de_DE) would emit invalid JSON.
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val slowest = sectionResults.iterator.flatMap { case (sec, rs) =>
+    // BYTE-budgeted slowest-N (was a fixed top-12): the driver keeps only a
+    // 2000-byte stdout TAIL and parses the last line, so the whole compact
+    // line must fit that tail — but a fixed 12 made round-over-round
+    // comparisons mistake ordinary top-12 churn for dropped queries. The
+    // budget fits ~45 entries (every sf1/sf10 scale-section query plus the
+    // slowest sf0.1 tier) while keeping the line comfortably under 2000
+    // bytes. Entries stay slowest-first and stop at the first non-fit so
+    // the set is a contiguous prefix of the ranking. Additions-only: the
+    // key format and every previously-emitted entry's name are unchanged.
+    val slowestBudgetBytes = 1280
+    val rankedQ = sectionResults.iterator.flatMap { case (sec, rs) =>
       rs.map { case (n, st) => (s"$sec:$n", st.sec) }
-    }.toSeq.sortBy(-_._2).take(12)
-      .map { case (n, s) => s""""$n":${f3(s)}""" }.mkString("{", ",", "}")
+    }.toSeq.sortBy(-_._2)
+    val slowestItems = {
+      val b = Seq.newBuilder[String]
+      var used = 0
+      var stop = false
+      rankedQ.foreach { case (n, s) =>
+        val item = s""""$n":${f3(s)}"""
+        if (!stop && used + item.length + 1 <= slowestBudgetBytes) {
+          b += item; used += item.length + 1
+        } else stop = true
+      }
+      b.result()
+    }
+    val slowest = slowestItems.mkString("{", ",", "}")
+    val slowestTruncated = slowestItems.size < rankedQ.size
     val secTotals = sectionResults.map { case (sec, rs) =>
       s""""$sec":${f3(rs.map(_._2.sec).sum)}"""
     }.mkString("{", ",", "}")
@@ -886,7 +909,7 @@ object Bench {
         s""""n_timed":$nQ,"n_canary_clean":$nClean,""" +
         s""""canary_p10_ms":${f3(canP10)},"canary_p50_ms":${f3(canP50)},""" +
         s""""max_external_frac":${f3(maxExternalFrac)},""" +
-        s""""queries":$slowest,"queries_truncated":true,""" +
+        s""""queries":$slowest,"queries_truncated":$slowestTruncated,""" +
         s""""artifact":"bench_out.json"}"""
     // Stop Spark BEFORE emitting the JSON so no shutdown log line can land
     // after it: with run/outputStrategy=StdoutOutput and showSuccess=false

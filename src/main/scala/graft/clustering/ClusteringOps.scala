@@ -802,10 +802,20 @@ object ClusteringOps {
     // 347-449`) emit each pair once with id_l < id_r, and every per-
     // threshold filter / unstable-subgraph semi-join preserves that — all
     // the component solves may skip the symmetric dedupe aggregate
-    var cc = ConnectedComponents
+    // Each threshold's labelling is COPIED into one flat eager checkpoint
+    // and the solve's own materialisations (the composed labelling, or the
+    // per-jump slice checkpoints the empty-contraction path returns a
+    // union of) are released immediately — without this every threshold's
+    // dead solve scaffolding stays on-heap to the query's end and the
+    // collector re-walks it for the whole run (guide §5; the r15 sf100
+    // probe measured 48% of this query's CPU in GC). The multi-read
+    // frames (e0, the per-threshold outputs) stay resident — only the
+    // single-read solve internals die.
+    val solved0 = ConnectedComponents
       .run(e0.filter(col(probCol) >= sorted.head), srcCol, dstCol,
         assumeDistinctPairs = true)
-      .breakLineage()
+    var cc = solved0.breakLineage(eager = true)
+    graft.operators.Materialise.releaseConsumedLeaves(solved0)
     val perThreshold = scala.collection.mutable.ArrayBuffer(sorted.head -> cc)
     sorted.sliding(2).foreach {
       case Seq(tPrev, t) =>
@@ -838,10 +848,14 @@ object ClusteringOps {
         // materialise while minp is still persisted or the per-cluster
         // aggregate re-evaluates twice at consumption time
         cc =
-          if (2 * nUnstable >= nWithEdges)
-            ConnectedComponents.run(e0.filter(col(probCol) >= t), srcCol,
-              dstCol, assumeDistinctPairs = true).breakLineage(eager = true)
-          else {
+          if (2 * nUnstable >= nWithEdges) {
+            val solved = ConnectedComponents.run(e0.filter(col(probCol) >= t),
+              srcCol, dstCol, assumeDistinctPairs = true)
+            val copied = solved.breakLineage(eager = true)
+            // the fresh solve's internal checkpoints are dead once copied
+            graft.operators.Materialise.releaseConsumedLeaves(solved)
+            copied
+          } else {
             val unstableIds = minp.filter(col("__minp") < t)
               .select("cluster_id")
             val stable = cc.join(unstableIds, Seq("cluster_id"), "left_anti")
@@ -851,10 +865,16 @@ object ClusteringOps {
             val unstableEdges = e0.filter(col(probCol) >= t)
               .join(unstableNodes, e0(srcCol) === unstableNodes("node_id"),
                 "left_semi")
-            stable.select(col("node_id"), col("cluster_id"))
-              .unionByName(ConnectedComponents.run(unstableEdges, srcCol,
-                dstCol, assumeDistinctPairs = true))
+            val sub = ConnectedComponents.run(unstableEdges, srcCol,
+              dstCol, assumeDistinctPairs = true)
+            val copied = stable.select(col("node_id"), col("cluster_id"))
+              .unionByName(sub)
               .breakLineage(eager = true)
+            // release ONLY the sub-solve's leaves: the union's other
+            // branch embeds the previous threshold's labelling, which is
+            // itself part of the returned output and must stay live
+            graft.operators.Materialise.releaseConsumedLeaves(sub)
+            copied
           }
         minp.unpersist(blocking = false)
         perThreshold += (t -> cc)

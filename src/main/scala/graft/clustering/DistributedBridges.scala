@@ -67,13 +67,17 @@ object DistributedBridges {
   }
 
   /** BFS spanning forest shared by [[bridges]] and [[articulationPoints]].
+    * @param checked the checkpointed input projection `in` rebuilds from —
+    *                carried so node-only callers can release its blocks
+    *                (they never evaluate `in`)
     * @param in      (cluster_id, a, b) original edges, lineage-free
     * @param pairs   (cluster_id, u, v, mult) distinct undirected pairs
     * @param visited (cluster_id, node, parent, depth) one row per node;
     *                parent null at the root (= min node id of the cluster)
     * @param depth   max BFS depth reached */
-  private case class Forest(in: DataFrame, pairs: DataFrame,
-      visited: DataFrame, depth: Int, levels: Seq[DataFrame])
+  private case class Forest(checked: DataFrame, in: DataFrame,
+      pairs: DataFrame, visited: DataFrame, depth: Int,
+      levels: Seq[DataFrame])
 
   private def buildForest(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int): Forest = {
@@ -164,7 +168,11 @@ object DistributedBridges {
       frontier = next
     }
     val visited = levels.map(freshen).reduce(_.unionByName(_))
-    Forest(in, pairs, visited, depth, levels.toSeq)
+    // nodes' consumers (the roots checkpoint and the termination counts)
+    // have all materialised during the BFS above — drop its blocks now in
+    // every mode instead of carrying a full node frame to the query's end
+    graft.operators.Materialise.releaseConsumed(nodes)
+    Forest(checked, in, pairs, visited, depth, levels.toSeq)
   }
 
   private def forestTimed(edges: DataFrame, srcCol: String, dstCol: String,
@@ -317,7 +325,8 @@ object DistributedBridges {
    */
   def articulationPoints(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxRounds: Int = 300): DataFrame =
-    graphEdgeNodeMetrics(edges, srcCol, dstCol, maxRounds)._2
+    graphEdgeNodeMetrics(edges, srcCol, dstCol, maxRounds,
+      nodeOnly = true)._2
 
   /**
    * BOTH graph-metric verdicts from ONE spanning forest: bridges (edge
@@ -344,8 +353,22 @@ object DistributedBridges {
    */
   def graphEdgeNodeMetrics(edges: DataFrame, srcCol: String = "unique_id_l",
       dstCol: String = "unique_id_r", maxRounds: Int = 300,
-      materialise: Boolean = false)
+      materialise: Boolean = false, nodeOnly: Boolean = false)
       : (DataFrame, DataFrame) = {
+    // nodeOnly = the articulation-only delegation: the bridge verdict
+    // branch is never built (the edge frame of the returned pair is null)
+    // and the scaffold runs EAGER ON-HEAP checkpoints with immediate
+    // release of each consumed frame. Rationale (r15 scaling data): the
+    // lazy solo cadence holds EVERY scaffold frame's blocks live until
+    // the caller's final action — at sf10/32 cores ~10 frames of 35M+
+    // deserialized rows fill the heap and the query spends 40% of task
+    // time in GC (435s vs 5.4s at 8 cores, identical plans). Eager +
+    // release caps the live set at the frames a stage actually reads.
+    // DISK_ONLY stays the FUSED mode's trade: a solo blanket spill was
+    // tried and reverted with numbers (serde ≈ the GC it saved).
+    require(!(materialise && nodeOnly),
+      "nodeOnly is the solo articulation cadence; fused callers use " +
+        "materialise")
     val t0 = System.nanoTime()
     val forest = forestTimed(edges, srcCol, dstCol, maxRounds, t0)
     val in = forest.in
@@ -368,16 +391,28 @@ object DistributedBridges {
     // frames at once for off-heap to win.
     def ck(df: DataFrame): DataFrame =
       if (materialise) df.breakLineageSpilled(eager = true)
+      else if (nodeOnly) df.breakLineage(eager = true)
       else df.breakLineage()
     // lazy variant for frames whose first consumer is itself checkpointed
-    // (they compute exactly once either way — only the block home differs)
+    // (they compute exactly once either way — only the block home differs).
+    // nodeOnly keeps these EAGER too: the release cadence below needs each
+    // frame's materialisation pinned to a known point, not to whichever
+    // downstream job first touches it.
     def ckLazy(df: DataFrame): DataFrame =
-      if (materialise) df.breakLineageSpilled() else df.breakLineage()
+      if (materialise) df.breakLineageSpilled()
+      else if (nodeOnly) df.breakLineage(eager = true)
+      else df.breakLineage()
     def releaseIfEager(df: DataFrame): Unit =
-      if (materialise) graft.operators.Materialise.releaseConsumed(df)
+      if (materialise || nodeOnly)
+        graft.operators.Materialise.releaseConsumed(df)
     val visited = ck(forest.visited)
-    if (materialise)
+    if (materialise || nodeOnly) {
       forest.levels.foreach(graft.operators.Materialise.releaseConsumed)
+      // nodeOnly never evaluates the bridge branch, so the checkpointed
+      // input projection (consumed into `pairs` during the BFS) is dead
+      if (nodeOnly)
+        graft.operators.Materialise.releaseConsumed(forest.checked)
+    }
     val depth = forest.depth
     val peelCadence = math.max(8, math.ceil(depth / 12.0).toInt)
 
@@ -391,6 +426,9 @@ object DistributedBridges {
     val nonTree = ckLazy(pairs
       .join(treeKeys, Seq("cluster_id", "u", "v"), "left_anti")
       .select(col("cluster_id"), col("u"), col("v")))
+    // nodeOnly: pairs' last consumer was the (eager) nonTree checkpoint —
+    // the bridge branch's mult join never runs
+    if (nodeOnly) graft.operators.Materialise.releaseConsumed(pairs)
 
     // ---- fold 1 (bottom-up): subtree sizes nd ------------------------
     val byDepthNd = scala.collection.mutable.Map[Int, DataFrame]()
@@ -489,8 +527,10 @@ object DistributedBridges {
       if (materialise) lowHighRaw.breakLineageSpilled(eager = true)
       else lowHighRaw)
     // lhInit's consumers are the byDepthLh filters, all folded into the
-    // eager lowHigh checkpoint above
-    releaseIfEager(lhInit)
+    // eager lowHigh checkpoint above — in FUSED mode only. nodeOnly keeps
+    // lowHigh a lazy view (single consumer: rule B), so lhInit must live
+    // until the comp checkpoint below has materialised through it.
+    if (materialise) graft.operators.Materialise.releaseConsumed(lhInit)
 
     // ---- aux graph links + component solve ---------------------------
     // rule B needs the PARENT's preorder interval next to each child
@@ -533,6 +573,15 @@ object DistributedBridges {
     releaseIfEager(auxComp)
     releaseIfEager(nd)
     releaseIfEager(pre)
+    // nodeOnly: rule B (through the lazy lowHigh view over lhInit) and
+    // rule A (nonTree) were both consumed into the aux CC solve, whose
+    // labelling is folded into the eager comp checkpoint above — from here
+    // the only live scaffold frames are visited and comp, exactly what the
+    // articulation verdict reads
+    if (nodeOnly) {
+      graft.operators.Materialise.releaseConsumed(lhInit)
+      graft.operators.Materialise.releaseConsumed(nonTree)
+    }
 
     // ---- verdicts ----------------------------------------------------
     val childComps = comp.select(col("cluster_id"),
@@ -557,6 +606,10 @@ object DistributedBridges {
         .when(col("own_comp").isNull,
           col("min_child_comp") =!= col("max_child_comp"))
         .otherwise(col("any_foreign") === 1).as("is_articulation"))
+
+    // nodeOnly: the bridge branch is never built — its inputs (pairs,
+    // lowHigh/lhInit, nonTree, in) are already released above
+    if (nodeOnly) return (null, articulation)
 
     // ---- bridge verdicts from the SAME folds -------------------------
     // tree edge keyed by child c: covered iff some non-tree edge leaves

@@ -253,6 +253,122 @@ case class TokenCount(child: Expression) extends UnaryExpression
 }
 
 /**
+ * Count-only matcher for the GPT-2-style pre-tokenizer pattern
+ * ([[graft.pipeline.TextOps.BpeIshPattern]]):
+ *
+ *   `'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s`
+ *
+ * `regexp_count` expands to `size(regexp_extract_all(...))` — the regex
+ * engine materialises EVERY match into an array that is immediately
+ * discarded for its size. This kernel reproduces the exact
+ * java.util.regex match count in one code-point walk with zero
+ * allocation beyond the string itself.
+ *
+ * Why a hand decision tree is exact here: the five alternatives are
+ * disjoint on their first character class —
+ *  - `'` can only start alt 1 or alt 4 (an apostrophe is neither `\s`,
+ *    `\p{L}` nor `\p{N}`), and regex alternation is ORDERED, so the
+ *    contraction suffix is tried first and alt 4 is the fallback;
+ *  - a literal space (the pattern's ` ?` is U+0020 only) starts alts
+ *    2/3/4 when followed by a letter / number / other, else falls to
+ *    alt 5 (`\s`); note Java `\s` without UNICODE_CHARACTER_CLASS is
+ *    ASCII-only: [ \t\n\x0B\f\r];
+ *  - a letter / number / other character starts exactly one of alts
+ *    2/3/4 with the optional space unmatched;
+ *  - the remaining ASCII whitespace matches alt 5 alone.
+ * The greedy `+` runs never need backtracking because the character
+ * classes are disjoint, and every position matches SOME alternative
+ * (alt 4's class is the complement of the others), so the match count is
+ * the number of such steps. `\p{L}` = Unicode categories Lu/Ll/Lt/Lm/Lo
+ * (Character.isLetter over code points, including supplementary);
+ * `\p{N}` = Nd/Nl/No (Character.getType). Fuzz-pinned bit-identical to
+ * the `regexp_count` formulation in TextKernelSpec.
+ */
+object BpeCountKernel {
+  @inline private def isAsciiWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' ||
+      cp == '\r'
+  @inline private def isNum(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+  // "other" = alt 4's class: not ASCII-ws, not letter, not number
+  @inline private def isOther(cp: Int): Boolean =
+    !isAsciiWs(cp) && !Character.isLetter(cp) && !isNum(cp)
+
+  def eval(s: UTF8String): Int = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == '\'') {
+        // alt 1: contraction suffix (ordered: s|t|re|ve|m|ll|d)
+        val j = i + 1
+        val suffixLen =
+          if (j >= n) 0
+          else str.charAt(j) match {
+            case 's' | 't' | 'm' | 'd' => 1
+            case 'r' | 'v' => if (j + 1 < n && str.charAt(j + 1) == 'e') 2 else 0
+            case 'l' => if (j + 1 < n && str.charAt(j + 1) == 'l') 2 else 0
+            case _ => 0
+          }
+        if (suffixLen > 0) i = j + suffixLen
+        else i = runEnd(str, i + 1, n, 3) // alt 4 fallback: `'` + other-run
+      } else if (cp == ' ') {
+        // alts 2/3/4 with the optional leading space, else alt 5
+        if (i + 1 < n) {
+          val la = str.codePointAt(i + 1)
+          if (Character.isLetter(la)) i = runEnd(str, i + 1, n, 1)
+          else if (isNum(la)) i = runEnd(str, i + 1, n, 2)
+          else if (isOther(la)) i = runEnd(str, i + 1, n, 3)
+          else i += 1 // following ws: the space matches alt 5 alone
+        } else i += 1 // trailing space: alt 5
+      } else if (Character.isLetter(cp)) i = runEnd(str, i, n, 1)
+      else if (isNum(cp)) i = runEnd(str, i, n, 2)
+      else if (isAsciiWs(cp)) i += 1 // alt 5
+      else i = runEnd(str, i, n, 3) // alt 4 without the space
+      count += 1
+    }
+    count
+  }
+
+  /** End index (exclusive) of the greedy run of class `cls` starting at
+    * `from`: 1 = `\p{L}`, 2 = `\p{N}`, 3 = alt 4's other class. */
+  private def runEnd(str: String, from: Int, n: Int, cls: Int): Int = {
+    var i = from
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val in = cls match {
+        case 1 => Character.isLetter(cp)
+        case 2 => isNum(cp)
+        case _ => isOther(cp)
+      }
+      if (!in) return i
+      i += Character.charCount(cp)
+    }
+    i
+  }
+}
+
+/** bpe_count(str) -> match count of the BPE-ish pre-tokenizer pattern
+  * (java.util.regex semantics) without materialising the match array. */
+case class BpeCount(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_count"
+  override def nullSafeEval(v: Any): Any =
+    BpeCountKernel.eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.BpeCountKernel.eval($v)")
+  override protected def withNewChildInternal(c: Expression): BpeCount =
+    copy(child = c)
+}
+
+/**
  * One-pass Gopher rule-feature kernel (Rae et al. 2021 A1.1), bit-identical
  * to the pure-Column chain in [[graft.pipeline.TextOps.gopherRulesReference]]
  * — which pays ~7 interpreted higher-order passes (filter/transform/

@@ -127,6 +127,37 @@ object Materialise {
       case other => withPolicy(df, other, eager)
     }
 
+  /** Break lineage with the frame's blocks kept ON-HEAP but SERIALIZED
+    * (MEMORY_AND_DISK_SER).
+    *
+    * The default (local)checkpoint storage level is MEMORY_AND_DISK with
+    * deserialized = true: every cached row is a live UnsafeRow object plus
+    * its backing byte[] — a 35M-row frame is ~70M old-generation objects
+    * the collector re-walks on every cycle. Measured on this box
+    * (TaskCostProbe, 32 threads, 20 GB heap): ONE sort-merge join of two
+    * such 35M-row checkpoints spends 762 task-seconds in GC and 42 s wall;
+    * the same join over MEMORY_AND_DISK_SER blocks (a handful of byte
+    * chunks per block) takes 9.4 s wall / 136 s GC, and over DISK_ONLY
+    * 6.1 s / 28 s. The serialized levels pay a per-read deserialisation
+    * (~6 CPU-s per full read of a 35M-row frame) — cheap next to the GC
+    * bill whenever the frame is LARGE and the pipeline keeps allocating
+    * while it is resident. Use for big scaffold/loop frames; small frames
+    * and pure re-scan sources keep the deserialized default (re-reads of
+    * deserialized blocks are the one shape that is cheapest as objects).
+    * Policies that are already serialized on their own medium (checkpoint,
+    * parquet) keep their normal behaviour. */
+  def serialised(df: DataFrame, eager: Boolean): DataFrame =
+    policy(df.sparkSession) match {
+      case LocalCheckpointPolicy =>
+        org.apache.spark.sql.GraftSqlBridge.freshStats(
+          df.localCheckpoint(eager, StorageLevel.MEMORY_AND_DISK_SER))
+      case PersistPolicy =>
+        val out = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        if (eager) out.count()
+        out
+      case other => withPolicy(df, other, eager)
+    }
+
   // parquet-policy scratch files this JVM wrote, releasable individually
   private val matPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -211,6 +242,41 @@ object Materialise {
     // persist-policy frames: unpersist is correctness-neutral (lineage
     // intact, a late reader recomputes), and a no-op when df isn't cached
     df.unpersist(blocking = false): Unit
+  }
+
+  /** [[releaseConsumed]] for a frame whose plan holds SEVERAL dead
+    * materialisations: releases every (local)checkpoint-backed LogicalRDD
+    * leaf and every owned parquet-scratch relation under `df`'s plan, not
+    * just the single stripped leaf. For a frame that has just been COPIED
+    * into a fresh eager checkpoint — e.g. a ConnectedComponents labelling
+    * (whose empty-contraction path returns a UNION of per-jump slice
+    * checkpoints) re-checkpointed by an iterative caller — the union shape
+    * puts multiple dead checkpoints under one plan that releaseConsumed's
+    * strip cannot reach.
+    *
+    * SAFETY CONTRACT (stronger than [[releaseConsumed]]'s, because it
+    * applies to every leaf): the caller must have materialised a full
+    * independent copy of `df` (an eager breakLineage), and NO other live
+    * frame may share any checkpoint under this plan. Never call it on a
+    * frame whose plan still embeds another caller-visible frame (e.g. a
+    * union with a previous iteration's output that is itself returned). */
+  def releaseConsumedLeaves(df: DataFrame): Unit = {
+    rddUnpersistWarnSilenced
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case rel: LogicalRelation => rel.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).foreach { p =>
+            val local = p.stripPrefix("file:")
+            if (matPaths.remove(p) || matPaths.remove(local))
+              deleteRecursively(new java.io.File(local))
+          }
+        case _ =>
+      }
+      case _ => ()
+    }
   }
 
   /** Unpersisting a locally-checkpointed RDD makes Spark WARN that the
@@ -313,5 +379,9 @@ object Materialise {
     /** [[Materialise.spilled]] — lineage break whose blocks stay off-heap. */
     def breakLineageSpilled(eager: Boolean = false): DataFrame =
       Materialise.spilled(df, eager)
+    /** [[Materialise.serialised]] — lineage break whose blocks stay on-heap
+      * but serialized (GC-cheap for large frames). */
+    def breakLineageSer(eager: Boolean = false): DataFrame =
+      Materialise.serialised(df, eager)
   }
 }

@@ -37,8 +37,19 @@ object TextOps {
   val BpeIshPattern: String =
     "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s"
 
-  /** BPE-ish token count of a text column (see [[BpeIshPattern]]). */
+  /** BPE-ish token count of a text column (see [[BpeIshPattern]]) — the
+    * count-only [[graft.functions.BpeCount]] kernel. `regexp_count`
+    * physically expands to `size(regexp_extract_all(...))`, materialising
+    * every match into an array that is discarded for its size; the kernel
+    * walks code points once with no allocation. Bit-identical to
+    * [[bpeTokenCountReference]] (fuzz-pinned in TextKernelSpec). */
   def bpeTokenCount(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.BpeCount(
+      org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** The regex-engine formulation of [[bpeTokenCount]] — the semantics
+    * contract the kernel is fuzz-pinned against. */
+  private[graft] def bpeTokenCountReference(c: Column): Column =
     regexp_count(c, lit(BpeIshPattern))
 
   /** Corpus token budgeting: whitespace tokens, BPE-ish pre-tokens,

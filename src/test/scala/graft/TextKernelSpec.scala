@@ -106,4 +106,48 @@ class TextKernelSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  /** BPE-pattern corners: contraction suffixes (matched and near-miss),
+    * apostrophe runs, space-prefixed class switches, non-Nd Unicode
+    * numbers (Nl/No — `\p{N}` but NOT Character.isDigit), supplementary
+    * letters/digits (surrogate pairs), NBSP (Unicode ws but not Java
+    * `\s`), and ASCII-ws singles. */
+  private val bpeNasty: Seq[String] = Seq(
+    "'s", "'t", "'re", "'ve", "'m", "'ll", "'d", "don't", "it's we'll",
+    "they're I've I'm you'd", "'l", "'la", "'r", "'rex", "'v", "'vex",
+    "can't've", "''", "'''s", "'", "x'", " '", " 'abc", "a'b", "'S", "'RE",
+    "’s curly", "o’clock", " 's", "\t's", "' s", "'\t", "rock'n'roll",
+    "123", " 123", "a1", "1a", "a 1", " a 1b2 ", "x,y.z", " ,.; ",
+    "१२३ देवनागरी", "Ⅻ Ⅶ", "½ ¾", "²³", "⑩", "〡〢",
+    " ", "a b", "   ", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "𐍈𐍉", "𝟘𝟙𝟚",
+    "😀's", "#'s", "mixed 𝔘p 𝟙23 ok", "  double  spaces  ",
+    "tab\tsep", "nl\nsep", "cr\rsep", "\f")
+
+  test("BpeCountKernel == java.util.regex match count of BpeIshPattern") {
+    val p = java.util.regex.Pattern.compile(TextOps.BpeIshPattern)
+    def ref(s: String): Int = {
+      val m = p.matcher(s)
+      var c = 0
+      while (m.find()) c += 1
+      c
+    }
+    (nasty ++ bpeNasty ++ (1 to 400).map(_ => randText())).foreach { t =>
+      assert(graft.functions.BpeCountKernel.eval(UTF8String.fromString(t))
+          == ref(t),
+        s"bpe count diverges on ${t.map(c => f"\\u${c.toInt}%04x")}")
+    }
+  }
+
+  test("bpeTokenCount kernel == regexp_count reference through Spark") {
+    val df = (corpus ++ bpeNasty.zipWithIndex.map { case (t, i) =>
+      (10000L + i, t) }).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("k"),
+        TextOps.bpeTokenCountReference(col("text")).as("c"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"doc ${r.getLong(0)}: kernel ${r.getInt(1)} != regex ${r.getInt(2)}")
+    }
+  }
 }
